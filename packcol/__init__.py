@@ -1,0 +1,21 @@
+"""packcol — a Ray-Data-native per-column lightweight-compression engine.
+
+Generalizes the bit-packed-encoding ideas of COMBINE-lab/kmers
+(/root/reference: 2-bit symbol packing `src/encoding/naive.rs:116-124`,
+word-aligned packed buffers `src/naive_impl/seq_vector.rs:141-161`,
+canonical-form normalization `src/naive_impl/kmer.rs:55-74`) into a full
+lightweight codec suite — dictionary, RLE, FSST-lite, bit-packing,
+frame-of-reference — with per-partition codec auto-selection, run as
+`ray.data.Dataset` pipelines of `map_batches` over zero-copy Arrow batches.
+
+Layout:
+  codecs/     pure numpy/pyarrow codec kernels (no Ray)
+  functions/  value-level kernels: DNA parity (kmers golden tests), text
+              analysis, hashing/sketches
+  stages/     map_batches stage callables (stats sampler, encoders, verify)
+  pipelines/  end-to-end Dataset pipelines (encode/decode/verify, dedup, ANN)
+  sources/    deterministic synthetic webtext generator (FIXTURES.md F1)
+  state/      checkpoint/resume manifests
+"""
+
+__version__ = "0.1.0"

@@ -1,0 +1,18 @@
+"""Codec registry — importing this package registers all codecs."""
+
+from .base import (Codec, EncodedColumn, all_codecs, decode_any, get_codec,
+                   register)
+from .bitpack import bits_needed, pack, packed_words_for, unpack
+from . import dictionary, forpack, fsst, passthrough, rle  # noqa: F401  (register)
+from .dictionary import DictionaryCodec
+from .forpack import ForCodec
+from .fsst import FsstCodec
+from .passthrough import PassthroughCodec
+from .rle import RleCodec
+
+__all__ = [
+    "Codec", "EncodedColumn", "all_codecs", "decode_any", "get_codec",
+    "register", "bits_needed", "pack", "unpack", "packed_words_for",
+    "DictionaryCodec", "ForCodec", "FsstCodec", "PassthroughCodec",
+    "RleCodec",
+]

@@ -1,0 +1,211 @@
+"""FSST-lite: sampled-symbol-table string compression, fully vectorized.
+
+A from-scratch lightweight string codec in the spirit of FSST
+(Boncz/Neumann/Leis, VLDB'19 — public paper): build a small symbol table
+from a sample, replace frequent substrings with 1-byte codes.  Our
+simplification keeps every kernel numpy-vectorizable (no per-byte Python
+loop, mirroring the branch-free spirit of the reference's
+``(c>>1)&3`` inner loop, /root/reference/src/encoding/naive.rs:14-16):
+
+* symbols are **digrams** (2-byte substrings);
+* code bytes are byte values **unused in the block's data**, so literals
+  never need escaping and decode is a single table lookup;
+* greedy left-to-right longest-match selection is computed in closed
+  form: within each maximal run of consecutive match positions, every
+  other position is chosen (run-parity), which equals the sequential
+  greedy scan for 2-byte symbols;
+* the symbol table is built from a strided sample of the block
+  (generalizing the reference's minimizer *sampling* idea,
+  /root/reference/src/naive_impl/seq_vector/minimizers.rs:38-142), and
+  travels in the block header (self-describing, like SeqVector's serde
+  form /root/reference/src/naive_impl/seq_vector.rs:18-22).
+
+String offsets are themselves delta+bit-packed via :mod:`.bitpack`.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .base import (Codec, EncodedColumn, register, str_to_type, type_to_str,
+                   validity_from_bytes, validity_to_bytes)
+from .bitpack import bits_needed, pack, unpack
+
+_SAMPLE_MAX = 1 << 20   # bytes of data sampled for digram counting
+_MIN_COUNT = 8          # a digram must appear ≥ this often in the sample
+_MAX_SYMS = 250
+
+
+def _is_stringy(t: pa.DataType) -> bool:
+    return (pa.types.is_string(t) or pa.types.is_large_string(t)
+            or pa.types.is_binary(t) or pa.types.is_large_binary(t))
+
+
+def buffer_view(arr: pa.Array) -> tuple[np.ndarray, np.ndarray]:
+    """(data:uint8, offsets:int64 rebased to 0) for a string-ish array."""
+    t = arr.type
+    off_dtype = np.int64 if (pa.types.is_large_string(t)
+                             or pa.types.is_large_binary(t)) else np.int32
+    bufs = arr.buffers()
+    offs = np.frombuffer(bufs[1], dtype=off_dtype)[
+        arr.offset: arr.offset + len(arr) + 1].astype(np.int64)
+    if bufs[2] is not None and len(bufs[2]) > 0:
+        data = np.frombuffer(bufs[2], dtype=np.uint8)
+    else:
+        data = np.empty(0, dtype=np.uint8)
+    start, end = (offs[0], offs[-1]) if len(offs) else (0, 0)
+    return np.ascontiguousarray(data[start:end]), offs - start
+
+
+def build_symbol_table(d: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(code_bytes, digrams) — code_bytes[i] encodes digram digrams[i]."""
+    n = len(d)
+    if n < 16:
+        return np.empty(0, np.uint8), np.empty(0, np.int32)
+    present = np.zeros(256, dtype=bool)
+    present[np.unique(d)] = True
+    unused = np.flatnonzero(~present)
+    if len(unused) == 0:
+        return np.empty(0, np.uint8), np.empty(0, np.int32)
+    if n > _SAMPLE_MAX:
+        # strided contiguous slices → representative digram counts
+        n_slices = 64
+        sl = _SAMPLE_MAX // n_slices
+        starts = (np.arange(n_slices) * ((n - sl) // max(n_slices - 1, 1)))
+        sample = np.concatenate([d[s:s + sl] for s in starts])
+    else:
+        sample = d
+    d16 = sample[:-1].astype(np.int32) * 256 + sample[1:].astype(np.int32)
+    counts = np.bincount(d16, minlength=65536)
+    k = min(len(unused), _MAX_SYMS)
+    top = np.argsort(counts)[::-1][:k]
+    top = top[counts[top] >= _MIN_COUNT]
+    code_bytes = unused[:len(top)].astype(np.uint8)
+    return code_bytes, top.astype(np.int32)
+
+
+class FsstCodec(Codec):
+    name = "fsst"
+
+    def can_encode(self, dtype: pa.DataType, stats: dict | None = None) -> bool:
+        return _is_stringy(dtype)
+
+    def encode(self, arr: pa.Array) -> EncodedColumn:
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        n = len(arr)
+        dtype = arr.type
+        validity = validity_to_bytes(arr)
+        if arr.null_count:
+            fill = "" if (pa.types.is_string(dtype)
+                          or pa.types.is_large_string(dtype)) else b""
+            arr = pc.fill_null(arr, fill)
+        d, offs = buffer_view(arr)
+        code_bytes, digrams = build_symbol_table(d)
+        out, enc_offs = fsst_compress(d, offs, code_bytes, digrams)
+        lens = np.diff(enc_offs)
+        lw = bits_needed(int(lens.max()) if len(lens) else 0)
+        return EncodedColumn(
+            codec=self.name, n_values=n,
+            params={"codes": code_bytes.tolist(), "digrams": digrams.tolist(),
+                    "len_width": lw, "dtype": type_to_str(dtype)},
+            buffers={"payload": out.tobytes(),
+                     "lens": pack(lens.view(np.uint64), lw).tobytes(),
+                     "validity": validity},
+        )
+
+    def decode(self, enc: EncodedColumn) -> pa.Array:
+        n, p = enc.n_values, enc.params
+        e = np.frombuffer(enc.buffers["payload"], dtype=np.uint8)
+        lens = unpack(np.frombuffer(enc.buffers["lens"], dtype=np.uint64),
+                      p["len_width"], n).view(np.int64)
+        enc_offs = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(lens, out=enc_offs[1:])
+        out, out_offs = fsst_decompress(
+            e, enc_offs,
+            np.asarray(p["codes"], dtype=np.uint8),
+            np.asarray(p["digrams"], dtype=np.int32))
+        dtype = str_to_type(p["dtype"])
+        arr = _array_from_parts(out, out_offs, n, dtype)
+        valid = validity_from_bytes(enc.buffers.get("validity", b""), n)
+        if valid is not None:
+            arr = pc.if_else(pa.array(valid), arr, pa.nulls(n, type=dtype))
+        return arr
+
+
+def fsst_compress(d: np.ndarray, offs: np.ndarray, code_bytes: np.ndarray,
+                  digrams: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Replace table digrams with code bytes; returns (enc_data, enc_offsets).
+
+    Greedy non-overlapping left-to-right selection, closed-form via
+    run-parity (see module docstring).  Never matches across string
+    boundaries.
+    """
+    nb = len(d)
+    if nb < 2 or len(code_bytes) == 0:
+        return d.copy(), offs.copy()
+    lookup = np.full(65536, -1, dtype=np.int16)
+    lookup[digrams] = np.arange(len(digrams), dtype=np.int16)
+    d16 = d[:-1].astype(np.int32) * 256 + d[1:].astype(np.int32)
+    m = lookup[d16] >= 0
+    # a digram may not span two strings: kill matches starting at (boundary-1)
+    b = offs[1:-1]
+    b = b[(b > 0) & (b <= nb - 1)]
+    m[b - 1] = False
+
+    idx = np.flatnonzero(m)
+    if len(idx) == 0:
+        return d.copy(), offs.copy()
+    run_start = np.ones(len(idx), dtype=bool)
+    run_start[1:] = idx[1:] != idx[:-1] + 1
+    run_ids = np.cumsum(run_start) - 1
+    rel = idx - idx[run_start][run_ids]
+    chosen = idx[(rel & 1) == 0]
+
+    contrib = np.ones(nb, dtype=np.int64)
+    contrib[chosen + 1] = 0
+    out_pos = np.cumsum(contrib)
+    full = np.zeros(nb + 1, dtype=np.int64)
+    full[1:] = out_pos
+    enc_offs = full[offs]
+    out = d[contrib.astype(bool)].copy()
+    out[out_pos[chosen] - 1] = code_bytes[lookup[d16[chosen]]]
+    return out, enc_offs
+
+
+def fsst_decompress(e: np.ndarray, enc_offs: np.ndarray,
+                    code_bytes: np.ndarray, digrams: np.ndarray
+                    ) -> tuple[np.ndarray, np.ndarray]:
+    ne = len(e)
+    if ne == 0 or len(code_bytes) == 0:
+        return e.copy(), enc_offs.copy()
+    code_map = np.full(256, -1, dtype=np.int32)
+    code_map[code_bytes.astype(np.int64)] = digrams
+    mapped = code_map[e]
+    is_code = mapped >= 0
+    sizes = np.where(is_code, 2, 1).astype(np.int64)
+    opos = np.cumsum(sizes)
+    starts = opos - sizes
+    out = np.empty(opos[-1], dtype=np.uint8)
+    lit = ~is_code
+    out[starts[lit]] = e[lit]
+    dgv = mapped[is_code]
+    out[starts[is_code]] = (dgv >> 8).astype(np.uint8)
+    out[starts[is_code] + 1] = (dgv & 255).astype(np.uint8)
+    full = np.zeros(ne + 1, dtype=np.int64)
+    full[1:] = opos
+    return out, full[enc_offs]
+
+
+def _array_from_parts(data: np.ndarray, offsets: np.ndarray, n: int,
+                      dtype: pa.DataType) -> pa.Array:
+    large = pa.types.is_large_string(dtype) or pa.types.is_large_binary(dtype)
+    off = offsets.astype(np.int64 if large else np.int32)
+    return pa.Array.from_buffers(
+        dtype, n,
+        [None, pa.py_buffer(off.tobytes()), pa.py_buffer(data.tobytes())])
+
+
+register(FsstCodec())
