@@ -1,0 +1,231 @@
+"""End-to-end encode → compact → decode-verify pipelines (Ray Data).
+
+Two encode paths:
+
+* :func:`encode_dataset` — generic streaming form over any
+  ``ray.data.Dataset``: stateless ``map_batches`` encode, zero-copy Arrow
+  in/out.  Content-addressed part ids; no checkpointing.
+* :func:`encode_files` — the flagship checkpointed form: partition
+  descriptors are planned from Parquet row-group metadata (explicit
+  byte-size balancing → skew handling), completed partitions are skipped
+  via the lineage manifest, each task reads its own slice, encodes,
+  writes ``part-<id>.parquet`` atomically, and records lineage.  This is
+  the "resumable output" layout: one file per partition, never one giant
+  file.
+
+Scale notes (100 TB design): the descriptor dataset is tiny (one row per
+~64 MB of input) and fans out to stateless tasks — no shuffle anywhere
+in encode.  Decode-verify is per-partition (no shuffle).  The only wide
+op is the final metrics aggregate (global sum, bytes-sized).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+import ray.data as rd
+
+from ..stages.encode import (ENC_SCHEMA, DecodeBatch, EncodeBatch,
+                             RoundtripVerify, decode_rows, encode_table)
+from ..state.manifest import Manifest, params_hash
+
+_DEFAULT_TARGET_BYTES = 64 << 20
+
+
+# ---------------------------------------------------------------------------
+# partition planning (skew-aware, metadata-only)
+# ---------------------------------------------------------------------------
+
+def plan_partitions(paths: list[str],
+                    target_bytes: int = _DEFAULT_TARGET_BYTES) -> list[dict]:
+    """Descriptors {part_id, path, rg_start, rg_end, bytes} from Parquet
+    row-group metadata.  Greedy byte-packing of row groups so every
+    partition is ≈ target_bytes regardless of row-size skew; an oversized
+    single row group becomes its own partition (can't split finer without
+    reading it)."""
+    parts: list[dict] = []
+    for path in sorted(paths):
+        md = pq.ParquetFile(path).metadata
+        sizes = [md.row_group(i).total_byte_size
+                 for i in range(md.num_row_groups)]
+        start, acc = 0, 0
+        for i, sz in enumerate(sizes):
+            acc += sz
+            last = i == len(sizes) - 1
+            if acc >= target_bytes or last:
+                parts.append({
+                    "part_id": f"{os.path.basename(path)}-rg{start}-{i}",
+                    "path": path, "rg_start": start, "rg_end": i,
+                    "bytes": acc})
+                start, acc = i + 1, 0
+    return parts
+
+
+# ---------------------------------------------------------------------------
+# checkpointed flagship
+# ---------------------------------------------------------------------------
+
+class EncodePartitionWriter:
+    """Stateless task: descriptor row → read slice → encode → atomic write
+    + manifest record → metrics row.  Idempotent (pure function of the
+    descriptor + deterministic codec selection), hence retry-safe."""
+
+    def __init__(self, out_dir: str, codec_overrides: dict | None = None,
+                 columns: list[str] | None = None):
+        self.out_dir = out_dir
+        self.codec_overrides = codec_overrides
+        self.columns = columns
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = {"part_id": [], "rows": [], "orig_bytes": [], "enc_bytes": [],
+               "wall_s": []}
+        for d in batch.to_pylist():
+            t0 = time.perf_counter()
+            pf = pq.ParquetFile(d["path"])
+            t = pf.read_row_groups(
+                list(range(d["rg_start"], d["rg_end"] + 1)),
+                columns=self.columns)
+            enc = encode_table(t, part_id=d["part_id"],
+                               codec_overrides=self.codec_overrides)
+            dest = os.path.join(self.out_dir, f"part-{d['part_id']}.parquet")
+            pq.write_table(enc, dest + ".tmp", compression="none")
+            os.replace(dest + ".tmp", dest)
+            orig = sum(enc.column("orig_bytes").to_pylist())
+            encb = sum(enc.column("enc_bytes").to_pylist())
+            Manifest(self.out_dir).record(d["part_id"], {
+                "input": d["path"], "rg_start": d["rg_start"],
+                "rg_end": d["rg_end"], "rows": t.num_rows,
+                "orig_bytes": orig, "enc_bytes": encb,
+                "codecs": dict(zip(enc.column("column").to_pylist(),
+                                   enc.column("codec").to_pylist())),
+                "params_hash": params_hash(enc),
+                "wall_s": round(time.perf_counter() - t0, 4)})
+            out["part_id"].append(d["part_id"])
+            out["rows"].append(t.num_rows)
+            out["orig_bytes"].append(orig)
+            out["enc_bytes"].append(encb)
+            out["wall_s"].append(time.perf_counter() - t0)
+        return pa.table(out)
+
+
+def encode_files(paths: list[str], out_dir: str, resume: bool = True,
+                 target_bytes: int = _DEFAULT_TARGET_BYTES,
+                 codec_overrides: dict | None = None,
+                 concurrency: int | None = None) -> dict:
+    """Checkpointed encode of parquet files → encoded parts + manifest.
+
+    Returns aggregate metrics {parts, rows, orig_bytes, enc_bytes, ratio,
+    skipped_parts}."""
+    os.makedirs(out_dir, exist_ok=True)
+    parts = plan_partitions(paths, target_bytes)
+    done = Manifest(out_dir).done_parts() if resume else set()
+    todo = [p for p in parts if p["part_id"] not in done]
+    skipped = len(parts) - len(todo)
+    if todo:
+        ds = rd.from_items(todo)
+        metrics = ds.map_batches(
+            EncodePartitionWriter(out_dir, codec_overrides),
+            batch_size=1, batch_format="pyarrow",
+            **({"concurrency": concurrency} if concurrency else {}))
+        mt = metrics.to_pandas()  # tiny: one row per partition
+    else:
+        import pandas as pd
+        mt = pd.DataFrame({"rows": [], "orig_bytes": [], "enc_bytes": []})
+    man = Manifest(out_dir).load_all()
+    orig = sum(m["orig_bytes"] for m in man)
+    enc = sum(m["enc_bytes"] for m in man)
+    return {"parts": len(man), "rows": int(sum(m["rows"] for m in man)),
+            "orig_bytes": int(orig), "enc_bytes": int(enc),
+            "ratio": round(orig / enc, 4) if enc else 0.0,
+            "skipped_parts": skipped,
+            "encoded_rows_this_run": int(mt["rows"].sum())}
+
+
+def read_encoded(out_dir: str) -> "rd.Dataset":
+    files = [os.path.join(out_dir, f) for f in sorted(os.listdir(out_dir))
+             if f.endswith(".parquet")]
+    return rd.read_parquet(files)
+
+
+class DecodePartFile:
+    """Task: one encoded part file path → decoded original table."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        tables = [decode_rows(pq.read_table(p))
+                  for p in batch.column("path").to_pylist()]
+        return pa.concat_tables(tables)
+
+
+def decode_files(out_dir: str, concurrency: int | None = None) -> "rd.Dataset":
+    """Streaming decode of an encoded directory → Dataset of original
+    blocks (one task per part file; no shuffle)."""
+    files = [{"path": os.path.join(out_dir, f)}
+             for f in sorted(os.listdir(out_dir)) if f.endswith(".parquet")]
+    ds = rd.from_items(files)
+    return ds.map_batches(DecodePartFile(), batch_size=1,
+                          batch_format="pyarrow",
+                          **({"concurrency": concurrency} if concurrency
+                             else {}))
+
+
+# ---------------------------------------------------------------------------
+# generic streaming forms
+# ---------------------------------------------------------------------------
+
+def encode_dataset(ds: "rd.Dataset",
+                   codec_overrides: dict | None = None) -> "rd.Dataset":
+    return ds.map_batches(EncodeBatch(codec_overrides),
+                          batch_format="pyarrow", zero_copy_batch=True)
+
+
+def decode_dataset(enc_ds: "rd.Dataset") -> "rd.Dataset":
+    """Assumes each block holds whole partitions (true for blocks straight
+    out of encode_dataset).  For re-shuffled encoded rows, use
+    ``enc_ds.groupby("part_id").map_groups(...)`` instead."""
+    return enc_ds.map_batches(DecodeBatch(), batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+
+def verify_dataset(ds: "rd.Dataset",
+                   codec_overrides: dict | None = None) -> dict:
+    """In-task encode→decode→compare over a Dataset; returns summary."""
+    verdicts = ds.map_batches(RoundtripVerify(codec_overrides),
+                              batch_format="pyarrow", zero_copy_batch=True)
+    pdf = verdicts.to_pandas()  # one row per (part, column) — small
+    return {
+        "n_checks": len(pdf),
+        "n_failed": int((~pdf["ok"]).sum()),
+        "orig_bytes": int(pdf["orig_bytes"].sum()),
+        "enc_bytes": int(pdf["enc_bytes"].sum()),
+        "ratio": round(pdf["orig_bytes"].sum() /
+                       max(pdf["enc_bytes"].sum(), 1), 4),
+        "by_codec": pdf.groupby("codec")["enc_bytes"].sum().to_dict(),
+    }
+
+
+def verify_url_text_invariant(decoded: "rd.Dataset") -> dict:
+    """The reference-parity invariant: extract_text(html) == text,
+    byte-identical, per url (BASELINE.json input_hint).  Vectorized
+    per-batch; global result is a cheap aggregate of counts."""
+    from ..sources.webtext import extract_text_batch
+
+    def check(batch: pa.Table) -> pa.Table:
+        html = batch.column("html")
+        if isinstance(html, pa.ChunkedArray):
+            html = html.combine_chunks()
+        text = batch.column("text")
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        got = extract_text_batch(html)
+        import pyarrow.compute as pc
+        eq = pc.equal(got.cast(pa.large_string()),
+                      text.cast(pa.large_string()))
+        n_bad = len(eq) - int(pc.sum(pc.cast(eq, pa.int64())).as_py() or 0)
+        return pa.table({"n": [len(eq)], "n_bad": [n_bad]})
+
+    res = decoded.map_batches(check, batch_format="pyarrow").to_pandas()
+    return {"rows": int(res["n"].sum()), "mismatches": int(res["n_bad"].sum())}

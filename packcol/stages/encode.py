@@ -1,0 +1,142 @@
+"""Encode / decode map_batches stages.
+
+The encoded-block row schema is the engine's analogue of the reference's
+``SeqVector`` (/root/reference/src/naive_impl/seq_vector.rs:19-22): one
+self-describing row per (part_id, column) holding word-aligned packed
+payload + params.  Everything a decoder needs travels in the row — no
+side channels.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+from ..codecs import EncodedColumn, decode_any
+from ..stages.select import encode_with_guard
+from ..stages.stats import column_stats
+
+ENC_SCHEMA = pa.schema([
+    ("part_id", pa.string()),
+    ("column", pa.string()),
+    ("codec", pa.string()),
+    ("n_values", pa.int64()),
+    ("params", pa.string()),
+    ("payload", pa.large_binary()),
+    ("orig_bytes", pa.int64()),
+    ("enc_bytes", pa.int64()),
+])
+
+
+def content_part_id(batch: pa.Table) -> str:
+    """Deterministic part id from block content (first/last row + count),
+    so re-runs over the same blocks reproduce the same ids (resume)."""
+    h = hashlib.sha1()
+    h.update(str(batch.num_rows).encode())
+    if batch.num_rows:
+        h.update(str(batch.slice(0, 1).to_pylist()).encode())
+        h.update(str(batch.slice(batch.num_rows - 1, 1).to_pylist()).encode())
+    return h.hexdigest()[:16]
+
+
+def encode_table(batch: pa.Table, part_id: str | None = None,
+                 codec_overrides: dict | None = None) -> pa.Table:
+    """Encode every column of a table block → encoded-block rows."""
+    part_id = part_id or content_part_id(batch)
+    rows = {name: [] for name in ENC_SCHEMA.names}
+    for name in batch.column_names:
+        col = batch.column(name)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        override = (codec_overrides or {}).get(name)
+        stats = column_stats(col)
+        enc = encode_with_guard(col, codec_name=override, stats=stats)
+        r = enc.to_row()
+        rows["part_id"].append(part_id)
+        rows["column"].append(name)
+        rows["codec"].append(r["codec"])
+        rows["n_values"].append(r["n_values"])
+        rows["params"].append(r["params"])
+        rows["payload"].append(r["payload"])
+        rows["orig_bytes"].append(col.nbytes)
+        rows["enc_bytes"].append(enc.enc_bytes)
+    return pa.table(rows, schema=ENC_SCHEMA)
+
+
+def decode_rows(enc_rows: pa.Table) -> pa.Table:
+    """Reassemble one partition's original table from its encoded rows."""
+    cols, names = {}, []
+    for i in range(enc_rows.num_rows):
+        row = {k: enc_rows.column(k)[i].as_py() for k in
+               ("codec", "n_values", "params", "payload")}
+        name = enc_rows.column("column")[i].as_py()
+        cols[name] = decode_any(EncodedColumn.from_row(row))
+        names.append(name)
+    return pa.table({n: cols[n] for n in names})
+
+
+class EncodeBatch:
+    """Stateless map_batches callable: table block → encoded rows.
+
+    Used as ``ds.map_batches(EncodeBatch(), batch_format="pyarrow",
+    zero_copy_batch=True)``; pure function of the block → retry-safe.
+    """
+
+    def __init__(self, codec_overrides: dict | None = None):
+        self.codec_overrides = codec_overrides
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        return encode_table(batch, codec_overrides=self.codec_overrides)
+
+
+class DecodeBatch:
+    """map_batches callable over encoded rows → decoded original blocks.
+
+    Requires each block to contain whole partitions (true when blocks are
+    produced by EncodeBatch and not re-split mid-partition; enforce with
+    ``groupby("part_id").map_groups`` otherwise — documented partitioning
+    assumption).
+    """
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        parts = []
+        pid = batch.column("part_id").to_numpy(zero_copy_only=False)
+        # stable unique (keep first-appearance order)
+        _, first_idx = np.unique(pid, return_index=True)
+        for i in np.sort(first_idx):
+            mask = pid == pid[i]
+            parts.append(decode_rows(batch.filter(pa.array(mask))))
+        if not parts:
+            return pa.table({})
+        return pa.concat_tables(parts)
+
+
+class RoundtripVerify:
+    """Encode→decode→compare inside one task (no extra pass over storage);
+    emits one verdict row per (part, column).  The cross-partition,
+    url-keyed text invariant is checked by pipelines.verify."""
+
+    def __init__(self, codec_overrides: dict | None = None):
+        self.codec_overrides = codec_overrides
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        enc = encode_table(batch, codec_overrides=self.codec_overrides)
+        dec = decode_rows(enc)
+        out = {"part_id": [], "column": [], "codec": [], "ok": [],
+               "orig_bytes": [], "enc_bytes": []}
+        for i, name in enumerate(dec.column_names):
+            a = batch.column(name)
+            b = dec.column(name)
+            if isinstance(a, pa.ChunkedArray):
+                a = a.combine_chunks()
+            if isinstance(b, pa.ChunkedArray):
+                b = b.combine_chunks()
+            out["part_id"].append(enc.column("part_id")[0].as_py())
+            out["column"].append(name)
+            out["codec"].append(enc.column("codec")[i].as_py())
+            out["ok"].append(bool(a.equals(b)))
+            out["orig_bytes"].append(enc.column("orig_bytes")[i].as_py())
+            out["enc_bytes"].append(enc.column("enc_bytes")[i].as_py())
+        return pa.table(out)

@@ -1,0 +1,73 @@
+"""Codec auto-selection: a deterministic pure function of column stats.
+
+Determinism matters for resume: re-running a partition must reproduce a
+byte-identical encoded block (SURVEY.md §7 "codec decision stability").
+The decision is cost-based — estimated encoded size per codec from the
+stats — followed by a trial-encode size guard against passthrough.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+from ..codecs import EncodedColumn, get_codec
+from ..codecs.bitpack import bits_needed
+from ..codecs.forpack import is_int_like
+from ..codecs.fsst import _is_stringy
+
+
+def estimate_sizes(dtype: pa.DataType, s: dict) -> dict:
+    """Estimated encoded bytes per applicable codec (heuristic, cheap)."""
+    n = s["n"]
+    if n == 0:
+        return {"store": 0}
+    est: dict[str, float] = {}
+    nd = max(s.get("n_distinct", n), 1)
+    nr = max(s.get("n_runs", n), 1)
+    raw = s["raw_bytes"]
+    avg_val_bytes = raw / n
+
+    dict_bytes = nd * avg_val_bytes + 64  # values + ipc overhead
+    code_w = bits_needed(nd - 1)
+    est["dict"] = n * code_w / 8 + dict_bytes
+    est["rle"] = nr * (code_w + bits_needed(n)) / 8 + dict_bytes
+
+    if is_int_like(dtype) and "min" in s:
+        width = bits_needed(int(s["max"]) - int(s["min"]))
+        est["for"] = n * width / 8 + 16
+    if _is_stringy(dtype):
+        db = s.get("data_bytes", raw)
+        ent = s.get("entropy", 8.0)
+        if s.get("n_unused_bytes", 0) > 0 and ent < 7.0:
+            # digram coding saves roughly what entropy predicts, capped
+            ratio = max(0.55, min(1.0, ent / 8.0 + 0.15))
+            est["fsst"] = db * ratio + n * 1.2 + 600
+        else:
+            est["fsst"] = db + n * 1.2 + 600
+    est["store"] = raw + 96
+    return est
+
+
+def choose_codec(dtype: pa.DataType, s: dict) -> str:
+    est = estimate_sizes(dtype, s)
+    applicable = {k: v for k, v in est.items()
+                  if get_codec(k).can_encode(dtype, s)}
+    return min(sorted(applicable), key=lambda k: applicable[k])
+
+
+def encode_with_guard(arr: pa.Array, codec_name: str | None = None,
+                      stats: dict | None = None) -> EncodedColumn:
+    """Encode with the chosen (or auto-chosen) codec; fall back to
+    passthrough if the encoded form is not smaller than raw."""
+    from .stats import column_stats
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if codec_name is None:
+        stats = stats or column_stats(arr)
+        codec_name = choose_codec(arr.type, stats)
+    enc = get_codec(codec_name).encode(arr)
+    if codec_name != "store" and enc.enc_bytes >= arr.nbytes + 96:
+        store = get_codec("store").encode(arr)
+        if store.enc_bytes < enc.enc_bytes:
+            return store
+    return enc

@@ -1,0 +1,85 @@
+"""Per-column stats sampling — the inputs to codec auto-selection.
+
+Generalizes the reference's cardinality math (`kmer_space` /
+`canonical_space`, /root/reference/src/utils.rs:27-38) and its
+sample-don't-scan minimizer idea
+(/root/reference/src/naive_impl/seq_vector/minimizers.rs:38-142): all
+stats are vectorized Arrow/numpy kernels; byte-entropy uses a strided
+sample, never the full payload.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..codecs.forpack import is_int_like, to_int64_numpy
+from ..codecs.fsst import _is_stringy, buffer_view
+
+_ENTROPY_SAMPLE = 1 << 18
+
+
+def n_runs(arr: pa.Array) -> int:
+    """Number of value runs (nulls are ordinary run values)."""
+    n = len(arr)
+    if n <= 1:
+        return n
+    a, b = arr.slice(0, n - 1), arr.slice(1, n)
+    neq = pc.not_equal(a, b)
+    # null != null → null in kleene logic; a change of null-ness is a change
+    va, vb = arr.is_valid().slice(0, n - 1), arr.is_valid().slice(1, n)
+    null_change = pc.xor(va, vb)
+    changed = pc.or_kleene(pc.fill_null(neq, False), null_change)
+    return int(pc.sum(pc.cast(changed, pa.int64())).as_py() or 0) + 1
+
+
+def byte_entropy(d: np.ndarray) -> float:
+    if len(d) == 0:
+        return 0.0
+    if len(d) > _ENTROPY_SAMPLE:
+        step = len(d) // _ENTROPY_SAMPLE
+        d = d[::step]
+    counts = np.bincount(d, minlength=256).astype(np.float64)
+    p = counts[counts > 0] / counts.sum()
+    return float(-(p * np.log2(p)).sum())
+
+
+def column_stats(arr: pa.Array) -> dict:
+    """Vectorized stats for one column chunk; drives codec selection."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    n = len(arr)
+    s: dict = {
+        "n": n,
+        "n_nulls": arr.null_count,
+        "raw_bytes": arr.nbytes,
+        "dtype": str(arr.type),
+    }
+    if n == 0:
+        s.update(n_distinct=0, n_runs=0)
+        return s
+    s["n_distinct"] = int(pc.count_distinct(arr).as_py() or 0)
+    s["n_runs"] = n_runs(arr)
+    if is_int_like(arr.type):
+        v = to_int64_numpy(arr)
+        if arr.null_count:
+            valid = arr.is_valid().to_numpy(zero_copy_only=False)
+            v = v[valid]
+        if len(v):
+            s["min"], s["max"] = int(v.min()), int(v.max())
+    elif _is_stringy(arr.type):
+        filled = arr
+        if arr.null_count:
+            fill = b"" if pa.types.is_binary(arr.type) or \
+                pa.types.is_large_binary(arr.type) else ""
+            filled = pc.fill_null(arr, fill)
+        d, offs = buffer_view(filled)
+        s["data_bytes"] = int(len(d))
+        s["avg_len"] = float(len(d) / n)
+        s["entropy"] = byte_entropy(d)
+        present = np.zeros(256, dtype=bool)
+        if len(d):
+            present[np.unique(d)] = True
+        s["n_unused_bytes"] = int((~present).sum())
+    return s

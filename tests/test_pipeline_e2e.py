@@ -1,0 +1,107 @@
+"""End-to-end Dataset pipeline tests: encode → write → decode-verify,
+checkpoint/resume, and the url-keyed text invariant (FIXTURES.md F4)."""
+
+import os
+import shutil
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from packcol.sources.webtext import generate_partition, write_webtext
+from packcol.stages.encode import decode_rows, encode_table
+from packcol.state.manifest import Manifest
+
+
+@pytest.fixture(scope="module")
+def webtext_dir(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("webtext"))
+    write_webtext(d, n_rows=4000, n_parts=4, seed=42)
+    return d
+
+
+def test_encode_decode_table_no_ray():
+    t = generate_partition(0, 500)
+    enc = encode_table(t)
+    dec = decode_rows(enc)
+    assert dec.schema == t.schema
+    for name in t.column_names:
+        assert dec.column(name).combine_chunks().equals(
+            t.column(name).combine_chunks()), name
+    # compression: encoded strictly smaller than raw on this data
+    orig = sum(enc.column("orig_bytes").to_pylist())
+    encb = sum(enc.column("enc_bytes").to_pylist())
+    assert encb < orig
+
+
+def test_codec_choices_match_expectations():
+    t = generate_partition(0, 2000)
+    enc = encode_table(t)
+    chosen = dict(zip(enc.column("column").to_pylist(),
+                      enc.column("codec").to_pylist()))
+    assert chosen["lang"] in ("rle", "dict")
+    assert chosen["warc_ts"] == "for"
+    assert chosen["text"] == "fsst"
+
+
+def test_encode_files_resume(webtext_dir, ray_session, tmp_path):
+    from packcol.pipelines.encode_pipeline import (decode_files,
+                                                   encode_files,
+                                                   verify_url_text_invariant)
+    out = str(tmp_path / "enc")
+    paths = [os.path.join(webtext_dir, f) for f in os.listdir(webtext_dir)
+             if f.endswith(".parquet")]
+    m1 = encode_files(paths, out, target_bytes=1 << 20)
+    assert m1["rows"] == 4000
+    assert m1["skipped_parts"] == 0
+    assert m1["ratio"] > 1.0
+    n_parts = m1["parts"]
+
+    # decoded output matches the input, bit-identical per column
+    dec = decode_files(out)
+    got = dec.to_pandas().sort_values("url").reset_index(drop=True)
+    import pandas as pd
+    exp = pd.concat([pq.read_table(p).to_pandas() for p in paths]) \
+        .sort_values("url").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp)
+
+    # url-keyed text invariant survives the roundtrip
+    inv = verify_url_text_invariant(decode_files(out))
+    assert inv == {"rows": 4000, "mismatches": 0}
+
+    # --- resume: delete some parts + their manifest entries, re-run ------
+    man = Manifest(out)
+    done_before = sorted(man.done_parts())
+    victims = done_before[:2]
+    for v in victims:
+        os.remove(os.path.join(out, f"part-{v}.parquet"))
+        os.remove(os.path.join(out, "_manifest", f"{v}.json"))
+    survivors = {p: os.path.getmtime(os.path.join(out, f"part-{p}.parquet"))
+                 for p in done_before[2:]}
+    m2 = encode_files(paths, out, target_bytes=1 << 20)
+    assert m2["skipped_parts"] == n_parts - 2
+    assert m2["parts"] == n_parts
+    # completed partitions were NOT re-encoded
+    for p, mtime in survivors.items():
+        assert os.path.getmtime(os.path.join(out, f"part-{p}.parquet")) == mtime
+    # re-encoded partitions are byte-identical to a fresh single run
+    out2 = str(tmp_path / "enc2")
+    encode_files(paths, out2, target_bytes=1 << 20)
+    for v in victims:
+        a = open(os.path.join(out, f"part-{v}.parquet"), "rb").read()
+        b = open(os.path.join(out2, f"part-{v}.parquet"), "rb").read()
+        assert a == b
+
+
+def test_encode_dataset_streaming(ray_session, webtext_dir):
+    import ray.data as rd
+    from packcol.pipelines.encode_pipeline import (decode_dataset,
+                                                   encode_dataset,
+                                                   verify_dataset)
+    ds = rd.read_parquet(webtext_dir)
+    enc = encode_dataset(ds)
+    dec = decode_dataset(enc)
+    assert dec.count() == 4000
+    v = verify_dataset(rd.read_parquet(webtext_dir))
+    assert v["n_failed"] == 0
+    assert v["ratio"] > 1.0
