@@ -1,44 +1,245 @@
-"""Driver contract for the graft builder (Ray Data target).
+"""Driver contract for packcol (Ray-Data-native columnar encode engine).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
-
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+``entry()`` runs the flagship pipeline (webtext encode → decode-verify)
+on deterministic synthetic data derived from sf0.001 scale.
+``queries()`` exposes one callable per implemented operator from
+SURVEY.md §2 (+ the training-data ops); ``oracle_sql()`` gives the
+DuckDB-checkable subset.  Ray is initialised by the driver — nothing
+here calls ray.init()/shutdown().
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pyarrow as pa
+
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+def _read(sf_dir: str, table: str, columns: list[str] | None = None):
+    import ray.data as rd
+    return rd.read_parquet(os.path.join(sf_dir, f"{table}.parquet"),
+                           columns=columns)
+
+
+class _RoundtripCodec:
+    """map_batches callable: encode each column with a fixed codec, decode,
+    return the decoded table — identity iff the codec is lossless."""
+
+    def __init__(self, codec: str | None):
+        self.codec = codec
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from packcol.stages.encode import decode_rows, encode_table
+        overrides = ({c: self.codec for c in batch.column_names}
+                     if self.codec else None)
+        return decode_rows(encode_table(batch, codec_overrides=overrides))
+
+
+def _roundtrip(sf_dir: str, table: str, columns: list[str], codec: str | None):
+    ds = _read(sf_dir, table, columns)
+    return ds.map_batches(_RoundtripCodec(codec), batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
+# entry: flagship pipeline on synthetic webtext
+# ---------------------------------------------------------------------------
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: generate deterministic webtext, run the checkpointed
+    encode → manifest → decode-verify pipeline, return per-part metrics."""
+    import pandas as pd
+    from packcol.pipelines.encode_pipeline import (decode_files, encode_files,
+                                                   verify_url_text_invariant)
+    from packcol.sources.webtext import write_webtext
 
+    data_dir = "/tmp/packcol_entry/webtext"
+    out_dir = "/tmp/packcol_entry/encoded"
+    paths = write_webtext(data_dir, n_rows=6000, n_parts=4, seed=42)
+    metrics = encode_files(paths, out_dir, target_bytes=4 << 20)
+    inv = verify_url_text_invariant(decode_files(out_dir))
+    metrics.update(text_rows_verified=inv["rows"],
+                   text_mismatches=inv["mismatches"])
+    return pd.DataFrame([metrics])
+
+
+# ---------------------------------------------------------------------------
+# queries + oracles
+# ---------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    q: dict[str, Callable[[str], Any]] = {}
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    # --- codec roundtrips (identity vs oracle; SURVEY §2.1/§2.8) ---------
+    q["dict_roundtrip_lang"] = lambda sf: _roundtrip(
+        sf, "documents", ["doc_id", "lang"], "dict")
+    q["rle_roundtrip_source"] = lambda sf: _roundtrip(
+        sf, "documents", ["doc_id", "source"], "rle")
+    q["for_roundtrip_ts"] = lambda sf: _roundtrip(
+        sf, "events", ["event_id", "ts"], "for")
+    q["bitpack_roundtrip_user"] = lambda sf: _roundtrip(
+        sf, "events", ["event_id", "user_id"], "for")
+    q["fsst_roundtrip_text"] = lambda sf: _roundtrip(
+        sf, "documents", ["doc_id", "text"], "fsst")
+    q["store_roundtrip_props"] = lambda sf: _roundtrip(
+        sf, "events", ["event_id", "props"], "store")
+    q["auto_roundtrip_documents"] = lambda sf: _roundtrip(
+        sf, "documents", None, None)
+
+    # --- stats / cardinality (SURVEY §2.6) -------------------------------
+    def stats_documents(sf):
+        import pandas as pd
+        from ray.data.aggregate import Count, Max, Min
+        ds = _read(sf, "documents", ["lang", "source", "n_chars"])
+        agg = ds.aggregate(Count(alias_name="n"),
+                           Min("n_chars", alias_name="min_chars"),
+                           Max("n_chars", alias_name="max_chars"))
+        n_lang = len(ds.unique("lang"))
+        n_source = len(ds.unique("source"))
+        return pd.DataFrame([{"n": agg["n"], "min_chars": agg["min_chars"],
+                              "max_chars": agg["max_chars"],
+                              "n_lang": n_lang, "n_source": n_source}])
+    q["stats_documents"] = stats_documents
+
+    # --- dedup family ----------------------------------------------------
+    def dedup_exact(sf):
+        from packcol.pipelines.dedup import dedup_exact as dx
+        return dx(_read(sf, "documents", ["doc_id", "text"]))
+    q["dedup_exact"] = dedup_exact
+
+    def minhash_pairs(sf):
+        from packcol.pipelines.dedup import minhash_lsh_pairs
+        return minhash_lsh_pairs(_read(sf, "documents", ["doc_id", "text"]))
+    q["minhash_pairs"] = minhash_pairs
+
+    def simhash_pairs(sf):
+        from packcol.pipelines.dedup import simhash_pairs as sp
+        return sp(_read(sf, "documents", ["doc_id", "text"]))
+    q["simhash_pairs"] = simhash_pairs
+
+    # --- text analysis ---------------------------------------------------
+    def token_count(sf):
+        from packcol.functions.text import token_counts
+
+        def f(batch: pa.Table) -> pa.Table:
+            return pa.table({
+                "doc_id": batch.column("doc_id"),
+                "n_tokens": token_counts(batch.column("text"))})
+        return _read(sf, "documents", ["doc_id", "text"]).map_batches(
+            f, batch_format="pyarrow", zero_copy_batch=True)
+    q["token_count"] = token_count
+
+    def quality(sf):
+        from packcol.functions.text import quality_features
+
+        def f(batch: pa.Table) -> pa.Table:
+            feats = quality_features(batch.column("text"))
+            return pa.table({
+                "doc_id": batch.column("doc_id"),
+                "n_chars_q": feats["n_chars"],
+                "n_tokens": feats["n_tokens"],
+                "n_unique_tokens": feats["n_unique_tokens"]})
+        return _read(sf, "documents", ["doc_id", "text"]).map_batches(
+            f, batch_format="pyarrow", zero_copy_batch=True)
+    q["quality_features"] = quality
+
+    def langid(sf):
+        from packcol.functions.text import lang_id
+
+        def f(batch: pa.Table) -> pa.Table:
+            return pa.table({"doc_id": batch.column("doc_id"),
+                             "lang_pred": lang_id(batch.column("text"))})
+        return _read(sf, "documents", ["doc_id", "text"]).map_batches(
+            f, batch_format="pyarrow", zero_copy_batch=True)
+    q["langid"] = langid
+
+    def fingerprint(sf):
+        from packcol.functions.text import fingerprints
+
+        def f(batch: pa.Table) -> pa.Table:
+            return pa.table({
+                "doc_id": batch.column("doc_id"),
+                "fp": fingerprints(batch.column("text")).view(np.int64)})
+        return _read(sf, "documents", ["doc_id", "text"]).map_batches(
+            f, batch_format="pyarrow", zero_copy_batch=True)
+    q["fingerprint"] = fingerprint
+
+    # --- similarity search ----------------------------------------------
+    def _query_vec(sf):
+        import pyarrow.parquet as pq
+        t = pq.read_table(os.path.join(sf, "embeddings.parquet"),
+                          columns=["vec_id", "embedding"])
+        ids = t.column("vec_id").to_numpy()
+        row = int(np.flatnonzero(ids == 0)[0])
+        return np.asarray(t.column("embedding")[row].as_py(),
+                          dtype=np.float64)
+
+    def ann_topk(sf):
+        from packcol.pipelines.ann import ann_brute_topk
+        pdf = ann_brute_topk(_read(sf, "embeddings"), _query_vec(sf), k=10)
+        return pdf[["vec_id"]]
+    q["ann_topk"] = ann_topk
+
+    def ann_lsh(sf):
+        from packcol.pipelines.ann import ann_lsh_topk
+        pdf = ann_lsh_topk(_read(sf, "embeddings"), _query_vec(sf), k=10)
+        return pdf[["vec_id", "cos"]]
+    q["ann_lsh"] = ann_lsh
+
+    # --- codec auto-selection decisions (deterministic) ------------------
+    def codec_selection(sf):
+        from packcol.stages.encode import encode_table
+        import pyarrow.parquet as pq
+        import pandas as pd
+        t = pq.read_table(os.path.join(sf, "documents.parquet"))
+        enc = encode_table(t, part_id="p0")
+        return pd.DataFrame({
+            "column": enc.column("column").to_pylist(),
+            "codec": enc.column("codec").to_pylist(),
+            "orig_bytes": enc.column("orig_bytes").to_pylist(),
+            "enc_bytes": enc.column("enc_bytes").to_pylist()})
+    q["codec_selection"] = codec_selection
+
+    return q
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "dict_roundtrip_lang": "SELECT doc_id, lang FROM documents",
+        "rle_roundtrip_source": "SELECT doc_id, source FROM documents",
+        "for_roundtrip_ts": "SELECT event_id, ts FROM events",
+        "bitpack_roundtrip_user": "SELECT event_id, user_id FROM events",
+        "fsst_roundtrip_text": "SELECT doc_id, text FROM documents",
+        "store_roundtrip_props": "SELECT event_id, props FROM events",
+        "auto_roundtrip_documents": "SELECT * FROM documents",
+        "stats_documents": (
+            "SELECT COUNT(*) AS n, MIN(n_chars) AS min_chars, "
+            "MAX(n_chars) AS max_chars, COUNT(DISTINCT lang) AS n_lang, "
+            "COUNT(DISTINCT source) AS n_source FROM documents"),
+        "dedup_exact": (
+            "SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text"),
+        "token_count": (
+            "SELECT doc_id, CASE WHEN length(text)=0 THEN 0 ELSE "
+            "length(text) - length(replace(text,' ','')) + 1 END AS n_tokens "
+            "FROM documents"),
+        "quality_features": (
+            "SELECT doc_id, length(text) AS n_chars_q, "
+            "CASE WHEN length(text)=0 THEN 0 ELSE length(text) - "
+            "length(replace(text,' ','')) + 1 END AS n_tokens, "
+            "len(list_distinct(string_split(text,' '))) AS n_unique_tokens "
+            "FROM documents"),
+        "ann_topk": (
+            "SELECT e.vec_id FROM embeddings e, "
+            "(SELECT embedding AS qv FROM embeddings WHERE vec_id=0) q "
+            "ORDER BY list_cosine_similarity(e.embedding, q.qv) DESC, "
+            "e.vec_id LIMIT 10"),
+        # langid / fingerprint / minhash_pairs / simhash_pairs / ann_lsh /
+        # codec_selection: not SQL-expressible → rows-only checks
+    }

@@ -1,0 +1,136 @@
+"""Similarity search over an embedding column (list<float>).
+
+Brute-force cosine top-k as the exact baseline: the query matrix is
+broadcast once (``ray.put``) and every batch does one numpy matmul —
+no shuffle; per-batch top-k candidates (k rows per query per batch) are
+merged in a final tiny step.  The LSH-bucketed variant
+(:func:`ann_lsh_topk`) is the scale path: random-hyperplane bucketing
+turns the scan into a groupby over matching buckets only.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+
+
+def embedding_matrix(batch: pa.Table, vec_col: str = "embedding"
+                     ) -> np.ndarray:
+    """Zero-copy-ish (flat values buffer) list<float> → (n, dim) float64."""
+    emb = batch.column(vec_col)
+    if isinstance(emb, pa.ChunkedArray):
+        emb = emb.combine_chunks()
+    flat = emb.flatten().to_numpy(zero_copy_only=False)
+    n = len(emb)
+    if n == 0:
+        return np.empty((0, 0))
+    dim = len(flat) // n
+    return flat.reshape(n, dim).astype(np.float64)
+
+
+def ann_brute_topk(ds, query: np.ndarray, k: int = 10,
+                   vec_col: str = "embedding", id_col: str = "vec_id"):
+    """Exact cosine top-k of each query row against the dataset.
+
+    Returns a Dataset of (qid, vec_id, cos) — k rows per query."""
+    q = np.atleast_2d(np.asarray(query, dtype=np.float64))
+    qn = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-30)
+    qref = ray.put(qn)
+
+    def stage(batch: pa.Table) -> pa.Table:
+        qm = ray.get(qref)
+        X = embedding_matrix(batch, vec_col)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        if len(ids) == 0:
+            return pa.table({"qid": pa.array([], pa.int64()),
+                             id_col: pa.array([], pa.int64()),
+                             "cos": pa.array([], pa.float64())})
+        Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-30)
+        S = Xn @ qm.T                      # (n, n_q)
+        kk = min(k, S.shape[0])
+        top = np.argpartition(-S, kk - 1, axis=0)[:kk]  # (kk, n_q)
+        n_q = S.shape[1]
+        qid = np.repeat(np.arange(n_q, dtype=np.int64), kk)
+        vid = ids[top.T.ravel()]
+        cos = S[top.T.ravel(), qid]
+        return pa.table({"qid": qid, id_col: vid, "cos": cos})
+
+    cands = ds.map_batches(stage, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+    # final merge: candidates are tiny (k × n_batches × n_q)
+    def final(df):
+        df = df.sort_values(["qid", "cos", id_col],
+                            ascending=[True, False, True])
+        return df.groupby("qid", as_index=False).head(k)
+
+    import pandas as pd
+    pdf = cands.to_pandas()
+    return final(pdf).reset_index(drop=True)
+
+
+def ann_lsh_topk(ds, query: np.ndarray, k: int = 10, n_planes: int = 12,
+                 n_tables: int = 4, vec_col: str = "embedding",
+                 id_col: str = "vec_id", seed: int = 11):
+    """Approximate top-k: random-hyperplane LSH restricts the scan to
+    vectors sharing a bucket with the query in any of n_tables tables.
+    At 100 TB this replaces the full matmul scan with a bucket-key
+    filter pushed into the batch kernel (candidates ≈ n / 2^n_planes per
+    table)."""
+    q = np.atleast_2d(np.asarray(query, dtype=np.float64))
+    dim = q.shape[1]
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_tables, n_planes, dim))
+    weights = (1 << np.arange(n_planes, dtype=np.int64))
+    q_buckets = np.stack([((q @ planes[t].T) > 0) @ weights
+                          for t in range(n_tables)], axis=1)  # (n_q, n_tables)
+    qn = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-30)
+    ctx = ray.put((qn, planes, q_buckets))
+
+    def stage(batch: pa.Table) -> pa.Table:
+        qm, pl, qb = ray.get(ctx)
+        X = embedding_matrix(batch, vec_col)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        empty = pa.table({"qid": pa.array([], pa.int64()),
+                          id_col: pa.array([], pa.int64()),
+                          "cos": pa.array([], pa.float64())})
+        if len(ids) == 0:
+            return empty
+        Xb = np.stack([((X @ pl[t].T) > 0) @ weights
+                       for t in range(pl.shape[0])], axis=1)  # (n, n_tables)
+        # candidate mask: shares any table bucket with any query
+        cand = np.zeros(len(ids), dtype=bool)
+        hit_q = []
+        for qi in range(qb.shape[0]):
+            m = (Xb == qb[qi]).any(axis=1)
+            hit_q.append(m)
+            cand |= m
+        if not cand.any():
+            return empty
+        Xn = X[cand] / np.maximum(
+            np.linalg.norm(X[cand], axis=1, keepdims=True), 1e-30)
+        out_q, out_v, out_c = [], [], []
+        for qi, m in enumerate(hit_q):
+            mm = m[cand]
+            if not mm.any():
+                continue
+            s = Xn[mm] @ qm[qi]
+            kk = min(k, len(s))
+            top = np.argpartition(-s, kk - 1)[:kk]
+            out_q.append(np.full(kk, qi, dtype=np.int64))
+            out_v.append(ids[cand][mm][top])
+            out_c.append(s[top])
+        if not out_q:
+            return empty
+        return pa.table({"qid": np.concatenate(out_q),
+                         id_col: np.concatenate(out_v),
+                         "cos": np.concatenate(out_c)})
+
+    cands = ds.map_batches(stage, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    pdf = cands.to_pandas()
+    pdf = pdf.sort_values(["qid", "cos", id_col],
+                          ascending=[True, False, True])
+    return pdf.groupby("qid", as_index=False).head(k).reset_index(drop=True)

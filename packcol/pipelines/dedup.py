@@ -1,0 +1,158 @@
+"""Deduplication pipelines: exact, MinHash+LSH, SimHash.
+
+Scale shape (100 TB): documents never shuffle.  Each ``map_batches``
+stage reduces a batch to small sketch/key rows (fingerprint, band
+hashes); only those shuffle through ``groupby``.  Exact dedup
+pre-aggregates (per-batch min id per fingerprint) before the global
+groupby — the combiner pattern.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..functions.hashing import (band_hashes, hamming_distance,
+                                 minhash_signatures, simhash)
+from ..functions.text import fingerprints
+
+
+def _col(batch: pa.Table, name: str) -> pa.Array:
+    c = batch.column(name)
+    return c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
+
+
+def dedup_exact(ds, key: str = "text", id_col: str = "doc_id"):
+    """Keeper id per distinct `key` value: min(id) within each group.
+
+    Pipeline: map_batches partial-min per 64-bit content fingerprint →
+    groupby(fingerprint) → global min.  (Fingerprint collisions are
+    2^-64-scale; a collision would merge two distinct texts — acceptable
+    for dedup semantics at corpus scale, same trade as MinHash banding.)
+    """
+    from ray.data.aggregate import Min
+
+    def partial(batch: pa.Table) -> pa.Table:
+        fp = fingerprints(_col(batch, key)).view(np.int64)
+        ids = _col(batch, id_col).to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, fp))
+        f, i = fp[order], ids[order]
+        first = np.ones(len(f), dtype=bool)
+        first[1:] = f[1:] != f[:-1]
+        return pa.table({"fp": f[first], id_col: i[first]})
+
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    out = partials.groupby("fp").aggregate(Min(id_col, alias_name=id_col))
+    return out.select_columns([id_col])
+
+
+def minhash_lsh_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
+                      num_perm: int = 64, n_bands: int = 16,
+                      threshold: float = 0.6):
+    """Near-duplicate candidate pairs via MinHash + LSH banding.
+
+    map_batches: signature + band hashes per row → explode to
+    (band, band_hash, id, sig) rows → groupby band keys → within-group
+    pair generation with signature-estimated Jaccard ≥ threshold →
+    distinct pairs.  Only sketch rows shuffle (num_perm*8 B per row per
+    band), never documents."""
+
+    def stage(batch: pa.Table) -> pa.Table:
+        text = _col(batch, text_col)
+        ids = _col(batch, id_col).to_numpy(zero_copy_only=False)
+        n = len(ids)
+        sig = minhash_signatures(text, num_perm=num_perm)
+        bh = band_hashes(sig, n_bands)
+        # signature blob per row, replicated across its n_bands rows via
+        # offset arithmetic (one contiguous buffer, no per-row pylist)
+        flat = sig.tobytes()
+        row_sz = num_perm * 8
+        offs = (np.repeat(np.arange(n, dtype=np.int64), n_bands) * row_sz)
+        offsets = np.empty(n * n_bands + 1, dtype=np.int64)
+        offsets[:-1] = offs
+        offsets[-1] = offs[-1] + row_sz if n else 0
+        # variable offsets must be monotone — they are (row-major repeat)
+        sig_col = pa.array([flat[o:o + row_sz] for o in offs],
+                           type=pa.large_binary())
+        return pa.table({
+            "band": np.tile(np.arange(n_bands, dtype=np.int64), n),
+            "bh": bh.ravel().view(np.int64),
+            id_col: np.repeat(ids, n_bands),
+            "sig": sig_col,
+        })
+
+    def pairs(group: pa.Table) -> pa.Table:
+        m = group.num_rows
+        if m < 2:
+            return pa.table({"id_a": pa.array([], pa.int64()),
+                             "id_b": pa.array([], pa.int64()),
+                             "est_jaccard": pa.array([], pa.float64())})
+        ids = group.column(id_col).to_numpy(zero_copy_only=False)
+        sigs = np.stack([np.frombuffer(s, dtype=np.uint64)
+                         for s in group.column("sig").to_pylist()])
+        ia, ib = np.triu_indices(m, k=1)
+        est = (sigs[ia] == sigs[ib]).mean(axis=1)
+        keep = est >= threshold
+        a, b = ids[ia[keep]], ids[ib[keep]]
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        return pa.table({"id_a": lo, "id_b": hi,
+                         "est_jaccard": est[keep]})
+
+    exploded = ds.map_batches(stage, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    cand = exploded.groupby(["band", "bh"]).map_groups(
+        pairs, batch_format="pyarrow")
+    # distinct pairs (a pair can surface from several bands)
+    from ray.data.aggregate import Max
+    return cand.groupby(["id_a", "id_b"]).aggregate(
+        Max("est_jaccard", alias_name="est_jaccard"))
+
+
+def simhash_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
+                  max_dist: int = 3):
+    """Near-dup pairs via 64-bit SimHash, banded into 4×16-bit blocks:
+    any pair within Hamming distance 3 shares at least one exact block
+    (pigeonhole), so groupby(block) finds all candidates; exact Hamming
+    check inside the group."""
+
+    def stage(batch: pa.Table) -> pa.Table:
+        sh = simhash(_col(batch, text_col))
+        ids = _col(batch, id_col).to_numpy(zero_copy_only=False)
+        n = len(ids)
+        blocks = np.empty((n, 4), dtype=np.int64)
+        for q in range(4):
+            blocks[:, q] = ((sh >> np.uint64(16 * q)) &
+                            np.uint64(0xFFFF)).astype(np.int64)
+        return pa.table({
+            "q": np.tile(np.arange(4, dtype=np.int64), n),
+            "block": blocks.ravel(),
+            id_col: np.repeat(ids, 4),
+            "sh": np.repeat(sh.view(np.int64), 4),
+        })
+
+    def pairs(group: pa.Table) -> pa.Table:
+        m = group.num_rows
+        empty = pa.table({"id_a": pa.array([], pa.int64()),
+                          "id_b": pa.array([], pa.int64()),
+                          "hamming": pa.array([], pa.int64())})
+        if m < 2:
+            return empty
+        ids = group.column(id_col).to_numpy(zero_copy_only=False)
+        sh = group.column("sh").to_numpy(zero_copy_only=False).view(np.uint64)
+        ia, ib = np.triu_indices(m, k=1)
+        hd = hamming_distance(sh[ia], sh[ib]).astype(np.int64)
+        keep = hd <= max_dist
+        if not keep.any():
+            return empty
+        a, b = ids[ia[keep]], ids[ib[keep]]
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        return pa.table({"id_a": lo, "id_b": hi, "hamming": hd[keep]})
+
+    exploded = ds.map_batches(stage, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    cand = exploded.groupby(["q", "block"]).map_groups(
+        pairs, batch_format="pyarrow")
+    from ray.data.aggregate import Min
+    return cand.groupby(["id_a", "id_b"]).aggregate(
+        Min("hamming", alias_name="hamming"))

@@ -62,6 +62,9 @@ def encode_with_guard(arr: pa.Array, codec_name: str | None = None,
     from .stats import column_stats
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
+    if codec_name is not None and not get_codec(codec_name).can_encode(
+            arr.type, stats):
+        codec_name = None  # override not applicable to this dtype → auto
     if codec_name is None:
         stats = stats or column_stats(arr)
         codec_name = choose_codec(arr.type, stats)
