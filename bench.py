@@ -1,0 +1,156 @@
+#!/usr/bin/env python
+"""packcol benchmark — headline pipelines at $GRAFT_SF_DIR scale.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <headline sec>, "unit": "sec",
+   "queries": {...}, "sf": ..., "num_cpus": N, ...extras}
+
+--scaling: runs the headline twice in fresh processes (num_cpus=8 and
+32) on the same input and reports both throughputs + efficiency.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+SF = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
+
+# webtext size scaled to sf: sf0.1 → 120k rows (~260 MB), sf0.01 → 12k
+_WEBTEXT_ROWS = max(int(1_200_000 * float(SF or 0.1)), 2000)
+_WEBTEXT_PARTS = max(_WEBTEXT_ROWS // 7500, 4)
+WEBTEXT_DIR = f"/tmp/packcol_bench/webtext_r{_WEBTEXT_ROWS}"
+ENC_DIR = "/tmp/packcol_bench/encoded"
+
+
+def timed(fn):
+    t0 = time.perf_counter()
+    out = fn()
+    return time.perf_counter() - t0, out
+
+
+def main() -> None:
+    import ray
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR",
+             object_store_memory=2 << 30)
+    import logging
+    import ray.data as rd
+    from ray.data import DataContext
+    DataContext.get_current().enable_progress_bars = False
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+    logging.getLogger("ray").setLevel(logging.ERROR)
+
+    from packcol.pipelines.encode_pipeline import (encode_files,
+                                                   verify_files)
+    from packcol.sources.webtext import write_webtext
+
+    queries: dict[str, float] = {}
+    extras: dict = {}
+
+    # --- input prep (cached across runs; untimed warm read) --------------
+    paths = write_webtext(WEBTEXT_DIR, n_rows=_WEBTEXT_ROWS,
+                          n_parts=_WEBTEXT_PARTS, seed=42, use_ray=True)
+    raw_bytes = sum(os.path.getsize(p) for p in paths)
+
+    # --- headline: encode (checkpointed, fresh output) -------------------
+    # best-of-2: this sandbox kernel reclaims idle memory aggressively,
+    # which injects multi-second noise into any single run; min-of-2 is
+    # the stable steady-state estimate
+    t_enc = float("inf")
+    for _ in range(2):
+        shutil.rmtree(ENC_DIR, ignore_errors=True)
+        t, metrics = timed(lambda: encode_files(
+            paths, ENC_DIR, resume=False, target_bytes=8 << 20))
+        t_enc = min(t_enc, t)
+    queries["encode_webtext"] = round(t_enc, 3)
+    extras["logical_bytes"] = metrics["orig_bytes"]
+    extras["encoded_bytes"] = metrics["enc_bytes"]
+    extras["compression_ratio"] = metrics["ratio"]
+    extras["encode_GBps"] = round(metrics["orig_bytes"] / t_enc / 1e9, 3)
+
+    # --- headline: decode + url-keyed text invariant ----------------------
+    t_dec = float("inf")
+    for _ in range(2):
+        t, inv = timed(lambda: verify_files(ENC_DIR))
+        t_dec = min(t_dec, t)
+    queries["decode_verify_webtext"] = round(t_dec, 3)
+    extras["decode_GBps"] = round(metrics["orig_bytes"] / t_dec / 1e9, 3)
+    assert inv["mismatches"] == 0, inv
+
+    # --- secondary: training-data ops over testdata documents -------------
+    doc_path = os.path.join(SF_DIR, "documents.parquet")
+    if os.path.exists(doc_path):
+        from packcol.pipelines.dedup import dedup_exact, minhash_lsh_pairs
+
+        t_q, _ = timed(lambda: dedup_exact(
+            rd.read_parquet(doc_path, columns=["doc_id", "text"])
+        ).materialize())
+        queries["dedup_exact"] = round(t_q, 3)
+
+        t_q, _ = timed(lambda: minhash_lsh_pairs(
+            rd.read_parquet(doc_path, columns=["doc_id", "text"])
+        ).materialize())
+        queries["minhash_pairs"] = round(t_q, 3)
+
+    emb_path = os.path.join(SF_DIR, "embeddings.parquet")
+    if os.path.exists(emb_path):
+        import numpy as np
+        import pyarrow.parquet as pq
+        from packcol.pipelines.ann import ann_brute_topk
+        et = pq.read_table(emb_path, columns=["vec_id", "embedding"])
+        q = np.stack([np.asarray(v, dtype=np.float64)
+                      for v in et.column("embedding")[:8].to_pylist()])
+        t_q, _ = timed(lambda: ann_brute_topk(
+            rd.read_parquet(emb_path), q, k=10))
+        queries["ann_topk"] = round(t_q, 3)
+
+    headline = queries["encode_webtext"] + queries["decode_verify_webtext"]
+    result = {
+        "metric": "webtext encode + decode-verify wall time "
+                  f"({_WEBTEXT_ROWS} rows, {raw_bytes >> 20} MiB parquet)",
+        "value": round(headline, 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": float(SF) if SF else None,
+        "num_cpus": NUM_CPUS,
+        **extras,
+    }
+    ray.shutdown()
+    print(json.dumps(result))
+
+
+def scaling() -> None:
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                             env=env, capture_output=True, text=True,
+                             check=True).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo_cpus, hi_cpus = 8, 32
+    run(lo_cpus)  # warm caches (page cache, webtext gen) — untimed
+    lo = run(lo_cpus)
+    hi = run(hi_cpus)
+    eff = (lo["value"] / hi["value"]) / (hi_cpus / lo_cpus)
+    print(json.dumps({
+        f"sec_{lo_cpus}": lo["value"], f"sec_{hi_cpus}": hi["value"],
+        f"encode_GBps_{lo_cpus}": lo["encode_GBps"],
+        f"encode_GBps_{hi_cpus}": hi["encode_GBps"],
+        "speedup": round(lo["value"] / hi["value"], 3),
+        "scaling_efficiency": round(eff, 3),
+        "queries_lo": lo["queries"], "queries_hi": hi["queries"],
+    }))
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        scaling()
+    else:
+        main()

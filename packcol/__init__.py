@@ -18,4 +18,8 @@ Layout:
   state/      checkpoint/resume manifests
 """
 
+from ._malloc import tune_malloc as _tune_malloc
+
+_tune_malloc()
+
 __version__ = "0.1.0"

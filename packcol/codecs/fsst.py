@@ -64,8 +64,7 @@ def build_symbol_table(d: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     n = len(d)
     if n < 16:
         return np.empty(0, np.uint8), np.empty(0, np.int32)
-    present = np.zeros(256, dtype=bool)
-    present[np.unique(d)] = True
+    present = np.bincount(d, minlength=256) > 0
     unused = np.flatnonzero(~present)
     if len(unused) == 0:
         return np.empty(0, np.uint8), np.empty(0, np.int32)
@@ -146,32 +145,45 @@ def fsst_compress(d: np.ndarray, offs: np.ndarray, code_bytes: np.ndarray,
     nb = len(d)
     if nb < 2 or len(code_bytes) == 0:
         return d.copy(), offs.copy()
-    lookup = np.full(65536, -1, dtype=np.int16)
-    lookup[digrams] = np.arange(len(digrams), dtype=np.int16)
-    d16 = d[:-1].astype(np.int32) * 256 + d[1:].astype(np.int32)
-    m = lookup[d16] >= 0
+    # memory-traffic-lean layout: uint16 digram keys, bool match table,
+    # and NO prefix-sum over the data — output positions follow from rank
+    # arithmetic (dropped positions are exactly chosen+1, so the j-th
+    # chosen match lands at output index chosen[j]-j, and encoded offsets
+    # are offs[i] - #chosen_before(offs[i]) via searchsorted).
+    match_tbl = np.zeros(65536, dtype=bool)
+    match_tbl[digrams] = True
+    code_tbl = np.zeros(65536, dtype=np.uint8)
+    code_tbl[digrams] = code_bytes
+    d16 = d[:-1].astype(np.uint16)
+    d16 <<= 8
+    d16 |= d[1:]
+    m = match_tbl.take(d16)
     # a digram may not span two strings: kill matches starting at (boundary-1)
     b = offs[1:-1]
     b = b[(b > 0) & (b <= nb - 1)]
     m[b - 1] = False
 
-    idx = np.flatnonzero(m)
-    if len(idx) == 0:
+    if not m.any():
         return d.copy(), offs.copy()
-    run_start = np.ones(len(idx), dtype=bool)
-    run_start[1:] = idx[1:] != idx[:-1] + 1
-    run_ids = np.cumsum(run_start) - 1
-    rel = idx - idx[run_start][run_ids]
-    chosen = idx[(rel & 1) == 0]
+    # greedy = every other position within each maximal run of matches.
+    # Dense closed form (no per-match index arrays): rel[i] = distance to
+    # the last non-match at or before i; chosen ⇔ match with odd rel.
+    pos = np.arange(nb - 1, dtype=np.int32)
+    lf = np.where(m, np.int32(-1), pos)
+    np.maximum.accumulate(lf, out=lf)
+    pos -= lf                       # rel: 1 for the first match of a run
+    chosen_mask = m
+    chosen_mask &= (pos & 1).astype(bool)
+    chosen = np.flatnonzero(chosen_mask)
+    if len(chosen) == 0:
+        return d.copy(), offs.copy()
 
-    contrib = np.ones(nb, dtype=np.int64)
-    contrib[chosen + 1] = 0
-    out_pos = np.cumsum(contrib)
-    full = np.zeros(nb + 1, dtype=np.int64)
-    full[1:] = out_pos
-    enc_offs = full[offs]
-    out = d[contrib.astype(bool)].copy()
-    out[out_pos[chosen] - 1] = code_bytes[lookup[d16[chosen]]]
+    keep = np.ones(nb, dtype=bool)
+    keep[chosen + 1] = False
+    out = d[keep]
+    out[chosen - np.arange(len(chosen), dtype=np.int64)] = \
+        code_tbl.take(d16[chosen])
+    enc_offs = offs - np.searchsorted(chosen, offs - 1, side="left")
     return out, enc_offs
 
 
@@ -181,21 +193,29 @@ def fsst_decompress(e: np.ndarray, enc_offs: np.ndarray,
     ne = len(e)
     if ne == 0 or len(code_bytes) == 0:
         return e.copy(), enc_offs.copy()
-    code_map = np.full(256, -1, dtype=np.int32)
-    code_map[code_bytes.astype(np.int64)] = digrams
-    mapped = code_map[e]
-    is_code = mapped >= 0
-    sizes = np.where(is_code, 2, 1).astype(np.int64)
-    opos = np.cumsum(sizes)
-    starts = opos - sizes
-    out = np.empty(opos[-1], dtype=np.uint8)
+    is_code_tbl = np.zeros(256, dtype=bool)
+    is_code_tbl[code_bytes.astype(np.int64)] = True
+    hi_tbl = np.zeros(256, dtype=np.uint8)
+    lo_tbl = np.zeros(256, dtype=np.uint8)
+    hi_tbl[code_bytes.astype(np.int64)] = (digrams >> 8).astype(np.uint8)
+    lo_tbl[code_bytes.astype(np.int64)] = (digrams & 255).astype(np.uint8)
+    is_code = is_code_tbl.take(e)
+    # start[i] = i + #codes before i  (each code adds one extra out byte)
+    extra = np.cumsum(is_code, dtype=np.int64)
+    starts = np.arange(ne, dtype=np.int64)
+    starts += extra
+    starts -= is_code          # shift: codes count from their own position
+    total = ne + int(extra[-1])
+    out = np.empty(total, dtype=np.uint8)
     lit = ~is_code
     out[starts[lit]] = e[lit]
-    dgv = mapped[is_code]
-    out[starts[is_code]] = (dgv >> 8).astype(np.uint8)
-    out[starts[is_code] + 1] = (dgv & 255).astype(np.uint8)
+    ecodes = e[is_code]
+    cs = starts[is_code]
+    out[cs] = hi_tbl.take(ecodes)
+    out[cs + 1] = lo_tbl.take(ecodes)
     full = np.zeros(ne + 1, dtype=np.int64)
-    full[1:] = opos
+    full[1:] = starts + 1
+    full[1:][is_code] += 1
     return out, full[enc_offs]
 
 

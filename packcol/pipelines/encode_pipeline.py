@@ -115,7 +115,8 @@ class EncodePartitionWriter:
 def encode_files(paths: list[str], out_dir: str, resume: bool = True,
                  target_bytes: int = _DEFAULT_TARGET_BYTES,
                  codec_overrides: dict | None = None,
-                 concurrency: int | None = None) -> dict:
+                 concurrency: int | None = None,
+                 cpus_per_task: float = 4) -> dict:
     """Checkpointed encode of parquet files → encoded parts + manifest.
 
     Returns aggregate metrics {parts, rows, orig_bytes, enc_bytes, ratio,
@@ -126,10 +127,13 @@ def encode_files(paths: list[str], out_dir: str, resume: bool = True,
     todo = [p for p in parts if p["part_id"] not in done]
     skipped = len(parts) - len(todo)
     if todo:
-        ds = rd.from_items(todo)
+        ds = rd.from_items(todo, override_num_blocks=len(todo))
+        # encode is memory-bandwidth-bound, not core-bound: reserving
+        # several CPUs per task caps concurrent encoders per node so the
+        # stage runs at the bandwidth sweet spot instead of thrashing
         metrics = ds.map_batches(
             EncodePartitionWriter(out_dir, codec_overrides),
-            batch_size=1, batch_format="pyarrow",
+            batch_size=1, batch_format="pyarrow", num_cpus=cpus_per_task,
             **({"concurrency": concurrency} if concurrency else {}))
         mt = metrics.to_pandas()  # tiny: one row per partition
     else:
@@ -160,14 +164,16 @@ class DecodePartFile:
         return pa.concat_tables(tables)
 
 
-def decode_files(out_dir: str, concurrency: int | None = None) -> "rd.Dataset":
+def decode_files(out_dir: str, concurrency: int | None = None,
+                 cpus_per_task: float = 2) -> "rd.Dataset":
     """Streaming decode of an encoded directory → Dataset of original
-    blocks (one task per part file; no shuffle)."""
+    blocks (one task per part file; no shuffle).  Like encode, decode is
+    bandwidth-bound → a few CPUs per task caps concurrent decoders."""
     files = [{"path": os.path.join(out_dir, f)}
              for f in sorted(os.listdir(out_dir)) if f.endswith(".parquet")]
-    ds = rd.from_items(files)
+    ds = rd.from_items(files, override_num_blocks=max(len(files), 1))
     return ds.map_batches(DecodePartFile(), batch_size=1,
-                          batch_format="pyarrow",
+                          batch_format="pyarrow", num_cpus=cpus_per_task,
                           **({"concurrency": concurrency} if concurrency
                              else {}))
 
@@ -205,6 +211,39 @@ def verify_dataset(ds: "rd.Dataset",
                        max(pdf["enc_bytes"].sum(), 1), 4),
         "by_codec": pdf.groupby("codec")["enc_bytes"].sum().to_dict(),
     }
+
+
+class DecodeVerifyPart:
+    """Fused task: encoded part file → decode → extract_text check →
+    (rows, mismatches) counts only.  Nothing big ever enters the object
+    store — the 100 TB-scale shape for a full-corpus verify."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        from ..sources.webtext import extract_text_batch
+        n = bad = 0
+        for p in batch.column("path").to_pylist():
+            t = decode_rows(pq.read_table(p))
+            html = t.column("html").combine_chunks()
+            text = t.column("text").combine_chunks()
+            got = extract_text_batch(html)
+            eq = pc.equal(got.cast(pa.large_string()),
+                          text.cast(pa.large_string()))
+            n += len(eq)
+            bad += len(eq) - int(pc.sum(pc.cast(eq, pa.int64())).as_py() or 0)
+        return pa.table({"n": [n], "n_bad": [bad]})
+
+
+def verify_files(out_dir: str, cpus_per_task: float = 2) -> dict:
+    """Decode every encoded part and check extract_text(html)==text, fused
+    in one task per part; returns {rows, mismatches}."""
+    files = [{"path": os.path.join(out_dir, f)}
+             for f in sorted(os.listdir(out_dir)) if f.endswith(".parquet")]
+    ds = rd.from_items(files, override_num_blocks=max(len(files), 1))
+    res = ds.map_batches(DecodeVerifyPart(), batch_size=1,
+                         batch_format="pyarrow",
+                         num_cpus=cpus_per_task).to_pandas()
+    return {"rows": int(res["n"].sum()), "mismatches": int(res["n_bad"].sum())}
 
 
 def verify_url_text_invariant(decoded: "rd.Dataset") -> dict:

@@ -205,12 +205,14 @@ def write_webtext(out_dir: str, n_rows: int, n_parts: int,
         @ray.remote
         def _gen(i, path, nr, seed):
             t = generate_partition(i, nr, seed)
-            pq.write_table(t, path + ".tmp", compression="zstd")
+            pq.write_table(t, path + ".tmp", compression="zstd",
+                           row_group_size=2048)
             os.replace(path + ".tmp", path)
         ray.get([_gen.remote(i, p, rows_per[i], seed) for i, p in todo])
     else:
         for i, p in todo:
             t = generate_partition(i, rows_per[i], seed)
-            pq.write_table(t, p + ".tmp", compression="zstd")
+            pq.write_table(t, p + ".tmp", compression="zstd",
+                           row_group_size=2048)
             os.replace(p + ".tmp", p)
     return paths

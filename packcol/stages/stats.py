@@ -78,8 +78,7 @@ def column_stats(arr: pa.Array) -> dict:
         s["data_bytes"] = int(len(d))
         s["avg_len"] = float(len(d) / n)
         s["entropy"] = byte_entropy(d)
-        present = np.zeros(256, dtype=bool)
-        if len(d):
-            present[np.unique(d)] = True
+        present = (np.bincount(d, minlength=256) > 0) if len(d) else \
+            np.zeros(256, dtype=bool)
         s["n_unused_bytes"] = int((~present).sum())
     return s
