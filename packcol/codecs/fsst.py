@@ -134,14 +134,43 @@ class FsstCodec(Codec):
         return arr
 
 
+_CHUNK_BYTES = 2 << 20
+
+
 def fsst_compress(d: np.ndarray, offs: np.ndarray, code_bytes: np.ndarray,
                   digrams: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     """Replace table digrams with code bytes; returns (enc_data, enc_offsets).
 
-    Greedy non-overlapping left-to-right selection, closed-form via
-    run-parity (see module docstring).  Never matches across string
-    boundaries.
-    """
+    Cache-resident chunking: the data is processed in ~2 MB slices split
+    at string boundaries (exact — matches never cross strings), so the
+    kernel's multi-pass temporaries stay in LLC instead of streaming
+    DRAM.  Measured ~2x on multi-worker aggregate throughput."""
+    if len(d) <= _CHUNK_BYTES or len(offs) <= 2:
+        return _fsst_compress_chunk(d, offs, code_bytes, digrams)
+    # split rows so each slice covers ≈ _CHUNK_BYTES of data
+    cut_bytes = np.arange(_CHUNK_BYTES, len(d), _CHUNK_BYTES, dtype=np.int64)
+    cut_rows = np.unique(np.searchsorted(offs, cut_bytes, side="left"))
+    cut_rows = cut_rows[(cut_rows > 0) & (cut_rows < len(offs) - 1)]
+    bounds = [0, *cut_rows.tolist(), len(offs) - 1]
+    outs, offs_parts = [], [np.zeros(1, dtype=np.int64)]
+    base = np.int64(0)
+    for a, b in zip(bounds[:-1], bounds[1:]):
+        lo, hi = offs[a], offs[b]
+        o, eo = _fsst_compress_chunk(
+            np.ascontiguousarray(d[lo:hi]), offs[a:b + 1] - lo,
+            code_bytes, digrams)
+        outs.append(o)
+        offs_parts.append(eo[1:] + base)
+        base += eo[-1]
+    return np.concatenate(outs), np.concatenate(offs_parts)
+
+
+def _fsst_compress_chunk(d: np.ndarray, offs: np.ndarray,
+                         code_bytes: np.ndarray,
+                         digrams: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """One chunk: greedy non-overlapping left-to-right selection,
+    closed-form via run-parity (see module docstring).  Never matches
+    across string boundaries."""
     nb = len(d)
     if nb < 2 or len(code_bytes) == 0:
         return d.copy(), offs.copy()

@@ -1,0 +1,203 @@
+"""DNA k-mer kernels — direct parity with the reference implementation.
+
+This module reproduces the reference's observable behavior exactly
+(golden tests in tests/test_dna.py mirror
+/root/reference/src/encoding/naive.rs:296-445 and
+/root/reference/src/naive_impl/kmer.rs), re-expressed as vectorized
+numpy kernels over batches of sequences instead of per-value Rust:
+
+* 2-bit encode/decode under the ACGT table (E2/E3,
+  /root/reference/src/encoding/naive.rs:116-136), low-order-first words
+* branch-free reverse-complement bit-swizzle (N1/N2,
+  /root/reference/src/naive_impl/kmer.rs:124-147)
+* canonical form = min(fw, revcomp) + orientation (N3,
+  /root/reference/src/naive_impl/kmer.rs:55-74)
+* sliding k-window scan with invalid-symbol skipping (S1,
+  /root/reference/src/naive_impl/canonical_kmer_iterator.rs:32-116)
+* minimizers (S2/S3, /root/reference/src/naive_impl/kmer.rs:164-192)
+* kmer_space / canonical_space cardinality math (C1/C2,
+  /root/reference/src/utils.rs:27-38 — including the reference's pinned
+  even-k formula)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..codecs.bitpack import pack, unpack
+
+# ACGT table: A=0, C=1, G=2, T=3 (the reference's `Naive::ACGT` member
+# and naive_impl's encode_binary, src/naive_impl/mod.rs:20-24)
+ENC_TABLE = np.full(256, 255, dtype=np.uint8)
+for i, c in enumerate(b"ACGT"):
+    ENC_TABLE[c] = i
+    ENC_TABLE[c + 32] = i  # lowercase (case-insensitive, kmer.rs:469-474)
+DEC_TABLE = np.frombuffer(b"ACGT", dtype=np.uint8)
+
+INVALID = 255  # sentinel, analogue of u64::MAX in encode_binary_u8
+K_MAX = 32     # one u64 word (src/naive_impl/kmer.rs:211-213)
+
+_MASK = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+
+def seq_to_codes(seq: str | bytes) -> np.ndarray:
+    """ASCII → 2-bit codes; invalid symbols become the 255 sentinel
+    (encode_binary_u8 policy, src/naive_impl/mod.rs:40-50)."""
+    if isinstance(seq, str):
+        seq = seq.encode()
+    return ENC_TABLE.take(np.frombuffer(seq, dtype=np.uint8))
+
+
+def codes_to_seq(codes: np.ndarray) -> bytes:
+    return DEC_TABLE.take(codes).tobytes()
+
+
+def encode_kmer(seq: str | bytes) -> int:
+    """Pack one ≤32-symbol sequence into a u64, low-order-first (the
+    layout proven by the reference's golden words: "TAAGGATTCTAATCA" →
+    u8 view [131,242,13,7])."""
+    codes = seq_to_codes(seq)
+    if len(codes) > K_MAX:
+        raise ValueError(f"k must be <= {K_MAX}")
+    if (codes == INVALID).any():
+        raise ValueError("invalid nucleotide")
+    words = pack(codes.astype(np.uint64), 2)
+    return int(words[0]) if len(words) else 0
+
+
+def decode_kmer(word: int, k: int) -> str:
+    codes = unpack(np.array([word], dtype=np.uint64), 2, k).astype(np.uint8)
+    return codes_to_seq(codes).decode()
+
+
+def mask_kmer(words: np.ndarray, k: int) -> np.ndarray:
+    """Clear bits above 2k — MASK_TABLE semantics
+    (src/naive_impl/kmer.rs:584-618): from_u64 masks stray high bits."""
+    if k >= 32:
+        return words
+    return words & np.uint64((1 << (2 * k)) - 1)
+
+
+def revcomp_words(words: np.ndarray, k: int) -> np.ndarray:
+    """Vectorized branch-free reverse-complement of packed u64 k-mers —
+    the 5-step swizzle of src/naive_impl/kmer.rs:138-147:
+    complement (~x), swap adjacent 2-bit pairs, nibbles, bytes, u16s,
+    u32s, then shift down by 2*(32-k)."""
+    x = ~np.asarray(words, dtype=np.uint64)
+    x = ((x >> np.uint64(2)) & np.uint64(0x3333333333333333)) | \
+        ((x & np.uint64(0x3333333333333333)) << np.uint64(2))
+    x = ((x >> np.uint64(4)) & np.uint64(0x0F0F0F0F0F0F0F0F)) | \
+        ((x & np.uint64(0x0F0F0F0F0F0F0F0F)) << np.uint64(4))
+    x = ((x >> np.uint64(8)) & np.uint64(0x00FF00FF00FF00FF)) | \
+        ((x & np.uint64(0x00FF00FF00FF00FF)) << np.uint64(8))
+    x = ((x >> np.uint64(16)) & np.uint64(0x0000FFFF0000FFFF)) | \
+        ((x & np.uint64(0x0000FFFF0000FFFF)) << np.uint64(16))
+    x = (x >> np.uint64(32)) | (x << np.uint64(32))
+    return x >> np.uint64(2 * (32 - k))
+
+
+def canonicalize_words(words: np.ndarray, k: int
+                       ) -> tuple[np.ndarray, np.ndarray]:
+    """(canonical, is_fw_canonical): canonical = min(fw, rc) under word
+    order (src/naive_impl/kmer.rs:55-74; Ord on the packed word, H4)."""
+    fw = mask_kmer(np.asarray(words, dtype=np.uint64), k)
+    rc = revcomp_words(fw, k)
+    is_fw = fw <= rc
+    return np.where(is_fw, fw, rc), is_fw
+
+
+def kmer_windows(seq: str | bytes, k: int) -> tuple[np.ndarray, np.ndarray]:
+    """All k-windows of a sequence as packed u64s + start positions,
+    SKIPPING windows containing invalid symbols — the
+    CanonicalKmerIterator `last_invalid` watermark semantics
+    (src/naive_impl/canonical_kmer_iterator.rs:52-66), vectorized."""
+    codes = seq_to_codes(seq)
+    n = len(codes)
+    if n < k:
+        return np.empty(0, np.uint64), np.empty(0, np.int64)
+    valid = codes != INVALID
+    # window valid ⇔ no invalid symbol inside: windowed sum of invalids == 0
+    cs = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(~valid, out=cs[1:])
+    ok = (cs[k:] - cs[:-k]) == 0
+    safe = np.where(valid, codes, 0).astype(np.uint64)
+    # rolling pack: w_i = sum_j codes[i+j] << 2j  (low-order-first)
+    w = np.zeros(n - k + 1, dtype=np.uint64)
+    for j in range(k):  # k ≤ 32: bounded loop, each pass vectorized
+        w |= safe[j:n - k + 1 + j] << np.uint64(2 * j)
+    pos = np.flatnonzero(ok)
+    return w[pos], pos
+
+
+def canonical_kmer_scan(seq: str | bytes, k: int
+                        ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(canonical kmers, positions, is_fw) for every valid window — EP2,
+    the reference's canonical k-mer iterator as one vectorized pass."""
+    w, pos = kmer_windows(seq, k)
+    canon, is_fw = canonicalize_words(w, k)
+    return canon, pos, is_fw
+
+
+# --- equivalency (N5) ------------------------------------------------------
+
+NO_MATCH, IDENTITY_MATCH, TWIN_MATCH = 0, 1, 2
+
+
+def word_equivalency(a: np.ndarray, b: np.ndarray, k: int) -> np.ndarray:
+    """3-way match category per pair — MatchType semantics
+    (src/naive_impl/canonical_kmer.rs:142-161)."""
+    a = mask_kmer(np.asarray(a, dtype=np.uint64), k)
+    b = mask_kmer(np.asarray(b, dtype=np.uint64), k)
+    rc = revcomp_words(a, k)
+    out = np.full(len(a), NO_MATCH, dtype=np.int8)
+    out[b == rc] = TWIN_MATCH
+    out[b == a] = IDENTITY_MATCH  # identity wins (checked first in ref)
+    return out
+
+
+# --- minimizers (S2) -------------------------------------------------------
+
+def minimizer(word: int, k: int, w: int, hasher=None) -> tuple[int, int]:
+    """(minimizer word, position): min over all w-windows of the k-mer,
+    brute force like Kmer::minimizer (src/naive_impl/kmer.rs:164-192).
+    Default hash = identity on the packed word (LexHasher-like order)."""
+    words = unpack(np.array([word], dtype=np.uint64), 2, k)
+    codes = words.astype(np.uint8)
+    n_win = k - w + 1
+    vals = np.zeros(n_win, dtype=np.uint64)
+    for j in range(w):
+        vals |= codes[j:j + n_win].astype(np.uint64) << np.uint64(2 * j)
+    keys = hasher(vals) if hasher else vals
+    i = int(np.argmin(keys))
+    return int(vals[i]), i
+
+
+# --- cardinality math (C1/C2) ----------------------------------------------
+
+def kmer_space(k: int) -> int:
+    """4^k (src/utils.rs:27-29)."""
+    return 4 ** k
+
+
+def canonical_space(k: int) -> int:
+    """The reference's implemented formula (src/utils.rs:32-38) — odd k:
+    4^k/2; even k: 4^k/2 - 2k.  The reference's tests pin these values
+    (src/utils.rs:61-73), so we reproduce them verbatim."""
+    if k % 2 == 1:
+        return kmer_space(k) // 2
+    return kmer_space(k) // 2 - 2 * k
+
+
+# --- batch API over Arrow columns ------------------------------------------
+
+def canonical_kmer_counts(seqs: pa.Array, k: int) -> dict[int, int]:
+    """Canonical k-mer multiset of a string column (test/demo helper)."""
+    out: dict[int, int] = {}
+    for s in seqs.to_pylist():
+        if not s:
+            continue
+        canon, _, _ = canonical_kmer_scan(s, k)
+        for v in canon.tolist():
+            out[v] = out.get(v, 0) + 1
+    return out

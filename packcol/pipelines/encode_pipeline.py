@@ -92,7 +92,8 @@ class EncodePartitionWriter:
             enc = encode_table(t, part_id=d["part_id"],
                                codec_overrides=self.codec_overrides)
             dest = os.path.join(self.out_dir, f"part-{d['part_id']}.parquet")
-            pq.write_table(enc, dest + ".tmp", compression="none")
+            pq.write_table(enc, dest + ".tmp", compression="zstd",
+                           compression_level=3)
             os.replace(dest + ".tmp", dest)
             orig = sum(enc.column("orig_bytes").to_pylist())
             encb = sum(enc.column("enc_bytes").to_pylist())
@@ -116,7 +117,7 @@ def encode_files(paths: list[str], out_dir: str, resume: bool = True,
                  target_bytes: int = _DEFAULT_TARGET_BYTES,
                  codec_overrides: dict | None = None,
                  concurrency: int | None = None,
-                 cpus_per_task: float = 4) -> dict:
+                 cpus_per_task: float = 1) -> dict:
     """Checkpointed encode of parquet files → encoded parts + manifest.
 
     Returns aggregate metrics {parts, rows, orig_bytes, enc_bytes, ratio,
@@ -165,7 +166,7 @@ class DecodePartFile:
 
 
 def decode_files(out_dir: str, concurrency: int | None = None,
-                 cpus_per_task: float = 2) -> "rd.Dataset":
+                 cpus_per_task: float = 1) -> "rd.Dataset":
     """Streaming decode of an encoded directory → Dataset of original
     blocks (one task per part file; no shuffle).  Like encode, decode is
     bandwidth-bound → a few CPUs per task caps concurrent decoders."""
@@ -234,7 +235,7 @@ class DecodeVerifyPart:
         return pa.table({"n": [n], "n_bad": [bad]})
 
 
-def verify_files(out_dir: str, cpus_per_task: float = 2) -> dict:
+def verify_files(out_dir: str, cpus_per_task: float = 1) -> dict:
     """Decode every encoded part and check extract_text(html)==text, fused
     in one task per part; returns {rows, mismatches}."""
     files = [{"path": os.path.join(out_dir, f)}

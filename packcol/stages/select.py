@@ -49,6 +49,12 @@ def estimate_sizes(dtype: pa.DataType, s: dict) -> dict:
 
 
 def choose_codec(dtype: pa.DataType, s: dict) -> str:
+    n = s.get("n", 0)
+    # long-runs rule: when the column is runs-dominated, RLE wins outright
+    # (F3 const_col/runs_col; generalizes the crawl-ordered `lang` column)
+    if n and s.get("n_runs", n) <= max(4, n // 64) and \
+            get_codec("rle").can_encode(dtype, s):
+        return "rle"
     est = estimate_sizes(dtype, s)
     applicable = {k: v for k, v in est.items()
                   if get_codec(k).can_encode(dtype, s)}

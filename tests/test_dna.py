@@ -1,0 +1,190 @@
+"""Reference-parity golden tests for the DNA kernels (FIXTURES.md F2).
+
+Every golden value below is verbatim from the reference's inline tests:
+/root/reference/src/encoding/naive.rs:296-445,
+/root/reference/src/naive_impl/kmer.rs:280-485,
+/root/reference/src/naive_impl/canonical_kmer_iterator.rs:118-206,
+/root/reference/src/utils.rs:40-73.
+"""
+
+import numpy as np
+import pyarrow as pa
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from packcol.functions.dna import (IDENTITY_MATCH, NO_MATCH, TWIN_MATCH,
+                                   canonical_kmer_scan, canonical_space,
+                                   canonicalize_words, codes_to_seq,
+                                   decode_kmer, encode_kmer, kmer_space,
+                                   kmer_windows, mask_kmer, minimizer,
+                                   revcomp_words, seq_to_codes,
+                                   word_equivalency)
+
+READ = ("TTTTGGCCATTTTTCCTGTTCTTCAAGAAAACAGGAGATAACTAGAAGGACTAGAGAATGGGG"
+        "CTGCCAGAACTAGTGGGAAGCTCCCTAGAAATGGTGACATCGCCCACCAAACAGACC")
+
+
+def canon_str(s: str) -> str:
+    w = encode_kmer(s)
+    c, _ = canonicalize_words(np.array([w], dtype=np.uint64), len(s))
+    return decode_kmer(int(c[0]), len(s)).lower()
+
+
+class TestGoldenEncode:
+    def test_k15_words(self):
+        w = encode_kmer("TAAGGATTCTAATCA")
+        as_u8 = np.array([w], dtype=np.uint64).view(np.uint8)[:4]
+        assert as_u8.tolist() == [131, 242, 13, 7]
+        assert np.array([w], dtype=np.uint64).view(np.uint32)[0] == 118354563
+
+    def test_bin_repr(self):
+        # kmer.rs bin_repr: low-order-first layout
+        assert encode_kmer("aaa") == 0b000000
+        assert encode_kmer("aac") == 0b010000
+        assert encode_kmer("acc") == 0b010100
+        assert encode_kmer("ccc") == 0b010101
+
+    def test_str_roundtrip(self):
+        # kmer.rs str_repr
+        assert decode_kmer(encode_kmer("catagatacat"), 11) == "CATAGATACAT"
+
+    def test_case_insensitive(self):
+        assert encode_kmer("acgt") == encode_kmer("ACGT")
+
+    def test_ord(self):
+        # kmer.rs test_ord: packed-word order
+        assert encode_kmer("tcc") < encode_kmer("cct")
+
+
+class TestCanonical:
+    def test_into_canon(self):
+        # kmer.rs test_into_canon
+        assert canon_str("taa") == "taa"
+        assert canon_str("tta") == "taa"
+        assert canon_str("atc") == "atc"
+        assert canon_str("gat") == "atc"
+        # 15-mer: already canonical
+        assert canon_str("agatacataggatgg") == "agatacataggatgg"
+
+    def test_is_canon(self):
+        w = np.array([encode_kmer("agatacataggatgg")], dtype=np.uint64)
+        _, is_fw = canonicalize_words(w, 15)
+        assert bool(is_fw[0])
+        w = np.array([encode_kmer("gatacataggatgg")], dtype=np.uint64)
+        _, is_fw = canonicalize_words(w, 14)
+        assert not bool(is_fw[0])
+
+    def test_revcomp_matches_string_revcomp(self):
+        comp = {"a": "t", "c": "g", "g": "c", "t": "a"}
+        for s in ["gatacataggatgg", "acgt", "tttt", "ctgcca"]:
+            rc_str = "".join(comp[c] for c in reversed(s))
+            w = np.array([encode_kmer(s)], dtype=np.uint64)
+            rc = revcomp_words(w, len(s))
+            assert decode_kmer(int(rc[0]), len(s)).lower() == rc_str
+
+    def test_rc_identity_property(self):
+        # quickcheck rc_identity (kmer.rs:280-285)
+        rng = np.random.default_rng(7)
+        w = rng.integers(0, 2**62, 500, dtype=np.uint64)
+        w = mask_kmer(w, 31)
+        np.testing.assert_array_equal(
+            revcomp_words(revcomp_words(w, 31), 31), w)
+
+    def test_to_canonical_is_canonical_property(self):
+        # quickcheck to_canonical_is_canonical (kmer.rs:287-290)
+        rng = np.random.default_rng(8)
+        w = mask_kmer(rng.integers(0, 2**62, 500, dtype=np.uint64), 31)
+        c, _ = canonicalize_words(w, 31)
+        c2, is_fw = canonicalize_words(c, 31)
+        np.testing.assert_array_equal(c, c2)
+        assert is_fw.all()
+
+
+class TestEquivalency:
+    def test_matches(self):
+        a = np.array([encode_kmer("taa")] * 3, dtype=np.uint64)
+        b = np.array([encode_kmer("taa"), encode_kmer("tta"),
+                      encode_kmer("ccc")], dtype=np.uint64)
+        got = word_equivalency(a, b, 3)
+        assert got.tolist() == [IDENTITY_MATCH, TWIN_MATCH, NO_MATCH]
+
+
+class TestIterator:
+    """CanonicalKmerIterator parity (canonical_kmer_iterator.rs:118-206).
+    Our scan is vectorized; positions/values must match the reference's
+    rolling iterator including invalid-skip."""
+
+    def test_positions_valid_read(self):
+        canon, pos, _ = canonical_kmer_scan(READ, 31)
+        assert pos[0] == 0 and pos[1] == 1 and pos[10] == 10
+        assert len(pos) == len(READ) - 31 + 1
+
+    def test_first_kmer_value(self):
+        canon, pos, _ = canonical_kmer_scan(READ, 31)
+        w = encode_kmer(READ[0:31])
+        c, _ = canonicalize_words(np.array([w], dtype=np.uint64), 31)
+        assert canon[0] == c[0]
+
+    def test_invalid_skip_init(self):
+        # test_iter_init_invalid: N at index 4 → first window at pos 5
+        r = "TTTT" + "N" + READ[4:]
+        canon, pos, _ = canonical_kmer_scan(r, 31)
+        assert pos[0] == 5
+        w = encode_kmer(r[5:36])
+        c, _ = canonicalize_words(np.array([w], dtype=np.uint64), 31)
+        assert canon[0] == c[0]
+
+    def test_invalid_skip_mid(self):
+        # test_iter_inc_by_invalid: N at 35 → next window after 5 is 36
+        r = READ[:35] + "N" + READ[35:]
+        canon, pos, _ = canonical_kmer_scan(r, 31)
+        after = pos[pos > 5]
+        assert after[0] == 36
+        w = encode_kmer(r[36:67])
+        c, _ = canonicalize_words(np.array([w], dtype=np.uint64), 31)
+        assert canon[pos.tolist().index(36)] == c[0]
+
+
+class TestMinimizer:
+    def test_brute_force_cross_check(self):
+        # kmer.rs:561-579 style: minimizer == min over explicit windows
+        s = "CTGCCAGAACTAGTGGGAAGCTCCCTAGAAA"[:21]
+        k, w = len(s), 7
+        word = encode_kmer(s)
+        mval, mpos = minimizer(word, k, w)
+        wins = [encode_kmer(s[i:i + w]) for i in range(k - w + 1)]
+        assert mval == min(wins)
+        assert wins[mpos] == mval
+
+
+class TestSpace:
+    def test_kmer_space(self):
+        for k, v in enumerate([4, 16, 64, 256, 1024, 4096, 16384, 65536,
+                               262144, 1048576], start=1):
+            assert kmer_space(k) == v
+
+    def test_canonical_space_pinned(self):
+        # utils.rs:61-73 — the implemented (pinned) values, verbatim
+        expected = [0, 2, 4, 32, 120, 512, 2036, 8192, 32752, 131072, 524268]
+        for k, v in enumerate(expected):
+            assert canonical_space(k) == v, k
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.text(alphabet="ACGTacgt", min_size=1, max_size=32))
+def test_encode_decode_roundtrip_property(s):
+    assert decode_kmer(encode_kmer(s), len(s)) == s.upper()
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.text(alphabet="ACGTN", min_size=0, max_size=100),
+       st.integers(min_value=2, max_value=8))
+def test_scan_matches_naive(s, k):
+    canon, pos, _ = canonical_kmer_scan(s, k)
+    naive = [(i, s[i:i + k]) for i in range(max(len(s) - k + 1, 0))
+             if "N" not in s[i:i + k]]
+    assert pos.tolist() == [i for i, _ in naive]
+    for (i, sub), c in zip(naive, canon.tolist()):
+        w = encode_kmer(sub)
+        cc, _ = canonicalize_words(np.array([w], dtype=np.uint64), k)
+        assert c == cc[0]
