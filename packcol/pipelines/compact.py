@@ -1,0 +1,105 @@
+"""Compaction of encoded blocks.
+
+Two forms (SURVEY.md §2.8):
+
+* :func:`compact_columns` — layout compaction: regroup encoded-block rows
+  into one file per column (shuffle key = ``column``), so a reader of a
+  single column touches one file instead of every part.  Payloads are
+  not touched — each row stays a self-describing block.
+* :func:`recompact` — size compaction: decode runs of small adjacent
+  partitions and re-encode them as bigger ones (no shuffle — parts are
+  grouped by contiguous ranges on the driver, each group is one task).
+  Bigger blocks amortize per-block dictionaries/symbol tables, improving
+  the compression ratio.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+import ray.data as rd
+
+from ..stages.encode import decode_rows, encode_table
+from ..state.manifest import Manifest, params_hash
+
+
+def compact_columns(enc_dir: str, dest_dir: str) -> dict:
+    """Regroup encoded rows column-major: dest/<column>.parquet.
+
+    The shuffle moves only encoded payloads (already compressed), and
+    one groupby key per column keeps the exchange tiny."""
+    os.makedirs(dest_dir, exist_ok=True)
+    files = [os.path.join(enc_dir, f) for f in sorted(os.listdir(enc_dir))
+             if f.endswith(".parquet")]
+    ds = rd.read_parquet(files)
+
+    def write_group(group: pa.Table) -> pa.Table:
+        col = group.column("column")[0].as_py()
+        dest = os.path.join(dest_dir, f"{col}.parquet")
+        idx = pa.compute.sort_indices(group.column("part_id"))
+        pq.write_table(group.take(idx), dest + ".tmp",
+                       compression="zstd", compression_level=3)
+        os.replace(dest + ".tmp", dest)
+        return pa.table({"column": [col], "n_blocks": [group.num_rows],
+                         "bytes": [os.path.getsize(dest)]})
+
+    out = ds.groupby("column").map_groups(
+        write_group, batch_format="pyarrow").to_pandas()
+    return {r["column"]: {"n_blocks": int(r["n_blocks"]),
+                          "bytes": int(r["bytes"])}
+            for _, r in out.iterrows()}
+
+
+class RecompactGroup:
+    """Task: a group of small encoded part files → decode → one bigger
+    re-encoded part (deterministic: new part_id = joined old ids)."""
+
+    def __init__(self, dest_dir: str):
+        self.dest_dir = dest_dir
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = {"part_id": [], "rows": [], "orig_bytes": [], "enc_bytes": []}
+        for row in batch.to_pylist():
+            paths = row["paths"]
+            tables = [decode_rows(pq.read_table(p)) for p in paths]
+            merged = pa.concat_tables(tables).combine_chunks()
+            part_id = row["new_part_id"]
+            enc = encode_table(merged, part_id=part_id)
+            dest = os.path.join(self.dest_dir, f"part-{part_id}.parquet")
+            pq.write_table(enc, dest + ".tmp", compression="zstd",
+                           compression_level=3)
+            os.replace(dest + ".tmp", dest)
+            orig = sum(enc.column("orig_bytes").to_pylist())
+            encb = sum(enc.column("enc_bytes").to_pylist())
+            Manifest(self.dest_dir).record(part_id, {
+                "inputs": [os.path.basename(p) for p in paths],
+                "rows": merged.num_rows, "orig_bytes": orig,
+                "enc_bytes": encb, "params_hash": params_hash(enc)})
+            out["part_id"].append(part_id)
+            out["rows"].append(merged.num_rows)
+            out["orig_bytes"].append(orig)
+            out["enc_bytes"].append(encb)
+        return pa.table(out)
+
+
+def recompact(enc_dir: str, dest_dir: str, merge_factor: int = 4,
+              cpus_per_task: float = 1) -> dict:
+    """Merge every `merge_factor` adjacent parts into one larger part."""
+    os.makedirs(dest_dir, exist_ok=True)
+    files = [os.path.join(enc_dir, f) for f in sorted(os.listdir(enc_dir))
+             if f.endswith(".parquet")]
+    groups = [files[i:i + merge_factor]
+              for i in range(0, len(files), merge_factor)]
+    items = [{"paths": g, "new_part_id": f"c{i:05d}x{len(g)}"}
+             for i, g in enumerate(groups)]
+    ds = rd.from_items(items, override_num_blocks=max(len(items), 1))
+    res = ds.map_batches(RecompactGroup(dest_dir), batch_size=1,
+                         batch_format="pyarrow",
+                         num_cpus=cpus_per_task).to_pandas()
+    orig, enc = int(res["orig_bytes"].sum()), int(res["enc_bytes"].sum())
+    return {"parts": len(res), "rows": int(res["rows"].sum()),
+            "orig_bytes": orig, "enc_bytes": enc,
+            "ratio": round(orig / enc, 4) if enc else 0.0}
