@@ -193,6 +193,98 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return pdf[["vec_id", "cos"]]
     q["ann_lsh"] = ann_lsh
 
+    # --- canonical-form normalization (N1-N4 generalized) ----------------
+    def canonical_text(sf):
+        from packcol.codecs.canonical import canonicalize
+
+        def f(batch: pa.Table) -> pa.Table:
+            canonical, is_fw = canonicalize(batch.column("text"))
+            return pa.table({"doc_id": batch.column("doc_id"),
+                             "canonical": canonical,
+                             "orientation": is_fw})
+        return _read(sf, "documents", ["doc_id", "text"]).map_batches(
+            f, batch_format="pyarrow", zero_copy_batch=True)
+    q["canonical_text"] = canonical_text
+
+    # --- embedding norms (vectorized numeric kernel) ---------------------
+    def embedding_norm(sf):
+        from packcol.pipelines.ann import embedding_matrix
+
+        def f(batch: pa.Table) -> pa.Table:
+            X = embedding_matrix(batch)
+            norms = np.sqrt((X * X).sum(axis=1)) if X.size else np.zeros(0)
+            return pa.table({
+                "vec_id": batch.column("vec_id"),
+                "norm": np.round(norms, 4)})
+        return _read(sf, "embeddings", ["vec_id", "embedding"]).map_batches(
+            f, batch_format="pyarrow", zero_copy_batch=True)
+    q["embedding_norm"] = embedding_norm
+
+    # --- global token histogram (pre-aggregated combiner → groupby) ------
+    def token_histogram(sf):
+        import pyarrow.compute as pc
+        from ray.data.aggregate import Sum
+
+        def partial(batch: pa.Table) -> pa.Table:
+            toks = pc.list_flatten(
+                pc.split_pattern(batch.column("text"), " "))
+            vc = toks.value_counts()
+            return pa.table({"token": vc.field("values"),
+                             "n": vc.field("counts")})
+        ds = _read(sf, "documents", ["text"]).map_batches(
+            partial, batch_format="pyarrow", zero_copy_batch=True)
+        agg = ds.groupby("token").aggregate(Sum("n", alias_name="n"))
+        pdf = agg.to_pandas().sort_values(
+            ["n", "token"], ascending=[False, True]).head(20)
+        return pdf.reset_index(drop=True)
+    q["token_histogram"] = token_histogram
+
+    # --- tumbling-window aggregate over the events stream ----------------
+    def events_hourly(sf):
+        from ray.data.aggregate import Count, Sum
+
+        def add_hr(batch: pa.Table) -> pa.Table:
+            ts = batch.column("ts")
+            if isinstance(ts, pa.ChunkedArray):
+                ts = ts.combine_chunks()
+            us = ts.cast(pa.int64()).to_numpy(zero_copy_only=False)
+            return batch.append_column(
+                "hr", pa.array(us // 3_600_000_000, type=pa.int64()))
+        ds = _read(sf, "events", ["ts", "event_type", "value"]).map_batches(
+            add_hr, batch_format="pyarrow", zero_copy_batch=True)
+        agg = ds.groupby(["event_type", "hr"]).aggregate(
+            Count(alias_name="n"), Sum("value", alias_name="sum_value"))
+        pdf = agg.to_pandas()
+        pdf["sum_value"] = pdf["sum_value"].round(2)
+        return pdf
+    q["events_hourly"] = events_hourly
+
+    # --- n-gram Jaccard near-dup pairs (exact verify; rows-only) ---------
+    def ngram_dedup(sf):
+        import pandas as pd
+        from packcol.functions.hashing import ngram_jaccard, shingle_hashes
+        import pyarrow.parquet as pq
+        # candidates from minhash, verified with exact shingle Jaccard
+        from packcol.pipelines.dedup import minhash_lsh_pairs
+        cand = minhash_lsh_pairs(
+            _read(sf, "documents", ["doc_id", "text"])).to_pandas()
+        t = pq.read_table(os.path.join(sf, "documents.parquet"),
+                          columns=["doc_id", "text"])
+        ids = t.column("doc_id").to_numpy()
+        text = t.column("text").combine_chunks()
+        sh, rows = shingle_hashes(text, 3)
+        by_row = {}
+        import numpy as _np
+        pos = {int(v): i for i, v in enumerate(ids)}
+        out = []
+        for _, r in cand.iterrows():
+            ia, ib = pos[int(r["id_a"])], pos[int(r["id_b"])]
+            j = ngram_jaccard(sh[rows == ia], sh[rows == ib])
+            if j >= 0.5:
+                out.append((int(r["id_a"]), int(r["id_b"]), round(j, 4)))
+        return pd.DataFrame(out, columns=["id_a", "id_b", "jaccard"])
+    q["ngram_dedup"] = ngram_dedup
+
     # --- codec auto-selection decisions (deterministic) ------------------
     def codec_selection(sf):
         from packcol.stages.encode import encode_table
@@ -240,6 +332,21 @@ def oracle_sql() -> dict[str, str]:
             "(SELECT embedding AS qv FROM embeddings WHERE vec_id=0) q "
             "ORDER BY list_cosine_similarity(e.embedding, q.qv) DESC, "
             "e.vec_id LIMIT 10"),
+        "canonical_text": (
+            "SELECT doc_id, CASE WHEN text <= reverse(text) THEN text "
+            "ELSE reverse(text) END AS canonical, "
+            "text <= reverse(text) AS orientation FROM documents"),
+        "embedding_norm": (
+            "SELECT vec_id, round(sqrt(list_sum(list_transform(embedding, "
+            "x -> CAST(x AS DOUBLE) * x))), 4) AS norm FROM embeddings"),
+        "token_histogram": (
+            "SELECT token, COUNT(*) AS n FROM (SELECT unnest("
+            "string_split(text, ' ')) AS token FROM documents) "
+            "GROUP BY token ORDER BY n DESC, token LIMIT 20"),
+        "events_hourly": (
+            "SELECT event_type, CAST(floor(epoch(ts) / 3600) AS BIGINT) "
+            "AS hr, COUNT(*) AS n, round(SUM(value), 2) AS sum_value "
+            "FROM events GROUP BY event_type, hr"),
         # langid / fingerprint / minhash_pairs / simhash_pairs / ann_lsh /
         # codec_selection: not SQL-expressible → rows-only checks
     }

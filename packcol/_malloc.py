@@ -28,3 +28,12 @@ def tune_malloc() -> None:
         libc.mallopt(M_TRIM_THRESHOLD, 1 << 30)
     except Exception:
         pass  # non-glibc platform — nothing to tune
+    try:
+        # Arrow's bundled jemalloc/mimalloc returns pages to the OS on
+        # free (madvise), re-paying the fault cost on every parquet read.
+        # The system (glibc) pool + the mallopt above keeps Arrow buffers
+        # on the warm heap too.
+        import pyarrow as pa
+        pa.set_memory_pool(pa.system_memory_pool())
+    except Exception:
+        pass
