@@ -1,0 +1,145 @@
+"""Skew handling: oversized-row chunking and size-balanced batching.
+
+Ray Data's block splitter cannot split a single giant row (SURVEY.md §4):
+a multi-MB ``html`` cell makes its batch arbitrarily large.  The explicit
+fix is row segmentation BEFORE encode: split any string/binary cell
+larger than ``max_cell_bytes`` into ``(row, seg_no)`` segments, process
+segments as ordinary rows, and reassemble exactly on decode.
+
+``chunk_rows`` / ``reassemble_rows`` are inverse map_batches stages:
+    chunked  = ds.map_batches(RowChunker("html", max_cell_bytes=1<<20))
+    restored = chunked_ds.groupby("__row_id").map_groups(...)  # or
+               reassemble within partition when order is preserved.
+
+The segment id columns (``__row_id``, ``__seg_no``, ``__n_segs``) ride
+along as ordinary columns; reassembly needs all segments of a row in one
+group — guaranteed within a partition because chunking never crosses
+partitions (documented partitioning assumption).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..codecs.fsst import _is_stringy, buffer_view
+
+
+def chunk_rows(batch: pa.Table, column: str, max_cell_bytes: int,
+               row_id_base: str = "") -> pa.Table:
+    """Split rows whose `column` cell exceeds max_cell_bytes into
+    multiple segment rows.  Other columns are repeated on each segment.
+    Adds __row_id (stable within batch), __seg_no, __n_segs."""
+    col = batch.column(column)
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if not _is_stringy(col.type):
+        raise TypeError(f"cannot chunk non-binary column {column}")
+    import pyarrow.compute as pc
+    filled = col
+    if col.null_count:
+        fill = (b"" if pa.types.is_binary(col.type)
+                or pa.types.is_large_binary(col.type) else "")
+        filled = pc.fill_null(col, fill)
+    d, offs = buffer_view(filled)
+    lens = np.diff(offs)
+    n_segs = np.maximum(-(-lens // max_cell_bytes), 1).astype(np.int64)
+    total_segs = int(n_segs.sum())
+    # segment boundaries: row i split at offs[i] + j*max_cell_bytes
+    row_of_seg = np.repeat(np.arange(len(lens), dtype=np.int64), n_segs)
+    seg_no = np.arange(total_segs, dtype=np.int64) - \
+        np.repeat(np.cumsum(n_segs) - n_segs, n_segs)
+    seg_start = offs[:-1][row_of_seg] + seg_no * max_cell_bytes
+    seg_end = np.minimum(seg_start + max_cell_bytes, offs[1:][row_of_seg])
+    new_offs = np.zeros(total_segs + 1, dtype=np.int64)
+    np.cumsum(seg_end - seg_start, out=new_offs[1:])
+    # data buffer is unchanged — only offsets change — when each row's
+    # segments are contiguous (they are); so the segment column reuses d
+    large = (pa.types.is_large_string(col.type)
+             or pa.types.is_large_binary(col.type))
+    off_np = np.concatenate([seg_start, seg_end[-1:]]) \
+        if total_segs else np.zeros(1, dtype=np.int64)
+    # offsets must be monotone; segments are in order and contiguous per
+    # row, and rows are in order → seg_start is monotone with
+    # seg_end[k] == seg_start[k+1] within a row; across rows
+    # seg_start[k+1] == offs of next row == seg_end[k].  So valid.
+    off_arr = off_np.astype(np.int64 if large else np.int32)
+    seg_col = pa.Array.from_buffers(
+        col.type, total_segs,
+        [None, pa.py_buffer(off_arr.tobytes()),
+         pa.py_buffer(d.tobytes())])
+    take = pa.array(row_of_seg)
+    cols = {}
+    for name in batch.column_names:
+        if name == column:
+            cols[name] = seg_col
+        else:
+            c = batch.column(name)
+            if isinstance(c, pa.ChunkedArray):
+                c = c.combine_chunks()
+            cols[name] = c.take(take)
+    cols["__row_id"] = pa.array(
+        [f"{row_id_base}{i}" for i in row_of_seg], type=pa.string())
+    cols["__seg_no"] = pa.array(seg_no)
+    cols["__n_segs"] = pa.array(n_segs[row_of_seg])
+    return pa.table(cols)
+
+
+def reassemble_rows(batch: pa.Table, column: str) -> pa.Table:
+    """Inverse of chunk_rows: concatenates segments back into whole rows.
+    Requires all segments of each row present (same partition) —
+    segments may arrive in any order; sorted by (__row_id, __seg_no)."""
+    import pyarrow.compute as pc
+    idx = pc.sort_indices(batch, sort_keys=[("__row_id", "ascending"),
+                                            ("__seg_no", "ascending")])
+    t = batch.take(idx)
+    col = t.column(column)
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    d, offs = buffer_view(col)
+    n_segs = t.column("__n_segs").to_numpy(zero_copy_only=False)
+    seg_no = t.column("__seg_no").to_numpy(zero_copy_only=False)
+    first = seg_no == 0
+    firsts = np.flatnonzero(first)
+    n_rows = len(firsts)
+    counts = n_segs[firsts]
+    # new offsets: sum of segment lengths per row
+    seg_lens = np.diff(offs)
+    row_ids = np.cumsum(first) - 1
+    row_lens = np.bincount(row_ids, weights=seg_lens,
+                           minlength=n_rows).astype(np.int64)
+    new_offs = np.zeros(n_rows + 1, dtype=np.int64)
+    np.cumsum(row_lens, out=new_offs[1:])
+    large = (pa.types.is_large_string(col.type)
+             or pa.types.is_large_binary(col.type))
+    off_arr = new_offs.astype(np.int64 if large else np.int32)
+    joined = pa.Array.from_buffers(
+        col.type, n_rows,
+        [None, pa.py_buffer(off_arr.tobytes()), pa.py_buffer(d.tobytes())])
+    take = pa.array(firsts)
+    cols = {}
+    for name in t.column_names:
+        if name in ("__row_id", "__seg_no", "__n_segs"):
+            continue
+        if name == column:
+            cols[name] = joined
+        else:
+            c = t.column(name)
+            if isinstance(c, pa.ChunkedArray):
+                c = c.combine_chunks()
+            cols[name] = c.take(take)
+    return pa.table(cols)
+
+
+class RowChunker:
+    """map_batches stage wrapping chunk_rows with a per-batch-unique
+    row-id base (content hash) so ids never collide across batches."""
+
+    def __init__(self, column: str, max_cell_bytes: int = 1 << 20):
+        self.column = column
+        self.max_cell_bytes = max_cell_bytes
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..stages.encode import content_part_id
+        base = content_part_id(batch) + ":"
+        return chunk_rows(batch, self.column, self.max_cell_bytes, base)

@@ -1,0 +1,101 @@
+#!/usr/bin/env python
+"""packcol CLI — the `ray job submit` entry point.
+
+    ray job submit -- python scripts/packcol_run.py encode \
+        --input '/data/webtext/*.parquet' --output /data/encoded
+    python scripts/packcol_run.py verify --encoded /data/encoded
+    python scripts/packcol_run.py compact --encoded /data/encoded \
+        --dest /data/encoded_compact --merge-factor 8
+    python scripts/packcol_run.py gen --output /tmp/webtext --rows 100000
+
+Resumable: re-running `encode` skips partitions already recorded in the
+output manifest.  Owns its Ray session (guarded init), per the driver
+contract everything under packcol/ does not.
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _ray_init(num_cpus: int | None):
+    os.environ.setdefault("ARROW_DEFAULT_MEMORY_POOL", "system")
+    import ray
+    if not ray.is_initialized():
+        kwargs = dict(address=os.environ.get("RAY_ADDRESS", "local"),
+                      include_dashboard=False, ignore_reinit_error=True,
+                      logging_level="ERROR",
+                      runtime_env={"env_vars": {
+                          "ARROW_DEFAULT_MEMORY_POOL": "system"}})
+        if num_cpus:
+            kwargs["num_cpus"] = num_cpus
+        ray.init(**kwargs)
+    return ray
+
+
+def main() -> None:
+    p = argparse.ArgumentParser(prog="packcol")
+    p.add_argument("--num-cpus", type=int, default=None)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    e = sub.add_parser("encode", help="encode parquet files (resumable)")
+    e.add_argument("--input", required=True, help="glob of parquet files")
+    e.add_argument("--output", required=True)
+    e.add_argument("--target-mb", type=int, default=64)
+    e.add_argument("--no-resume", action="store_true")
+
+    v = sub.add_parser("verify", help="decode-verify an encoded dir")
+    v.add_argument("--encoded", required=True)
+
+    d = sub.add_parser("decode", help="decode to parquet")
+    d.add_argument("--encoded", required=True)
+    d.add_argument("--output", required=True)
+
+    c = sub.add_parser("compact", help="merge small encoded parts")
+    c.add_argument("--encoded", required=True)
+    c.add_argument("--dest", required=True)
+    c.add_argument("--merge-factor", type=int, default=4)
+
+    g = sub.add_parser("gen", help="generate synthetic webtext")
+    g.add_argument("--output", required=True)
+    g.add_argument("--rows", type=int, default=100_000)
+    g.add_argument("--parts", type=int, default=None)
+
+    args = p.parse_args()
+    ray = _ray_init(args.num_cpus)
+
+    if args.cmd == "encode":
+        from packcol.pipelines.encode_pipeline import encode_files
+        paths = sorted(glob.glob(args.input))
+        if not paths:
+            sys.exit(f"no files match {args.input}")
+        m = encode_files(paths, args.output, resume=not args.no_resume,
+                         target_bytes=args.target_mb << 20)
+        print(json.dumps(m))
+    elif args.cmd == "verify":
+        from packcol.pipelines.encode_pipeline import verify_files
+        print(json.dumps(verify_files(args.encoded)))
+    elif args.cmd == "decode":
+        from packcol.pipelines.encode_pipeline import decode_files
+        decode_files(args.encoded).write_parquet(args.output)
+        print(json.dumps({"ok": True, "output": args.output}))
+    elif args.cmd == "compact":
+        from packcol.pipelines.compact import recompact
+        print(json.dumps(recompact(args.encoded, args.dest,
+                                   merge_factor=args.merge_factor)))
+    elif args.cmd == "gen":
+        from packcol.sources.webtext import write_webtext
+        parts = args.parts or max(args.rows // 7500, 1)
+        files = write_webtext(args.output, args.rows, parts, use_ray=True)
+        print(json.dumps({"files": len(files), "rows": args.rows}))
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()

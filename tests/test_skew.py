@@ -1,0 +1,61 @@
+"""Oversized-row chunking / reassembly tests (SURVEY §4 skew handling)."""
+
+import numpy as np
+import pyarrow as pa
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from packcol.stages.skew import RowChunker, chunk_rows, reassemble_rows
+
+
+def make_batch():
+    rng = np.random.default_rng(3)
+    cells = [b"small", b"x" * 2500, b"", rng.bytes(9999), b"y" * 1000]
+    return pa.table({
+        "id": pa.array(range(len(cells)), type=pa.int64()),
+        "html": pa.array(cells, type=pa.large_binary()),
+    })
+
+
+def test_chunk_sizes():
+    t = make_batch()
+    out = chunk_rows(t, "html", max_cell_bytes=1000)
+    lens = [len(x) for x in out.column("html").to_pylist()]
+    assert max(lens) <= 1000
+    assert out.column("__n_segs").to_pylist() == \
+        [1, 3, 3, 3, 1, 10] + [10] * 9 + [1]
+    # 2500 → 3 segs; 9999 → 10 segs
+
+
+def test_roundtrip():
+    t = make_batch()
+    out = chunk_rows(t, "html", max_cell_bytes=1000)
+    back = reassemble_rows(out, "html")
+    got = dict(zip(back.column("id").to_pylist(),
+                   back.column("html").to_pylist()))
+    exp = dict(zip(t.column("id").to_pylist(),
+                   t.column("html").to_pylist()))
+    assert got == exp
+
+
+def test_row_chunker_stage():
+    t = make_batch()
+    out = RowChunker("html", max_cell_bytes=512)(t)
+    assert out.num_rows > t.num_rows
+    back = reassemble_rows(out, "html")
+    assert sorted(back.column("id").to_pylist()) == [0, 1, 2, 3, 4]
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.binary(max_size=5000), min_size=1, max_size=30),
+       st.integers(min_value=1, max_value=2048))
+def test_property_roundtrip(cells, maxb):
+    t = pa.table({"id": pa.array(range(len(cells)), type=pa.int64()),
+                  "html": pa.array(cells, type=pa.large_binary())})
+    out = chunk_rows(t, "html", max_cell_bytes=maxb)
+    assert all(len(x) <= maxb for x in out.column("html").to_pylist())
+    back = reassemble_rows(out, "html")
+    got = dict(zip(back.column("id").to_pylist(),
+                   back.column("html").to_pylist()))
+    exp = dict(zip(t.column("id").to_pylist(), t.column("html").to_pylist()))
+    assert got == exp
