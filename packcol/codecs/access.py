@@ -1,0 +1,71 @@
+"""Point access into encoded blocks without full decode.
+
+The reference's packed buffer supports O(1) random reads of any value
+(`SeqVector::get_kmer_u64` / `Kmer::get`,
+/root/reference/src/naive_impl/seq_vector.rs:96-103,
+/root/reference/src/kmer.rs:46-53).  The generalization: read row `i` of
+an EncodedColumn touching only O(1) (bit-pack, FOR, dict) or O(runs)
+(RLE, binary-searched) of the payload — used by decode-verify sampling
+so spot checks never decode whole blocks.
+"""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+import pyarrow as pa
+
+from .base import EncodedColumn, str_to_type, validity_from_bytes
+from .dictionary import ipc_deserialize_array
+
+
+def _unpack_one(payload: bytes, width: int, i: int) -> int:
+    """Extract the i-th width-bit value from a packed little-endian
+    bitstream, touching at most 16 bytes."""
+    if width == 0:
+        return 0
+    bit = i * width
+    byte0 = bit // 8
+    nbytes = (bit % 8 + width + 7) // 8
+    chunk = payload[byte0:byte0 + nbytes]
+    acc = int.from_bytes(chunk, "little")
+    return (acc >> (bit % 8)) & ((1 << width) - 1)
+
+
+def get_value(enc: EncodedColumn, i: int):
+    """Row i of an encoded column, as a Python value (None for nulls)."""
+    if not (0 <= i < enc.n_values):
+        raise IndexError(i)
+    valid = validity_from_bytes(enc.buffers.get("validity", b""),
+                                enc.n_values)
+    if valid is not None and not valid[i]:
+        return None
+    p = enc.params
+    if enc.codec == "dict":
+        code = _unpack_one(enc.buffers["payload"], p["width"], i)
+        dictionary = ipc_deserialize_array(enc.buffers["aux"])
+        return dictionary[code].as_py()
+    if enc.codec == "for":
+        delta = _unpack_one(enc.buffers["payload"], p["width"], i)
+        v = np.int64(np.uint64(np.int64(p["base"]).astype(np.uint64)
+                               + np.uint64(delta)))
+        arr = pa.array(np.array([v], dtype=np.int64))
+        from .forpack import from_int64_numpy
+        return from_int64_numpy(np.array([v], dtype=np.int64),
+                                str_to_type(p["dtype"]))[0].as_py()
+    if enc.codec == "rle":
+        # O(log n_runs): binary search the cumulative run lengths
+        nr = p["n_runs"]
+        lens = np.array([_unpack_one(enc.buffers["lens"], p["len_width"], j)
+                         for j in range(nr)], dtype=np.int64)
+        ends = np.cumsum(lens)
+        run = int(np.searchsorted(ends, i, side="right"))
+        code = _unpack_one(enc.buffers["payload"], p["val_width"], run) - 1
+        if code < 0:
+            return None
+        dictionary = ipc_deserialize_array(enc.buffers["aux"])
+        return dictionary[code].as_py()
+    # fsst / store: no sub-linear path — decode the block (documented)
+    from .base import decode_any
+    return decode_any(enc)[i].as_py()

@@ -148,3 +148,20 @@ def test_property_ints_all_codecs(xs):
     arr = pa.array(xs, type=pa.int64())
     for name in ("dict", "rle", "for", "store"):
         roundtrip(CODECS[name], arr)
+
+
+def test_point_access():
+    """O(1)/O(runs) point reads match full decode (SeqVector::get parity)."""
+    from packcol.codecs.access import get_value
+    cases = [
+        ("dict", pa.array(["en", "de", None, "fr", "en"] * 10)),
+        ("for", pa.array([100, None, 250, 7, 99999] * 10, type=pa.int64())),
+        ("rle", pa.array(["a"] * 20 + ["b"] * 15 + [None] * 5 + ["c"] * 10)),
+        ("fsst", pa.array(["hello world", "foo bar", None] * 10)),
+        ("store", pa.array([1.5, 2.5, None] * 10)),
+    ]
+    for name, arr in cases:
+        enc = CODECS[name].encode(arr)
+        full = CODECS[name].decode(enc)
+        for i in [0, 1, len(arr) // 2, len(arr) - 1]:
+            assert get_value(enc, i) == full[i].as_py(), (name, i)
