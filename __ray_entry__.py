@@ -86,6 +86,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         sf, "events", ["event_id", "ts"], "for")
     q["bitpack_roundtrip_user"] = lambda sf: _roundtrip(
         sf, "events", ["event_id", "user_id"], "for")
+    q["delta_roundtrip_ts"] = lambda sf: _roundtrip(
+        sf, "events", ["event_id", "ts"], "delta")
     q["fsst_roundtrip_text"] = lambda sf: _roundtrip(
         sf, "documents", ["doc_id", "text"], "fsst")
     q["store_roundtrip_props"] = lambda sf: _roundtrip(
@@ -307,6 +309,7 @@ def oracle_sql() -> dict[str, str]:
         "dict_roundtrip_lang": "SELECT doc_id, lang FROM documents",
         "rle_roundtrip_source": "SELECT doc_id, source FROM documents",
         "for_roundtrip_ts": "SELECT event_id, ts FROM events",
+        "delta_roundtrip_ts": "SELECT event_id, ts FROM events",
         "bitpack_roundtrip_user": "SELECT event_id, user_id FROM events",
         "fsst_roundtrip_text": "SELECT doc_id, text FROM documents",
         "store_roundtrip_props": "SELECT event_id, props FROM events",

@@ -3,7 +3,8 @@
 from .base import (Codec, EncodedColumn, all_codecs, decode_any, get_codec,
                    register)
 from .bitpack import bits_needed, pack, packed_words_for, unpack
-from . import dictionary, forpack, fsst, passthrough, rle  # noqa: F401  (register)
+from . import delta, dictionary, forpack, fsst, passthrough, rle  # noqa: F401  (register)
+from .delta import DeltaCodec
 from .dictionary import DictionaryCodec
 from .forpack import ForCodec
 from .fsst import FsstCodec
@@ -13,6 +14,6 @@ from .rle import RleCodec
 __all__ = [
     "Codec", "EncodedColumn", "all_codecs", "decode_any", "get_codec",
     "register", "bits_needed", "pack", "unpack", "packed_words_for",
-    "DictionaryCodec", "ForCodec", "FsstCodec", "PassthroughCodec",
+    "DeltaCodec", "DictionaryCodec", "ForCodec", "FsstCodec", "PassthroughCodec",
     "RleCodec",
 ]

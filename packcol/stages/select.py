@@ -35,6 +35,9 @@ def estimate_sizes(dtype: pa.DataType, s: dict) -> dict:
     if is_int_like(dtype) and "min" in s:
         width = bits_needed(int(s["max"]) - int(s["min"]))
         est["for"] = n * width / 8 + 16
+        if "delta_max_abs" in s:
+            dw = bits_needed(2 * int(s["delta_max_abs"]))
+            est["delta"] = n * dw / 8 + 16
     if _is_stringy(dtype):
         db = s.get("data_bytes", raw)
         ent = s.get("entropy", 8.0)

@@ -68,6 +68,9 @@ def column_stats(arr: pa.Array) -> dict:
             v = v[valid]
         if len(v):
             s["min"], s["max"] = int(v.min()), int(v.max())
+            if len(v) > 1:
+                dv = np.diff(v)
+                s["delta_max_abs"] = int(np.abs(dv).max())
     elif _is_stringy(arr.type):
         filled = arr
         if arr.null_count:

@@ -9,13 +9,15 @@ import pytest
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
-from packcol.codecs import (DictionaryCodec, EncodedColumn, ForCodec,
-                            FsstCodec, PassthroughCodec, RleCodec, get_codec)
+from packcol.codecs import (DeltaCodec, DictionaryCodec, EncodedColumn,
+                            ForCodec, FsstCodec, PassthroughCodec, RleCodec,
+                            get_codec)
 
 CODECS = {
     "dict": DictionaryCodec(),
     "rle": RleCodec(),
     "for": ForCodec(),
+    "delta": DeltaCodec(),
     "fsst": FsstCodec(),
     "store": PassthroughCodec(),
 }
@@ -76,8 +78,9 @@ def test_generic_codecs_roundtrip(name, arr):
 
 
 @pytest.mark.parametrize("arr", INT_ARRAYS, ids=range(len(INT_ARRAYS)))
-def test_for_roundtrip(arr):
-    roundtrip(CODECS["for"], arr)
+@pytest.mark.parametrize("name", ["for", "delta"])
+def test_int_codecs_roundtrip(name, arr):
+    roundtrip(CODECS[name], arr)
 
 
 @pytest.mark.parametrize("arr", STRING_ARRAYS + BINARY_ARRAYS,
@@ -146,7 +149,7 @@ def test_property_strings_all_codecs(xs):
                 max_size=120))
 def test_property_ints_all_codecs(xs):
     arr = pa.array(xs, type=pa.int64())
-    for name in ("dict", "rle", "for", "store"):
+    for name in ("dict", "rle", "for", "delta", "store"):
         roundtrip(CODECS[name], arr)
 
 
