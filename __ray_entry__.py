@@ -287,6 +287,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return pd.DataFrame(out, columns=["id_a", "id_b", "jaccard"])
     q["ngram_dedup"] = ngram_dedup
 
+    # --- distributed column profile (mergeable KMV sketch + shuffle) -----
+    def profile_events(sf):
+        from packcol.stages.profile import column_profile
+        ds = _read(sf, "events", ["user_id", "event_type"])
+        pdf = column_profile(ds).to_pandas()
+        pdf = pdf[["column", "n", "n_distinct", "min_i", "max_i"]]
+        return pdf.sort_values("column").reset_index(drop=True)
+    q["column_profile"] = profile_events
+
     # --- codec auto-selection decisions (deterministic) ------------------
     def codec_selection(sf):
         from packcol.stages.encode import encode_table
@@ -346,6 +355,13 @@ def oracle_sql() -> dict[str, str]:
             "SELECT token, COUNT(*) AS n FROM (SELECT unnest("
             "string_split(text, ' ')) AS token FROM documents) "
             "GROUP BY token ORDER BY n DESC, token LIMIT 20"),
+        "column_profile": (
+            "SELECT * FROM (SELECT 'event_type' AS \"column\", COUNT(*) AS n, "
+            "COUNT(DISTINCT event_type) AS n_distinct, "
+            "CAST(NULL AS BIGINT) AS min_i, CAST(NULL AS BIGINT) AS max_i "
+            "FROM events UNION ALL SELECT 'user_id', COUNT(*), "
+            "COUNT(DISTINCT user_id), MIN(user_id), MAX(user_id) "
+            "FROM events) ORDER BY \"column\""),
         "events_hourly": (
             "SELECT event_type, CAST(floor(epoch(ts) / 3600) AS BIGINT) "
             "AS hr, COUNT(*) AS n, round(SUM(value), 2) AS sum_value "

@@ -1,0 +1,123 @@
+"""Distributed column profiling: mergeable per-batch stats → one shuffle.
+
+The scale shape the north star names ("groupby-shuffle of per-codec
+stats"): every batch emits ONE small stats row per column — counts,
+min/max, and a KMV (k-minimum-values) distinct sketch, all mergeable —
+then a tiny ``groupby("column")`` merges them.  Documents never shuffle;
+only sketch rows do.
+
+KMV: keep the k smallest 64-bit value hashes; estimate
+``n_distinct ≈ (k-1) * 2^64 / kth_min`` — and when fewer than k distinct
+hashes exist the sketch is EXACT (it holds them all).  Mergeable by
+union+truncate.  (Public technique: Bar-Yossef et al., "Counting
+distinct elements in a data stream".)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..codecs.forpack import is_int_like, to_int64_numpy
+
+KMV_K = 4096
+
+
+def value_hashes(arr: pa.Array) -> np.ndarray:
+    """64-bit hashes of non-null values (vectorized per type family)."""
+    from ..functions.text import _splitmix64, fingerprints
+    if arr.null_count:
+        arr = arr.drop_null()
+    if len(arr) == 0:
+        return np.empty(0, dtype=np.uint64)
+    if is_int_like(arr.type):
+        return _splitmix64(to_int64_numpy(arr).view(np.uint64))
+    if pa.types.is_floating(arr.type):
+        v = arr.to_numpy(zero_copy_only=False).astype(np.float64)
+        return _splitmix64(v.view(np.uint64))
+    # string-ish: rolling-hash fingerprint per row
+    return fingerprints(arr)
+
+
+def kmv_sketch(hashes: np.ndarray, k: int = KMV_K) -> np.ndarray:
+    u = np.unique(hashes)
+    return u[:k]
+
+
+def kmv_merge(sketches: list[np.ndarray], k: int = KMV_K) -> np.ndarray:
+    return np.unique(np.concatenate(sketches))[:k] if sketches else \
+        np.empty(0, dtype=np.uint64)
+
+
+def kmv_estimate(sketch: np.ndarray, k: int = KMV_K) -> int:
+    m = len(sketch)
+    if m < k:
+        return m  # exact: we saw every distinct hash
+    kth = float(sketch[-1]) + 1.0
+    return int(round((k - 1) * (2.0 ** 64) / kth))
+
+
+def profile_batch(batch: pa.Table) -> pa.Table:
+    """One mergeable stats row per column."""
+    rows = {"column": [], "n": [], "n_nulls": [], "raw_bytes": [],
+            "min_i": [], "max_i": [], "has_minmax": [], "sketch": []}
+    for name in batch.column_names:
+        col = batch.column(name)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        rows["column"].append(name)
+        rows["n"].append(len(col))
+        rows["n_nulls"].append(col.null_count)
+        rows["raw_bytes"].append(col.nbytes)
+        if is_int_like(col.type) and len(col) > col.null_count:
+            v = to_int64_numpy(col)
+            if col.null_count:
+                v = v[col.is_valid().to_numpy(zero_copy_only=False)]
+            rows["min_i"].append(int(v.min()))
+            rows["max_i"].append(int(v.max()))
+            rows["has_minmax"].append(True)
+        else:
+            rows["min_i"].append(0)
+            rows["max_i"].append(0)
+            rows["has_minmax"].append(False)
+        rows["sketch"].append(kmv_sketch(value_hashes(col)).tobytes())
+    return pa.table({
+        "column": pa.array(rows["column"]),
+        "n": pa.array(rows["n"], type=pa.int64()),
+        "n_nulls": pa.array(rows["n_nulls"], type=pa.int64()),
+        "raw_bytes": pa.array(rows["raw_bytes"], type=pa.int64()),
+        "min_i": pa.array(rows["min_i"], type=pa.int64()),
+        "max_i": pa.array(rows["max_i"], type=pa.int64()),
+        "has_minmax": pa.array(rows["has_minmax"]),
+        "sketch": pa.array(rows["sketch"], type=pa.large_binary()),
+    })
+
+
+def merge_profiles(group: pa.Table) -> pa.Table:
+    sketches = [np.frombuffer(b, dtype=np.uint64)
+                for b in group.column("sketch").to_pylist()]
+    merged = kmv_merge(sketches)
+    has_mm = any(group.column("has_minmax").to_pylist())
+    mins = [m for m, h in zip(group.column("min_i").to_pylist(),
+                              group.column("has_minmax").to_pylist()) if h]
+    maxs = [m for m, h in zip(group.column("max_i").to_pylist(),
+                              group.column("has_minmax").to_pylist()) if h]
+    return pa.table({
+        "column": [group.column("column")[0].as_py()],
+        "n": [sum(group.column("n").to_pylist())],
+        "n_nulls": [sum(group.column("n_nulls").to_pylist())],
+        "raw_bytes": [sum(group.column("raw_bytes").to_pylist())],
+        "n_distinct": [kmv_estimate(merged)],
+        "min_i": [min(mins) if has_mm else None],
+        "max_i": [max(maxs) if has_mm else None],
+    })
+
+
+def column_profile(ds) -> "object":
+    """Dataset pipeline: per-batch profile rows → groupby(column) merge.
+    Returns a Dataset with one row per column."""
+    partials = ds.map_batches(profile_batch, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    return partials.groupby("column").map_groups(
+        merge_profiles, batch_format="pyarrow")
