@@ -21,8 +21,8 @@ def test_kmv_merge_exact():
 
 
 def test_kmv_estimate_large():
-    rng = np.random.default_rng(5)
-    h = rng.integers(0, 2**63, 200_000, dtype=np.uint64)
+    # 200k distinct values → uniform 64-bit hashes via value_hashes
+    h = value_hashes(pa.array(np.arange(200_000), type=pa.int64()))
     est = kmv_estimate(kmv_sketch(h))
     assert abs(est - 200_000) / 200_000 < 0.05
 
