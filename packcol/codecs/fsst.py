@@ -85,7 +85,16 @@ def build_symbol_table(d: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     return code_bytes, top.astype(np.int32)
 
 
+_MAX_ROUNDS = 3
+_MIN_ROUND_GAIN = 0.05
+
+
 class FsstCodec(Codec):
+    """Multi-round digram coding: round r pairs symbols of round r-1, so
+    after 3 rounds a single code byte can stand for up to 8 original
+    bytes (BPE-style recursive pairing, each round fully vectorized).
+    Rounds stop when the marginal gain drops below 5%."""
+
     name = "fsst"
 
     def can_encode(self, dtype: pa.DataType, stats: dict | None = None) -> bool:
@@ -102,15 +111,23 @@ class FsstCodec(Codec):
                           or pa.types.is_large_string(dtype)) else b""
             arr = pc.fill_null(arr, fill)
         d, offs = buffer_view(arr)
-        code_bytes, digrams = build_symbol_table(d)
-        out, enc_offs = fsst_compress(d, offs, code_bytes, digrams)
-        lens = np.diff(enc_offs)
+        rounds = []
+        for _ in range(_MAX_ROUNDS):
+            code_bytes, digrams = build_symbol_table(d)
+            if len(code_bytes) == 0:
+                break
+            out, enc_offs = fsst_compress(d, offs, code_bytes, digrams)
+            if len(out) > len(d) * (1 - _MIN_ROUND_GAIN):
+                break
+            rounds.append([code_bytes.tolist(), digrams.tolist()])
+            d, offs = out, enc_offs
+        lens = np.diff(offs)
         lw = bits_needed(int(lens.max()) if len(lens) else 0)
         return EncodedColumn(
             codec=self.name, n_values=n,
-            params={"codes": code_bytes.tolist(), "digrams": digrams.tolist(),
-                    "len_width": lw, "dtype": type_to_str(dtype)},
-            buffers={"payload": out.tobytes(),
+            params={"rounds": rounds, "len_width": lw,
+                    "dtype": type_to_str(dtype)},
+            buffers={"payload": d.tobytes(),
                      "lens": pack(lens.view(np.uint64), lw).tobytes(),
                      "validity": validity},
         )
@@ -122,10 +139,16 @@ class FsstCodec(Codec):
                       p["len_width"], n).view(np.int64)
         enc_offs = np.zeros(n + 1, dtype=np.int64)
         np.cumsum(lens, out=enc_offs[1:])
-        out, out_offs = fsst_decompress(
-            e, enc_offs,
-            np.asarray(p["codes"], dtype=np.uint8),
-            np.asarray(p["digrams"], dtype=np.int32))
+        if "rounds" in p:
+            rounds = p["rounds"]
+        else:  # legacy single-round blocks
+            rounds = [[p["codes"], p["digrams"]]] if p.get("codes") else []
+        out, out_offs = e, enc_offs
+        for codes, digrams in reversed(rounds):
+            out, out_offs = fsst_decompress(
+                out, out_offs,
+                np.asarray(codes, dtype=np.uint8),
+                np.asarray(digrams, dtype=np.int32))
         dtype = str_to_type(p["dtype"])
         arr = _array_from_parts(out, out_offs, n, dtype)
         valid = validity_from_bytes(enc.buffers.get("validity", b""), n)
@@ -219,6 +242,30 @@ def _fsst_compress_chunk(d: np.ndarray, offs: np.ndarray,
 def fsst_decompress(e: np.ndarray, enc_offs: np.ndarray,
                     code_bytes: np.ndarray, digrams: np.ndarray
                     ) -> tuple[np.ndarray, np.ndarray]:
+    """Chunked at string boundaries like fsst_compress (cache-resident
+    temporaries)."""
+    if len(e) <= _CHUNK_BYTES or len(enc_offs) <= 2:
+        return _fsst_decompress_chunk(e, enc_offs, code_bytes, digrams)
+    cut_bytes = np.arange(_CHUNK_BYTES, len(e), _CHUNK_BYTES, dtype=np.int64)
+    cut_rows = np.unique(np.searchsorted(enc_offs, cut_bytes, side="left"))
+    cut_rows = cut_rows[(cut_rows > 0) & (cut_rows < len(enc_offs) - 1)]
+    bounds = [0, *cut_rows.tolist(), len(enc_offs) - 1]
+    outs, offs_parts = [], [np.zeros(1, dtype=np.int64)]
+    base = np.int64(0)
+    for a, b in zip(bounds[:-1], bounds[1:]):
+        lo, hi = enc_offs[a], enc_offs[b]
+        o, oo = _fsst_decompress_chunk(
+            np.ascontiguousarray(e[lo:hi]), enc_offs[a:b + 1] - lo,
+            code_bytes, digrams)
+        outs.append(o)
+        offs_parts.append(oo[1:] + base)
+        base += oo[-1]
+    return np.concatenate(outs), np.concatenate(offs_parts)
+
+
+def _fsst_decompress_chunk(e: np.ndarray, enc_offs: np.ndarray,
+                           code_bytes: np.ndarray, digrams: np.ndarray
+                           ) -> tuple[np.ndarray, np.ndarray]:
     ne = len(e)
     if ne == 0 or len(code_bytes) == 0:
         return e.copy(), enc_offs.copy()

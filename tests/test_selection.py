@@ -39,7 +39,7 @@ def test_expected_codecs():
     assert chosen["const_col"] == "rle"
     assert chosen["lowcard_col"] == "dict"
     assert chosen["runs_col"] == "rle"
-    assert chosen["sorted_ts"] == "for"
+    assert chosen["sorted_ts"] in ("for", "delta")
     assert chosen["uniq_str"] == "fsst"
     # incompressible: size guard must prevent expansion beyond store
     assert chosen["rand_bytes"] in ("store", "fsst")
