@@ -35,7 +35,7 @@ from .bitpack import bits_needed, pack, unpack
 
 _SAMPLE_MAX = 1 << 20   # bytes of data sampled for digram counting
 _MIN_COUNT = 8          # a digram must appear ≥ this often in the sample
-_MAX_SYMS = 250
+_MAX_SYMS = 160
 
 
 def _is_stringy(t: pa.DataType) -> bool:

@@ -168,3 +168,20 @@ def test_point_access():
         full = CODECS[name].decode(enc)
         for i in [0, 1, len(arr) // 2, len(arr) - 1]:
             assert get_value(enc, i) == full[i].as_py(), (name, i)
+
+
+def test_order_preserving_codes_sort():
+    """H3 (LexHasher) parity: sorting by dictionary CODES equals sorting
+    by plaintext values — range partitioning / sorts can run on encoded
+    data without decoding."""
+    import json
+    rng = np.random.default_rng(9)
+    vals = [f"key-{rng.integers(0, 1000):04d}" for _ in range(500)]
+    arr = pa.array(vals)
+    enc = CODECS["dict"].encode(arr)
+    from packcol.codecs.bitpack import unpack
+    codes = unpack(np.frombuffer(enc.buffers["payload"], dtype=np.uint64),
+                   enc.params["width"], len(arr))
+    order_by_code = np.argsort(codes, kind="stable")
+    order_by_value = np.argsort(np.array(vals), kind="stable")
+    np.testing.assert_array_equal(order_by_code, order_by_value)
