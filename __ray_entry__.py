@@ -287,6 +287,45 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return pd.DataFrame(out, columns=["id_a", "id_b", "jaccard"])
     q["ngram_dedup"] = ngram_dedup
 
+    # --- broadcast semi-join: events of the top-5 busiest users ----------
+    def events_top_users(sf):
+        import ray
+        from ray.data.aggregate import Count
+        ds = _read(sf, "events", ["event_id", "user_id"])
+        top = ds.groupby("user_id").aggregate(Count(alias_name="n")) \
+            .to_pandas().sort_values(["n", "user_id"],
+                                     ascending=[False, True]).head(5)
+        keys = ray.put(set(top["user_id"].tolist()))  # broadcast small side
+
+        def f(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+            ks = ray.get(keys)
+            mask = pc.is_in(batch.column("user_id"),
+                            value_set=pa.array(sorted(ks), type=pa.int64()))
+            return batch.filter(mask)
+        return ds.map_batches(f, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    q["events_top_users"] = events_top_users
+
+    # --- blocklist filter (token-hash membership, vectorized) ------------
+    def blocklist_filter(sf):
+        from packcol.functions.text import token_hashes, _hash_words
+        banned = ["spark", "slow"]
+        banned_h = _hash_words(banned)
+
+        def f(batch: pa.Table) -> pa.Table:
+            h, rows = token_hashes(batch.column("text"))
+            n = batch.num_rows
+            hit = np.isin(h, banned_h)
+            bad_rows = np.zeros(n, dtype=bool)
+            if hit.any():
+                bad_rows[np.unique(rows[hit])] = True
+            return pa.table({"doc_id": batch.column("doc_id")}).filter(
+                pa.array(~bad_rows))
+        return _read(sf, "documents", ["doc_id", "text"]).map_batches(
+            f, batch_format="pyarrow", zero_copy_batch=True)
+    q["blocklist_filter"] = blocklist_filter
+
     # --- distributed column profile (mergeable KMV sketch + shuffle) -----
     def profile_events(sf):
         from packcol.stages.profile import column_profile
@@ -362,6 +401,13 @@ def oracle_sql() -> dict[str, str]:
             "FROM events UNION ALL SELECT 'user_id', COUNT(*), "
             "COUNT(DISTINCT user_id), MIN(user_id), MAX(user_id) "
             "FROM events) ORDER BY \"column\""),
+        "events_top_users": (
+            "SELECT event_id, user_id FROM events WHERE user_id IN ("
+            "SELECT user_id FROM events GROUP BY user_id "
+            "ORDER BY COUNT(*) DESC, user_id LIMIT 5)"),
+        "blocklist_filter": (
+            "SELECT doc_id FROM documents WHERE NOT list_has_any("
+            "string_split(text, ' '), ['spark', 'slow'])"),
         "events_hourly": (
             "SELECT event_type, CAST(floor(epoch(ts) / 3600) AS BIGINT) "
             "AS hr, COUNT(*) AS n, round(SUM(value), 2) AS sum_value "
