@@ -157,23 +157,35 @@ def read_encoded(out_dir: str) -> "rd.Dataset":
 
 
 class DecodePartFile:
-    """Task: one encoded part file path → decoded original table."""
+    """Task: one encoded part file path → decoded original table.
+    With `columns`, only those encoded-block rows are read and decoded —
+    column pruning without touching other payloads."""
+
+    def __init__(self, columns: list[str] | None = None):
+        self.columns = columns
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        tables = [decode_rows(pq.read_table(p))
-                  for p in batch.column("path").to_pylist()]
+        tables = []
+        for p in batch.column("path").to_pylist():
+            enc = pq.read_table(p)
+            if self.columns is not None:
+                import pyarrow.compute as pc
+                enc = enc.filter(pc.is_in(
+                    enc.column("column"), value_set=pa.array(self.columns)))
+            tables.append(decode_rows(enc))
         return pa.concat_tables(tables)
 
 
 def decode_files(out_dir: str, concurrency: int | None = None,
-                 cpus_per_task: float = 1) -> "rd.Dataset":
+                 cpus_per_task: float = 1,
+                 columns: list[str] | None = None) -> "rd.Dataset":
     """Streaming decode of an encoded directory → Dataset of original
-    blocks (one task per part file; no shuffle).  Like encode, decode is
-    bandwidth-bound → a few CPUs per task caps concurrent decoders."""
+    blocks (one task per part file; no shuffle).  Pass `columns` to
+    decode a projection only (pruning at the encoded-block level)."""
     files = [{"path": os.path.join(out_dir, f)}
              for f in sorted(os.listdir(out_dir)) if f.endswith(".parquet")]
     ds = rd.from_items(files, override_num_blocks=max(len(files), 1))
-    return ds.map_batches(DecodePartFile(), batch_size=1,
+    return ds.map_batches(DecodePartFile(columns), batch_size=1,
                           batch_format="pyarrow", num_cpus=cpus_per_task,
                           **({"concurrency": concurrency} if concurrency
                              else {}))

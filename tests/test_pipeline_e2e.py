@@ -105,3 +105,15 @@ def test_encode_dataset_streaming(ray_session, webtext_dir):
     v = verify_dataset(rd.read_parquet(webtext_dir))
     assert v["n_failed"] == 0
     assert v["ratio"] > 1.0
+
+
+def test_decode_files_column_pruning(ray_session, webtext_dir, tmp_path):
+    from packcol.pipelines.encode_pipeline import decode_files, encode_files
+    out = str(tmp_path / "enc_prune")
+    paths = [os.path.join(webtext_dir, f) for f in os.listdir(webtext_dir)
+             if f.endswith(".parquet")]
+    encode_files(paths, out, target_bytes=1 << 20)
+    dec = decode_files(out, columns=["url", "lang"])
+    pdf = dec.to_pandas()
+    assert sorted(pdf.columns) == ["lang", "url"]
+    assert len(pdf) == 4000
