@@ -11,7 +11,6 @@ so spot checks never decode whole blocks.
 
 from __future__ import annotations
 
-import json
 
 import numpy as np
 import pyarrow as pa

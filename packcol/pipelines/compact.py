@@ -85,6 +85,32 @@ class RecompactGroup:
         return pa.table(out)
 
 
+def read_column(dest_dir: str, column: str):
+    """Decode one column from a column-major compacted layout — reads a
+    single file, never touches other columns' payloads.  Returns a
+    Dataset of single-column blocks."""
+    path = os.path.join(dest_dir, f"{column}.parquet")
+
+    def decode_file(batch: pa.Table) -> pa.Table:
+        return decode_rows_single(pq.read_table(batch.column("path")[0].as_py()))
+
+    def decode_rows_single(enc_rows: pa.Table) -> pa.Table:
+        from ..codecs import EncodedColumn, decode_any
+        arrays = []
+        for i in range(enc_rows.num_rows):
+            row = {k: enc_rows.column(k)[i].as_py() for k in
+                   ("codec", "n_values", "params", "payload")}
+            arrays.append(decode_any(EncodedColumn.from_row(row)))
+        if not arrays:
+            return pa.table({column: []})
+        return pa.table({column: pa.concat_arrays(
+            [a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a
+             for a in arrays])})
+
+    ds = rd.from_items([{"path": path}], override_num_blocks=1)
+    return ds.map_batches(decode_file, batch_size=1, batch_format="pyarrow")
+
+
 def recompact(enc_dir: str, dest_dir: str, merge_factor: int = 4,
               cpus_per_task: float = 1) -> dict:
     """Merge every `merge_factor` adjacent parts into one larger part."""

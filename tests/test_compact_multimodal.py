@@ -104,3 +104,12 @@ def test_audio_stage_plumbing(ray_session):
     for frames in out["frames"]:
         assert len(frames) >= 1
         assert all(len(fr) == AUDIO_FRAME_FEATURES for fr in frames)
+
+
+def test_read_single_column(enc_dir, ray_session, tmp_path):
+    from packcol.pipelines.compact import compact_columns, read_column
+    dest = str(tmp_path / "cols2")
+    compact_columns(enc_dir, dest)
+    langs = read_column(dest, "lang").to_pandas()
+    assert len(langs) == 3000
+    assert set(langs.columns) == {"lang"}
