@@ -56,15 +56,14 @@ def entry() -> Any:
     """Flagship: generate deterministic webtext, run the checkpointed
     encode → manifest → decode-verify pipeline, return per-part metrics."""
     import pandas as pd
-    from packcol.pipelines.encode_pipeline import (decode_files, encode_files,
-                                                   verify_url_text_invariant)
+    from packcol.pipelines.encode_pipeline import encode_files, verify_files
     from packcol.sources.webtext import write_webtext
 
     data_dir = "/tmp/packcol_entry/webtext"
     out_dir = "/tmp/packcol_entry/encoded"
-    paths = write_webtext(data_dir, n_rows=6000, n_parts=4, seed=42)
-    metrics = encode_files(paths, out_dir, target_bytes=4 << 20)
-    inv = verify_url_text_invariant(decode_files(out_dir))
+    paths = write_webtext(data_dir, n_rows=4000, n_parts=4, seed=42)
+    metrics = encode_files(paths, out_dir, target_bytes=2 << 20)
+    inv = verify_files(out_dir)
     metrics.update(text_rows_verified=inv["rows"],
                    text_mismatches=inv["mismatches"])
     return pd.DataFrame([metrics])
