@@ -286,6 +286,35 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return pd.DataFrame(out, columns=["id_a", "id_b", "jaccard"])
     q["ngram_dedup"] = ngram_dedup
 
+    # --- stream-shaped ops: sessionization + top-per-group ---------------
+    # (Ray Data has no event-time windows; the documented pattern is
+    # groupby(key).map_groups over ts-sorted groups — ordering assumption:
+    # all events of a user fit one group, sorted inside the UDF.)
+    def sessionize(sf):
+        import pandas as pd
+
+        def per_user(g: pd.DataFrame) -> pd.DataFrame:
+            g = g.sort_values(["ts", "event_id"])
+            gaps = g["ts"].diff().dt.total_seconds() > 1800
+            return pd.DataFrame({"user_id": [g["user_id"].iloc[0]],
+                                 "n_sessions": [int(gaps.sum()) + 1]})
+        ds = _read(sf, "events", ["user_id", "ts", "event_id"])
+        return ds.groupby("user_id").map_groups(per_user,
+                                                batch_format="pandas")
+    q["sessionize"] = sessionize
+
+    def top_event_per_user(sf):
+        import pandas as pd
+
+        def per_user(g: pd.DataFrame) -> pd.DataFrame:
+            g = g.sort_values(["value", "event_id"],
+                              ascending=[False, True])
+            return g.head(1)[["user_id", "event_id", "value"]]
+        ds = _read(sf, "events", ["user_id", "event_id", "value"])
+        return ds.groupby("user_id").map_groups(per_user,
+                                                batch_format="pandas")
+    q["top_event_per_user"] = top_event_per_user
+
     # --- broadcast semi-join: events of the top-5 busiest users ----------
     def events_top_users(sf):
         import ray
@@ -400,6 +429,16 @@ def oracle_sql() -> dict[str, str]:
             "FROM events UNION ALL SELECT 'user_id', COUNT(*), "
             "COUNT(DISTINCT user_id), MIN(user_id), MAX(user_id) "
             "FROM events) ORDER BY \"column\""),
+        "sessionize": (
+            "SELECT user_id, CAST(1 + SUM(CASE WHEN gap THEN 1 ELSE 0 END) "
+            "AS BIGINT) AS n_sessions FROM (SELECT user_id, (epoch(ts) - epoch("
+            "LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)))"
+            " > 1800 AS gap FROM events) GROUP BY user_id"),
+        "top_event_per_user": (
+            "SELECT user_id, event_id, value FROM (SELECT user_id, "
+            "event_id, value, ROW_NUMBER() OVER (PARTITION BY user_id "
+            "ORDER BY value DESC, event_id) AS rn FROM events) "
+            "WHERE rn = 1"),
         "events_top_users": (
             "SELECT event_id, user_id FROM events WHERE user_id IN ("
             "SELECT user_id FROM events GROUP BY user_id "
