@@ -188,6 +188,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return pdf[["vec_id"]]
     q["ann_topk"] = ann_topk
 
+    def embedding_dedup(sf):
+        from packcol.pipelines.ann import embedding_near_dup_pairs
+        return embedding_near_dup_pairs(
+            _read(sf, "embeddings", ["vec_id", "embedding"]),
+            threshold=0.45)
+    q["embedding_dedup"] = embedding_dedup
+
     def ann_lsh(sf):
         from packcol.pipelines.ann import ann_lsh_topk
         pdf = ann_lsh_topk(_read(sf, "embeddings"), _query_vec(sf), k=10)
@@ -411,6 +418,10 @@ def oracle_sql() -> dict[str, str]:
             "(SELECT embedding AS qv FROM embeddings WHERE vec_id=0) q "
             "ORDER BY list_cosine_similarity(e.embedding, q.qv) DESC, "
             "e.vec_id LIMIT 10"),
+        "embedding_dedup": (
+            "SELECT a.vec_id AS id_a, b.vec_id AS id_b FROM embeddings a "
+            "JOIN embeddings b ON a.vec_id < b.vec_id WHERE "
+            "list_cosine_similarity(a.embedding, b.embedding) >= 0.45"),
         "canonical_text": (
             "SELECT doc_id, CASE WHEN text <= reverse(text) THEN text "
             "ELSE reverse(text) END AS canonical, "

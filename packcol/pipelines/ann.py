@@ -71,6 +71,50 @@ def ann_brute_topk(ds, query: np.ndarray, k: int = 10,
     return final(pdf).reset_index(drop=True)
 
 
+def embedding_near_dup_pairs(ds, threshold: float = 0.9,
+                             vec_col: str = "embedding",
+                             id_col: str = "vec_id"):
+    """All pairs with cosine ≥ threshold — embedding near-dup detection.
+
+    Exact path (used here): L2-normalize once on the driver-broadcast
+    side, each batch computes one matmul against the broadcast matrix and
+    emits its (id_a < id_b) pairs.  Valid while the corpus matrix fits a
+    broadcast (≤ ~1M × dim fp32); beyond that switch to the LSH-bucketed
+    groupby (same shape as :func:`ann_lsh_topk`'s bucketing) which trades
+    exactness for a bucket-local scan."""
+    import pyarrow.parquet as pq
+
+    full = ds.to_pandas()  # small side by assumption (documented above)
+    ids_all = full[id_col].to_numpy()
+    X = np.stack([np.asarray(v, dtype=np.float64)
+                  for v in full[vec_col]])
+    Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-30)
+    import ray
+    ref = ray.put((ids_all, Xn))
+
+    def stage(batch: pa.Table) -> pa.Table:
+        ids_b = batch.column(id_col).to_numpy(zero_copy_only=False)
+        Xb = embedding_matrix(batch, vec_col)
+        empty = pa.table({"id_a": pa.array([], pa.int64()),
+                          "id_b": pa.array([], pa.int64())})
+        if len(ids_b) == 0:
+            return empty
+        ids_g, G = ray.get(ref)
+        Bn = Xb / np.maximum(np.linalg.norm(Xb, axis=1, keepdims=True),
+                             1e-30)
+        S = Bn @ G.T
+        bi, gi = np.nonzero(S >= threshold)
+        a, b = ids_b[bi], ids_g[gi]
+        keep = a < b  # dedupe mirrored + self pairs
+        if not keep.any():
+            return empty
+        return pa.table({"id_a": a[keep].astype(np.int64),
+                         "id_b": b[keep].astype(np.int64)})
+
+    return ds.map_batches(stage, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
 def ann_lsh_topk(ds, query: np.ndarray, k: int = 10, n_planes: int = 12,
                  n_tables: int = 4, vec_col: str = "embedding",
                  id_col: str = "vec_id", seed: int = 11):
