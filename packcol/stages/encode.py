@@ -31,13 +31,23 @@ ENC_SCHEMA = pa.schema([
 
 
 def content_part_id(batch: pa.Table) -> str:
-    """Deterministic part id from block content (first/last row + count),
-    so re-runs over the same blocks reproduce the same ids (resume)."""
+    """Deterministic part id from block content (schema + count + bounded
+    samples of the first/last rows), so re-runs over the same blocks
+    reproduce the same ids (resume).  O(1) per block: never serializes
+    whole multi-MB cells."""
     h = hashlib.sha1()
+    h.update(str(batch.schema).encode())
     h.update(str(batch.num_rows).encode())
     if batch.num_rows:
-        h.update(str(batch.slice(0, 1).to_pylist()).encode())
-        h.update(str(batch.slice(batch.num_rows - 1, 1).to_pylist()).encode())
+        for row in (batch.slice(0, 1), batch.slice(batch.num_rows - 1, 1)):
+            for col in row.columns:
+                v = col[0].as_py()
+                if isinstance(v, (bytes, str)):
+                    s = v[:256]
+                    h.update(s.encode() if isinstance(s, str) else s)
+                    h.update(str(len(v)).encode())
+                else:
+                    h.update(str(v).encode())
     return h.hexdigest()[:16]
 
 
