@@ -122,10 +122,22 @@ def kmer_windows(seq: str | bytes, k: int) -> tuple[np.ndarray, np.ndarray]:
     np.cumsum(~valid, out=cs[1:])
     ok = (cs[k:] - cs[:-k]) == 0
     safe = np.where(valid, codes, 0).astype(np.uint64)
-    # rolling pack: w_i = sum_j codes[i+j] << 2j  (low-order-first)
-    w = np.zeros(n - k + 1, dtype=np.uint64)
-    for j in range(k):  # k ≤ 32: bounded loop, each pass vectorized
-        w |= safe[j:n - k + 1 + j] << np.uint64(2 * j)
+    # SeqVector-style extraction (src/naive_impl/seq_vector.rs:96-99):
+    # pack the whole sequence once, then read every 2k-bit window out of
+    # the packed words with two shifts — O(1) per window, fully
+    # vectorized, ~6x less memory traffic than k shifted ORs.
+    packed = pack(safe, 2)
+    packed = np.concatenate([packed, np.zeros(1, dtype=np.uint64)])
+    nw = n - k + 1
+    i = np.arange(nw, dtype=np.int64)
+    wi = i >> 5
+    sh = ((i & 31) << 1).astype(np.uint64)
+    lo = packed[wi] >> sh
+    hi_shift = (np.uint64(64) - sh) & np.uint64(63)  # sh==0 → no hi part
+    hi = np.where(sh > 0, packed[wi + 1] << hi_shift, np.uint64(0))
+    mask = np.uint64((1 << (2 * k)) - 1) if k < 32 else \
+        np.uint64(0xFFFFFFFFFFFFFFFF)
+    w = (lo | hi) & mask
     pos = np.flatnonzero(ok)
     return w[pos], pos
 
@@ -137,6 +149,41 @@ def canonical_kmer_scan(seq: str | bytes, k: int
     w, pos = kmer_windows(seq, k)
     canon, is_fw = canonicalize_words(w, k)
     return canon, pos, is_fw
+
+
+def canonical_kmer_scan_batch(seqs: pa.Array, k: int
+                              ) -> tuple[np.ndarray, np.ndarray,
+                                         np.ndarray, np.ndarray]:
+    """(row_ids, in_row_positions, canonical_words, is_fw) for every valid
+    window of every row — the whole column in ONE vectorized pass.
+
+    Rows are joined with an invalid separator byte, so the reference's
+    invalid-window skip (canonical_kmer_iterator.rs:52-66) doubles as the
+    row-boundary guard: windows can never span two sequences."""
+    import pyarrow.compute as pc
+    from ..codecs.fsst import buffer_view
+    if isinstance(seqs, pa.ChunkedArray):
+        seqs = seqs.combine_chunks()
+    if seqs.null_count:
+        seqs = pc.fill_null(seqs, "")
+    d, offs = buffer_view(seqs)
+    n_rows = len(seqs)
+    if len(d) == 0:
+        z = np.empty(0, np.int64)
+        return z, z, np.empty(0, np.uint64), np.empty(0, bool)
+    # interleave a separator byte (invalid symbol) between rows
+    lens = np.diff(offs)
+    sep_d = np.zeros(len(d) + n_rows, dtype=np.uint8)  # 0 = invalid code
+    new_starts = offs[:-1] + np.arange(n_rows)
+    pos_map = np.arange(len(d), dtype=np.int64) + \
+        np.repeat(np.arange(n_rows, dtype=np.int64), lens)
+    sep_d[pos_map] = d
+    joined = sep_d.tobytes()
+    w, p = kmer_windows(joined, k)
+    row = np.searchsorted(new_starts, p, side="right") - 1
+    in_row = p - new_starts[row]
+    canon, is_fw = canonicalize_words(w, k)
+    return row.astype(np.int64), in_row, canon, is_fw
 
 
 # --- equivalency (N5) ------------------------------------------------------

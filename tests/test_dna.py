@@ -188,3 +188,17 @@ def test_scan_matches_naive(s, k):
         w = encode_kmer(sub)
         cc, _ = canonicalize_words(np.array([w], dtype=np.uint64), k)
         assert c == cc[0]
+
+
+def test_batch_scan_matches_per_row():
+    from packcol.functions.dna import canonical_kmer_scan_batch
+    seqs = pa.array([READ[:50], "ACGTN" + READ[5:40], "", "ACG", None,
+                     READ[10:90]])
+    rows, pos, canon, is_fw = canonical_kmer_scan_batch(seqs, 31)
+    # reconstruct per row and compare with the scalar scan
+    for i, s in enumerate(seqs.to_pylist()):
+        m = rows == i
+        c_exp, p_exp, f_exp = canonical_kmer_scan(s or "", 31)
+        np.testing.assert_array_equal(pos[m], p_exp)
+        np.testing.assert_array_equal(canon[m], c_exp)
+        np.testing.assert_array_equal(is_fw[m], f_exp)
