@@ -117,3 +117,29 @@ def test_decode_files_column_pruning(ray_session, webtext_dir, tmp_path):
     pdf = dec.to_pandas()
     assert sorted(pdf.columns) == ["lang", "url"]
     assert len(pdf) == 4000
+
+
+def test_content_hash_partition_invariant(ray_session, webtext_dir, tmp_path):
+    """Decoded dataset hashes equal to the original regardless of
+    partitioning / order — the shuffle-free cross-partition verify."""
+    import ray.data as rd
+    from packcol.pipelines.content_hash import (dataset_content_hash,
+                                                datasets_equal)
+    from packcol.pipelines.encode_pipeline import decode_files, encode_files
+    out = str(tmp_path / "enc_hash")
+    paths = [os.path.join(webtext_dir, f) for f in os.listdir(webtext_dir)
+             if f.endswith(".parquet")]
+    encode_files(paths, out, target_bytes=1 << 20)
+    orig = rd.read_parquet(webtext_dir)
+    dec = decode_files(out)
+    assert datasets_equal(orig, dec)
+    # and repartitioned/shuffled still equal
+    assert datasets_equal(orig.repartition(7), dec.random_shuffle(seed=1))
+    # a corrupted dataset does not
+    bad = dec.map_batches(
+        lambda t: t.set_column(t.column_names.index("lang"), "lang",
+                               pa.array(["xx"] * t.num_rows)),
+        batch_format="pyarrow")
+    h1, _ = dataset_content_hash(orig)
+    h2, _ = dataset_content_hash(bad)
+    assert h1 != h2
