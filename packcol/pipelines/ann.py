@@ -115,6 +115,78 @@ def embedding_near_dup_pairs(ds, threshold: float = 0.9,
                           zero_copy_batch=True)
 
 
+def _kmeans(X: np.ndarray, n_lists: int, iters: int = 8,
+            seed: int = 13) -> np.ndarray:
+    """Small deterministic k-means on a sample (driver-side, numpy)."""
+    rng = np.random.default_rng(seed)
+    C = X[rng.choice(len(X), size=min(n_lists, len(X)), replace=False)]
+    for _ in range(iters):
+        d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        a = d.argmin(axis=1)
+        for j in range(len(C)):
+            m = a == j
+            if m.any():
+                C[j] = X[m].mean(axis=0)
+    return C
+
+
+def ann_ivf_topk(ds, query: np.ndarray, k: int = 10, n_lists: int = 16,
+                 n_probe: int = 4, sample_rows: int = 2000,
+                 vec_col: str = "embedding", id_col: str = "vec_id",
+                 seed: int = 13):
+    """IVF approximate top-k: k-means centroids from a bounded sample
+    (one driver-side pass), then each batch scores only vectors whose
+    nearest centroid is among the query's n_probe closest lists.
+
+    Scale shape: centroids broadcast once; candidate fraction ≈
+    n_probe / n_lists of the corpus; no shuffle."""
+    q = np.atleast_2d(np.asarray(query, dtype=np.float64))
+    sample = ds.limit(sample_rows).to_pandas()
+    Xs = np.stack([np.asarray(v, dtype=np.float64) for v in sample[vec_col]])
+    C = _kmeans(Xs, n_lists, seed=seed)
+    qd = ((q[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+    probe = np.argsort(qd, axis=1)[:, :n_probe]           # (n_q, n_probe)
+    qn = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-30)
+    ctx = ray.put((qn, C, probe))
+
+    def stage(batch: pa.Table) -> pa.Table:
+        qm, cents, pr = ray.get(ctx)
+        X = embedding_matrix(batch, vec_col)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        empty = pa.table({"qid": pa.array([], pa.int64()),
+                          id_col: pa.array([], pa.int64()),
+                          "cos": pa.array([], pa.float64())})
+        if len(ids) == 0:
+            return empty
+        d = ((X[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        out_q, out_v, out_c = [], [], []
+        for qi in range(qm.shape[0]):
+            m = np.isin(assign, pr[qi])
+            if not m.any():
+                continue
+            Xn = X[m] / np.maximum(
+                np.linalg.norm(X[m], axis=1, keepdims=True), 1e-30)
+            s = Xn @ qm[qi]
+            kk = min(k, len(s))
+            top = np.argpartition(-s, kk - 1)[:kk]
+            out_q.append(np.full(kk, qi, dtype=np.int64))
+            out_v.append(ids[m][top])
+            out_c.append(s[top])
+        if not out_q:
+            return empty
+        return pa.table({"qid": np.concatenate(out_q),
+                         id_col: np.concatenate(out_v),
+                         "cos": np.concatenate(out_c)})
+
+    cands = ds.map_batches(stage, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    pdf = cands.to_pandas()
+    pdf = pdf.sort_values(["qid", "cos", id_col],
+                          ascending=[True, False, True])
+    return pdf.groupby("qid", as_index=False).head(k).reset_index(drop=True)
+
+
 def ann_lsh_topk(ds, query: np.ndarray, k: int = 10, n_planes: int = 12,
                  n_tables: int = 4, vec_col: str = "embedding",
                  id_col: str = "vec_id", seed: int = 11):

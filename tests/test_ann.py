@@ -1,0 +1,56 @@
+"""ANN pipelines: brute-force exact, LSH, IVF (recall vs exact)."""
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+EMB = "/root/testdata/sf0.01/embeddings.parquet"
+
+
+def _query():
+    t = pq.read_table(EMB, columns=["vec_id", "embedding"])
+    ids = t.column("vec_id").to_numpy()
+    row = int(np.flatnonzero(ids == 0)[0])
+    return np.asarray(t.column("embedding")[row].as_py(), dtype=np.float64)
+
+
+def _exact_top10(ray_session):
+    import ray.data as rd
+    from packcol.pipelines.ann import ann_brute_topk
+    return ann_brute_topk(rd.read_parquet(EMB), _query(), k=10)
+
+
+def test_brute_matches_numpy(ray_session):
+    got = set(_exact_top10(ray_session)["vec_id"])
+    t = pq.read_table(EMB)
+    X = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+    ids = t["vec_id"].to_numpy()
+    q = _query()
+    s = (X / np.linalg.norm(X, axis=1, keepdims=True)) @ (q / np.linalg.norm(q))
+    exp = set(ids[np.argsort(-s)[:10]].tolist())
+    assert got == exp
+
+
+@pytest.mark.parametrize("variant", ["lsh", "ivf"])
+def test_approx_recall(ray_session, variant):
+    import ray.data as rd
+    from packcol.pipelines.ann import ann_ivf_topk, ann_lsh_topk
+    exact = set(_exact_top10(ray_session)["vec_id"])
+    ds = rd.read_parquet(EMB)
+    if variant == "lsh":
+        # random embeddings: "neighbors" are barely closer than chance,
+        # so use shallow buckets + many tables
+        got = ann_lsh_topk(ds, _query(), k=10, n_planes=4, n_tables=16)
+    else:
+        got = ann_ivf_topk(ds, _query(), k=10, n_lists=8, n_probe=4)
+    recall = len(set(got["vec_id"]) & exact) / 10
+    assert recall >= 0.4, (variant, recall)
+
+
+def test_embedding_near_dup(ray_session):
+    import ray.data as rd
+    from packcol.pipelines.ann import embedding_near_dup_pairs
+    pairs = embedding_near_dup_pairs(rd.read_parquet(EMB), threshold=0.45) \
+        .to_pandas()
+    assert (pairs["id_a"] < pairs["id_b"]).all()
+    assert len(pairs) >= 1
