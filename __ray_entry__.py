@@ -195,6 +195,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
             threshold=0.45)
     q["embedding_dedup"] = embedding_dedup
 
+    def ann_ivf(sf):
+        from packcol.pipelines.ann import ann_ivf_topk
+        pdf = ann_ivf_topk(_read(sf, "embeddings"), _query_vec(sf), k=10)
+        return pdf[["vec_id", "cos"]]
+    q["ann_ivf"] = ann_ivf
+
     def ann_lsh(sf):
         from packcol.pipelines.ann import ann_lsh_topk
         pdf = ann_lsh_topk(_read(sf, "embeddings"), _query_vec(sf), k=10)
