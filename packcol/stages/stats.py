@@ -59,8 +59,21 @@ def column_stats(arr: pa.Array) -> dict:
     if n == 0:
         s.update(n_distinct=0, n_runs=0)
         return s
-    s["n_distinct"] = int(pc.count_distinct(arr).as_py() or 0)
-    s["n_runs"] = n_runs(arr)
+    # large string columns: exact count_distinct / run detection hash or
+    # compare every byte — sample a row slice instead (codec choice only
+    # needs the order of magnitude; the size guard catches misestimates)
+    big_stringy = _is_stringy(arr.type) and arr.nbytes > (4 << 20)
+    if big_stringy:
+        step = max(n // 4096, 1)
+        sl = arr.take(pa.array(range(0, n, step)))
+        frac = len(sl) / n
+        s["n_distinct"] = min(
+            int((pc.count_distinct(sl).as_py() or 0) / frac), n)
+        s["n_runs"] = min(int(n_runs(sl) / frac), n)
+        s["stats_sampled"] = True
+    else:
+        s["n_distinct"] = int(pc.count_distinct(arr).as_py() or 0)
+        s["n_runs"] = n_runs(arr)
     if is_int_like(arr.type):
         v = to_int64_numpy(arr)
         if arr.null_count:
