@@ -143,12 +143,7 @@ class FsstCodec(Codec):
             rounds = p["rounds"]
         else:  # legacy single-round blocks
             rounds = [[p["codes"], p["digrams"]]] if p.get("codes") else []
-        out, out_offs = e, enc_offs
-        for codes, digrams in reversed(rounds):
-            out, out_offs = fsst_decompress(
-                out, out_offs,
-                np.asarray(codes, dtype=np.uint8),
-                np.asarray(digrams, dtype=np.int32))
+        out, out_offs = fsst_expand_fused(e, enc_offs, rounds)
         dtype = str_to_type(p["dtype"])
         arr = _array_from_parts(out, out_offs, n, dtype)
         valid = validity_from_bytes(enc.buffers.get("validity", b""), n)
@@ -237,6 +232,53 @@ def _fsst_compress_chunk(d: np.ndarray, offs: np.ndarray,
         code_tbl.take(d16[chosen])
     enc_offs = offs - np.searchsorted(chosen, offs - 1, side="left")
     return out, enc_offs
+
+
+def build_expansion_table(rounds: list) -> tuple[np.ndarray, np.ndarray]:
+    """Fuse all rounds into (exp_bytes[256, L], exp_len[256]): the full
+    final expansion of every byte value.  Round r codes expand through
+    the earlier rounds recursively; plain bytes expand to themselves."""
+    exp = {b: bytes([b]) for b in range(256)}
+    for codes, digrams in rounds:  # apply in encode order; later rounds
+        # reference earlier codes, so expansions compose left to right
+        for c, dg in zip(codes, digrams):
+            exp[int(c)] = exp[dg >> 8] + exp[dg & 255]
+    max_len = max(len(v) for v in exp.values())
+    table = np.zeros((256, max_len), dtype=np.uint8)
+    lens = np.zeros(256, dtype=np.int64)
+    for b, v in exp.items():
+        table[b, :len(v)] = np.frombuffer(v, dtype=np.uint8)
+        lens[b] = len(v)
+    return table, lens
+
+
+def fsst_expand_fused(e: np.ndarray, enc_offs: np.ndarray,
+                      rounds: list) -> tuple[np.ndarray, np.ndarray]:
+    """One-pass decode of multi-round FSST: each encoded byte expands to
+    its fused final byte-string via max_len vectorized scatter steps
+    (instead of one full pass per round)."""
+    if not rounds:
+        return e.copy(), enc_offs.copy()
+    table, lens = build_expansion_table(rounds)
+    ne = len(e)
+    if ne == 0:
+        return e.copy(), enc_offs.copy()
+    el = lens.take(e)
+    starts = np.zeros(ne, dtype=np.int64)
+    np.cumsum(el[:-1], out=starts[1:])
+    total = int(starts[-1] + el[-1])
+    out = np.empty(total, dtype=np.uint8)
+    max_len = table.shape[1]
+    for j in range(max_len):  # ≤ 2^rounds (8): bounded, vectorized steps
+        m = el > j
+        if j == 0:
+            out[starts] = table[e, 0]
+        elif m.any():
+            out[starts[m] + j] = table[e[m], j]
+    full = np.zeros(ne + 1, dtype=np.int64)
+    full[1:ne] = starts[1:]
+    full[ne] = total
+    return out, full[enc_offs]
 
 
 def fsst_decompress(e: np.ndarray, enc_offs: np.ndarray,
