@@ -109,6 +109,74 @@ def minhash_lsh_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
         Max("est_jaccard", alias_name="est_jaccard"))
 
 
+def pairs_to_clusters(pairs, id_a: str = "id_a", id_b: str = "id_b",
+                      max_iters: int = 10, small_threshold: int = 2_000_000):
+    """Connected components over near-dup pairs → (id, cluster) with
+    cluster = min id in the component.
+
+    Small candidate sets (≤ small_threshold pairs — the common case
+    after LSH banding) use driver-side union-find; larger sets run
+    distributed min-label propagation: iterate
+    label(id) = min(label(id), min over neighbors' labels) via
+    groupby(id) until a fixpoint (≤ max_iters rounds)."""
+    import pandas as pd
+    from ray.data.aggregate import Min
+    import ray.data as rd
+
+    n_pairs = pairs.count()
+    if n_pairs <= small_threshold:
+        pdf = pairs.to_pandas()
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent.get(r, r) != r:
+                r = parent[r]
+            while parent.get(x, x) != x:
+                parent[x], x = r, parent[x]
+            return r
+
+        for a, b in zip(pdf[id_a], pdf[id_b]):
+            ra, rb = find(int(a)), find(int(b))
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        ids = sorted({int(v) for v in pdf[id_a]} | {int(v) for v in pdf[id_b]})
+        return pd.DataFrame({"id": ids,
+                             "cluster": [find(i) for i in ids]})
+
+    # distributed: edges both directions; propagate min labels
+    def both_dirs(batch: pa.Table) -> pa.Table:
+        a = batch.column(id_a).to_numpy(zero_copy_only=False)
+        b = batch.column(id_b).to_numpy(zero_copy_only=False)
+        return pa.table({"src": np.concatenate([a, b]),
+                         "dst": np.concatenate([b, a])})
+
+    edges = pairs.map_batches(both_dirs, batch_format="pyarrow")
+    labels = edges.groupby("src").aggregate(
+        Min("dst", alias_name="lbl"))  # start: min neighbor
+    for _ in range(max_iters):
+        lbl_pdf = labels.to_pandas()
+        lbl_map = dict(zip(lbl_pdf["src"], lbl_pdf["lbl"]))
+
+        def relabel(batch: pa.Table, m=lbl_map) -> pa.Table:
+            src = batch.column("src").to_numpy(zero_copy_only=False)
+            dst = batch.column("dst").to_numpy(zero_copy_only=False)
+            new = np.array([min(m.get(d, d), m.get(s, s))
+                            for s, d in zip(src, dst)], dtype=np.int64)
+            return pa.table({"src": src, "lbl": new})
+
+        nxt = edges.map_batches(relabel, batch_format="pyarrow") \
+            .groupby("src").aggregate(Min("lbl", alias_name="lbl"))
+        nxt_pdf = nxt.to_pandas()
+        if dict(zip(nxt_pdf["src"], nxt_pdf["lbl"])) == lbl_map:
+            break
+        labels = nxt
+    out = labels.to_pandas().rename(columns={"src": "id", "lbl": "cluster"})
+    # label = min over component after convergence; clamp self labels
+    out["cluster"] = np.minimum(out["cluster"], out["id"])
+    return out.sort_values("id").reset_index(drop=True)
+
+
 def simhash_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
                   max_dist: int = 3):
     """Near-dup pairs via 64-bit SimHash, banded into 4×16-bit blocks:

@@ -1,0 +1,89 @@
+"""Dedup pipelines over a synthetic corpus with planted duplicates."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def planted_docs():
+    rng = np.random.default_rng(11)
+    vocab = [f"w{i}" for i in range(300)]
+    base_docs = [" ".join(rng.choice(vocab, 60)) for _ in range(40)]
+    rows = []
+    doc_id = 0
+    groups = {}
+    for gi, b in enumerate(base_docs):
+        group = [b]
+        if gi < 10:  # first 10 docs get near-dups (1 word changed)
+            words = b.split()
+            words[5] = "CHANGED"
+            group.append(" ".join(words))
+            group.append(b)  # and one exact dup
+        for g in group:
+            rows.append({"doc_id": doc_id, "text": g})
+            groups.setdefault(gi, []).append(doc_id)
+            doc_id += 1
+    return pa.Table.from_pylist(rows), groups
+
+
+@pytest.fixture(scope="module")
+def docs_ds(ray_session):
+    import ray.data as rd
+    t, groups = planted_docs()
+    return rd.from_arrow(t), groups
+
+
+def test_exact_dedup_planted(docs_ds):
+    from packcol.pipelines.dedup import dedup_exact
+    ds, groups = docs_ds
+    keep = set(dedup_exact(ds).to_pandas()["doc_id"])
+    # every exact-dup pair keeps only the min id
+    n_docs = sum(len(v) for v in groups.values())
+    n_exact_dups = 10  # one per first-10 group
+    assert len(keep) == n_docs - n_exact_dups
+
+
+def test_minhash_finds_planted_neardups(docs_ds):
+    from packcol.pipelines.dedup import minhash_lsh_pairs
+    ds, groups = docs_ds
+    pairs = minhash_lsh_pairs(ds, threshold=0.5).to_pandas()
+    found = {tuple(sorted(p)) for p in zip(pairs["id_a"], pairs["id_b"])}
+    hits = 0
+    for gi in range(10):
+        ids = groups[gi]
+        planted = {tuple(sorted((ids[0], ids[1]))),
+                   tuple(sorted((ids[0], ids[2])))}
+        hits += len(planted & found)
+    assert hits >= 15  # ≥75% of planted near/exact pairs surfaced
+
+
+def test_clusters_from_pairs(docs_ds, ray_session):
+    import ray.data as rd
+    from packcol.pipelines.dedup import minhash_lsh_pairs, pairs_to_clusters
+    ds, groups = docs_ds
+    pairs = minhash_lsh_pairs(ds, threshold=0.5)
+    clusters = pairs_to_clusters(pairs)
+    by_id = dict(zip(clusters["id"], clusters["cluster"]))
+    # exact dup triplets of a group should share a cluster label
+    ok = 0
+    for gi in range(10):
+        a, b, c = groups[gi]
+        labels = {by_id.get(x) for x in (a, b, c)} - {None}
+        if len(labels) == 1:
+            ok += 1
+    assert ok >= 8
+
+
+def test_distributed_propagation_matches_union_find(docs_ds, ray_session):
+    import ray.data as rd
+    import pandas as pd
+    from packcol.pipelines.dedup import pairs_to_clusters
+    # chain 0-1, 1-2, 2-3 plus separate 10-11
+    pairs_t = pa.table({"id_a": pa.array([0, 1, 2, 10], type=pa.int64()),
+                        "id_b": pa.array([1, 2, 3, 11], type=pa.int64())})
+    pairs = rd.from_arrow(pairs_t)
+    small = pairs_to_clusters(pairs)
+    big = pairs_to_clusters(rd.from_arrow(pairs_t), small_threshold=0)
+    exp = {0: 0, 1: 0, 2: 0, 3: 0, 10: 10, 11: 10}
+    assert dict(zip(small["id"], small["cluster"])) == exp
+    assert dict(zip(big["id"], big["cluster"])) == exp
