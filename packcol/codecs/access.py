@@ -68,3 +68,71 @@ def get_value(enc: EncodedColumn, i: int):
     # fsst / store: no sub-linear path — decode the block (documented)
     from .base import decode_any
     return decode_any(enc)[i].as_py()
+
+
+# ---------------------------------------------------------------------------
+# encoded-domain predicates: evaluate filters on packed codes without
+# materializing values — the classic lightweight-compression payoff.
+# Order-preserving dictionaries (H3) make range predicates a code-range
+# comparison; FOR/delta make them integer bounds on deltas.
+# ---------------------------------------------------------------------------
+
+def _dict_codes(enc: EncodedColumn) -> np.ndarray:
+    from .bitpack import unpack
+    words = np.frombuffer(enc.buffers["payload"], dtype=np.uint64)
+    return unpack(words, enc.params["width"], enc.n_values)
+
+
+def filter_eq(enc: EncodedColumn, value) -> np.ndarray:
+    """Boolean mask of rows equal to `value`, computed on codes (dict)
+    or deltas (for) — never decodes the column."""
+    valid = validity_from_bytes(enc.buffers.get("validity", b""),
+                                enc.n_values)
+    if enc.codec == "dict":
+        dictionary = ipc_deserialize_array(enc.buffers["aux"])
+        # sorted dictionary → binary search for the code
+        import pyarrow.compute as pc
+        idx = pc.index_in(pa.array([value], type=dictionary.type),
+                          value_set=dictionary)[0].as_py()
+        if idx is None:
+            return np.zeros(enc.n_values, dtype=bool)
+        mask = _dict_codes(enc) == np.uint64(idx)
+    elif enc.codec == "for":
+        p = enc.params
+        from .bitpack import unpack
+        base = int(p["base"])
+        target = int(value) - base
+        if target < 0 or (p["width"] < 64 and target >= (1 << p["width"])):
+            return np.zeros(enc.n_values, dtype=bool)
+        words = np.frombuffer(enc.buffers["payload"], dtype=np.uint64)
+        mask = unpack(words, p["width"], enc.n_values) == np.uint64(target)
+    else:
+        from .base import decode_any
+        import pyarrow.compute as pc
+        return pc.equal(decode_any(enc), value).fill_null(False) \
+            .to_numpy(zero_copy_only=False)
+    if valid is not None:
+        mask &= valid
+    return mask
+
+
+def filter_range(enc: EncodedColumn, lo, hi) -> np.ndarray:
+    """Mask of lo <= value <= hi on a dict block — valid because codes
+    are order-preserving (sorted dictionary == LexHasher property)."""
+    if enc.codec != "dict":
+        raise NotImplementedError("range pushdown implemented for dict")
+    import pyarrow.compute as pc
+    dictionary = ipc_deserialize_array(enc.buffers["aux"])
+    dvals = dictionary.to_pylist()
+    import bisect
+    lo_code = bisect.bisect_left(dvals, lo)
+    hi_code = bisect.bisect_right(dvals, hi) - 1
+    if hi_code < lo_code:
+        return np.zeros(enc.n_values, dtype=bool)
+    codes = _dict_codes(enc)
+    mask = (codes >= np.uint64(lo_code)) & (codes <= np.uint64(hi_code))
+    valid = validity_from_bytes(enc.buffers.get("validity", b""),
+                                enc.n_values)
+    if valid is not None:
+        mask &= valid
+    return mask

@@ -185,3 +185,22 @@ def test_order_preserving_codes_sort():
     order_by_code = np.argsort(codes, kind="stable")
     order_by_value = np.argsort(np.array(vals), kind="stable")
     np.testing.assert_array_equal(order_by_code, order_by_value)
+
+
+def test_encoded_domain_filters():
+    """Predicates evaluated on packed codes, never decoding values."""
+    from packcol.codecs.access import filter_eq, filter_range
+    vals = ["banana", "apple", None, "cherry", "apple", "date", "banana"]
+    arr = pa.array(vals)
+    enc = CODECS["dict"].encode(arr)
+    exp_eq = [v == "apple" for v in vals]
+    assert filter_eq(enc, "apple").tolist() == exp_eq
+    assert filter_eq(enc, "missing").sum() == 0
+    exp_rng = [v is not None and "b" <= v <= "cz" for v in vals]
+    assert filter_range(enc, "b", "cz").tolist() == exp_rng
+
+    ints = pa.array([10, 25, None, 40, 25], type=pa.int64())
+    enc_for = CODECS["for"].encode(ints)
+    assert filter_eq(enc_for, 25).tolist() == [False, True, False, False,
+                                               True]
+    assert filter_eq(enc_for, 9999).sum() == 0
