@@ -7,7 +7,9 @@ simplification keeps every kernel numpy-vectorizable (no per-byte Python
 loop, mirroring the branch-free spirit of the reference's
 ``(c>>1)&3`` inner loop, /root/reference/src/encoding/naive.rs:14-16):
 
-* symbols are **digrams** (2-byte substrings);
+* symbols are **digrams** (2-byte substrings), applied in up to 3
+  recursive rounds (round r pairs round r-1's symbols), so one code can
+  stand for up to 8 original bytes;
 * code bytes are byte values **unused in the block's data**, so literals
   never need escaping and decode is a single table lookup;
 * greedy left-to-right longest-match selection is computed in closed
