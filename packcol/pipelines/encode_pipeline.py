@@ -259,6 +259,55 @@ def verify_files(out_dir: str, cpus_per_task: float = 1) -> dict:
     return {"rows": int(res["n"].sum()), "mismatches": int(res["n_bad"].sum())}
 
 
+class SpotCheckPart:
+    """Task: sample k rows of one encoded part, read each via O(1) point
+    access (codecs/access.py) and compare against the original cells
+    re-read from the manifested input slice — verification that never
+    decodes whole blocks (SeqVector::get-style sampling)."""
+
+    def __init__(self, out_dir: str, k: int = 8):
+        self.out_dir = out_dir
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import numpy as np
+        from ..codecs import EncodedColumn
+        from ..codecs.access import get_value
+        n_checked = n_bad = 0
+        man = Manifest(self.out_dir)
+        for part_id in batch.column("part_id").to_pylist():
+            meta = man.load(part_id)
+            pf = pq.ParquetFile(meta["input"])
+            orig = pf.read_row_groups(
+                list(range(meta["rg_start"], meta["rg_end"] + 1)))
+            enc_rows = pq.read_table(
+                os.path.join(self.out_dir, f"part-{part_id}.parquet"))
+            rng = np.random.default_rng(abs(hash(part_id)) % (2**32))
+            rows = rng.integers(0, orig.num_rows,
+                                size=min(self.k, orig.num_rows))
+            for i in range(enc_rows.num_rows):
+                name = enc_rows.column("column")[i].as_py()
+                enc = EncodedColumn.from_row(
+                    {k: enc_rows.column(k)[i].as_py() for k in
+                     ("codec", "n_values", "params", "payload")})
+                col = orig.column(name)
+                for r in rows:
+                    n_checked += 1
+                    if get_value(enc, int(r)) != col[int(r)].as_py():
+                        n_bad += 1
+        return pa.table({"n": [n_checked], "n_bad": [n_bad]})
+
+
+def spot_check_files(out_dir: str, k: int = 8) -> dict:
+    """Sampled point-access verification across all encoded parts."""
+    parts = [{"part_id": p} for p in sorted(Manifest(out_dir).done_parts())]
+    ds = rd.from_items(parts, override_num_blocks=max(len(parts), 1))
+    res = ds.map_batches(SpotCheckPart(out_dir, k), batch_size=1,
+                         batch_format="pyarrow").to_pandas()
+    return {"checked": int(res["n"].sum()),
+            "mismatches": int(res["n_bad"].sum())}
+
+
 def verify_url_text_invariant(decoded: "rd.Dataset") -> dict:
     """The reference-parity invariant: extract_text(html) == text,
     byte-identical, per url (BASELINE.json input_hint).  Vectorized

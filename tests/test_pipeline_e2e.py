@@ -143,3 +143,15 @@ def test_content_hash_partition_invariant(ray_session, webtext_dir, tmp_path):
     h1, _ = dataset_content_hash(orig)
     h2, _ = dataset_content_hash(bad)
     assert h1 != h2
+
+
+def test_spot_check_point_access(ray_session, webtext_dir, tmp_path):
+    from packcol.pipelines.encode_pipeline import (encode_files,
+                                                   spot_check_files)
+    out = str(tmp_path / "enc_spot")
+    paths = [os.path.join(webtext_dir, f) for f in os.listdir(webtext_dir)
+             if f.endswith(".parquet")]
+    encode_files(paths, out, target_bytes=1 << 20)
+    res = spot_check_files(out, k=5)
+    assert res["mismatches"] == 0
+    assert res["checked"] > 0
