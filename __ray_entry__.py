@@ -299,6 +299,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return pd.DataFrame(out, columns=["id_a", "id_b", "jaccard"])
     q["ngram_dedup"] = ngram_dedup
 
+    # --- predicate pushdown at the read (row-group pruning) --------------
+    def english_docs(sf):
+        import pyarrow.compute as pcc
+        import ray.data as rd
+        ds = rd.read_parquet(os.path.join(sf, "documents.parquet"),
+                             columns=["doc_id", "lang"],
+                             filter=(pcc.field("lang") == "en"))
+        return ds.select_columns(["doc_id"])
+    q["english_docs"] = english_docs
+
     # --- stream-shaped ops: sessionization + top-per-group ---------------
     # (Ray Data has no event-time windows; the documented pattern is
     # groupby(key).map_groups over ts-sorted groups — ordering assumption:
@@ -446,6 +456,7 @@ def oracle_sql() -> dict[str, str]:
             "FROM events UNION ALL SELECT 'user_id', COUNT(*), "
             "COUNT(DISTINCT user_id), MIN(user_id), MAX(user_id) "
             "FROM events) ORDER BY \"column\""),
+        "english_docs": "SELECT doc_id FROM documents WHERE lang = 'en'",
         "sessionize": (
             "SELECT user_id, CAST(1 + SUM(CASE WHEN gap THEN 1 ELSE 0 END) "
             "AS BIGINT) AS n_sessions FROM (SELECT user_id, (epoch(ts) - epoch("
