@@ -59,3 +59,19 @@ def test_property_roundtrip(cells, maxb):
                    back.column("html").to_pylist()))
     exp = dict(zip(t.column("id").to_pylist(), t.column("html").to_pylist()))
     assert got == exp
+
+
+def test_chunked_rows_through_encode_decode():
+    """Segmentation composes with the codec path: chunk → encode →
+    decode → reassemble == original."""
+    from packcol.stages.encode import decode_rows, encode_table
+    t = make_batch()
+    chunked = chunk_rows(t, "html", max_cell_bytes=800)
+    enc = encode_table(chunked)
+    dec = decode_rows(enc)
+    back = reassemble_rows(dec, "html")
+    got = dict(zip(back.column("id").to_pylist(),
+                   back.column("html").to_pylist()))
+    exp = dict(zip(t.column("id").to_pylist(),
+                   t.column("html").to_pylist()))
+    assert got == exp
