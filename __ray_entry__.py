@@ -287,8 +287,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ids = t.column("doc_id").to_numpy()
         text = t.column("text").combine_chunks()
         sh, rows = shingle_hashes(text, 3)
-        by_row = {}
-        import numpy as _np
         pos = {int(v): i for i, v in enumerate(ids)}
         out = []
         for _, r in cand.iterrows():
