@@ -204,3 +204,20 @@ def test_encoded_domain_filters():
     assert filter_eq(enc_for, 25).tolist() == [False, True, False, False,
                                                True]
     assert filter_eq(enc_for, 9999).sum() == 0
+
+
+def test_float_special_values():
+    """NaN / inf / -0.0 / null survive dict, rle and store."""
+    import math
+    special = pa.array([1.5, float("nan"), None, float("inf"),
+                        float("-inf"), -0.0, 0.0, float("nan")])
+    for name in ("dict", "rle", "store"):
+        enc = EncodedColumn.from_row(CODECS[name].encode(special).to_row())
+        dec = get_codec(enc.codec).decode(enc)
+        for x, y in zip(special.to_pylist(), dec.to_pylist()):
+            if x is None:
+                assert y is None
+            elif isinstance(x, float) and math.isnan(x):
+                assert math.isnan(y)
+            else:
+                assert x == y
