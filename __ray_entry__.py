@@ -297,6 +297,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return pd.DataFrame(out, columns=["id_a", "id_b", "jaccard"])
     q["ngram_dedup"] = ngram_dedup
 
+    # --- distributed sort + top-k ----------------------------------------
+    def longest_docs(sf):
+        ds = _read(sf, "documents", ["doc_id", "n_chars"])
+        return ds.sort(["n_chars", "doc_id"],
+                       descending=[True, False]).limit(10)
+    q["longest_docs"] = longest_docs
+
     # --- predicate pushdown at the read (row-group pruning) --------------
     def english_docs(sf):
         import pyarrow.compute as pcc
@@ -455,6 +462,9 @@ def oracle_sql() -> dict[str, str]:
             "COUNT(DISTINCT user_id), MIN(user_id), MAX(user_id) "
             "FROM events) ORDER BY \"column\""),
         "english_docs": "SELECT doc_id FROM documents WHERE lang = 'en'",
+        "longest_docs": (
+            "SELECT doc_id, n_chars FROM documents "
+            "ORDER BY n_chars DESC, doc_id LIMIT 10"),
         "sessionize": (
             "SELECT user_id, CAST(1 + SUM(CASE WHEN gap THEN 1 ELSE 0 END) "
             "AS BIGINT) AS n_sessions FROM (SELECT user_id, (epoch(ts) - epoch("
