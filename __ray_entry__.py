@@ -297,6 +297,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return pd.DataFrame(out, columns=["id_a", "id_b", "jaccard"])
     q["ngram_dedup"] = ngram_dedup
 
+    # --- canonical k-mer counting (the reference's core use-case) --------
+    def kmer_counts(sf):
+        from packcol.pipelines.kmers import count_canonical_kmers
+        return count_canonical_kmers(
+            _read(sf, "documents", ["text"]), seq_col="text", k=3)
+    q["kmer_counts"] = kmer_counts
+
     # --- distributed sort + top-k ----------------------------------------
     def longest_docs(sf):
         ds = _read(sf, "documents", ["doc_id", "n_chars"])
@@ -462,6 +469,13 @@ def oracle_sql() -> dict[str, str]:
             "COUNT(DISTINCT user_id), MIN(user_id), MAX(user_id) "
             "FROM events) ORDER BY \"column\""),
         "english_docs": "SELECT doc_id FROM documents WHERE lang = 'en'",
+        "kmer_counts": (
+            "SELECT canon AS kmer, COUNT(*) AS n FROM ("
+            "SELECT least(kmer, translate(reverse(kmer), 'ACGT', 'TGCA')) "
+            "AS canon FROM (SELECT upper(substr(d.text, g.i::INT, 3)) AS "
+            "kmer FROM documents d CROSS JOIN generate_series(1, 4000) "
+            "AS g(i) WHERE g.i <= length(d.text) - 2) "
+            "WHERE regexp_matches(kmer, '^[ACGT]{3}$')) GROUP BY canon"),
         "longest_docs": (
             "SELECT doc_id, n_chars FROM documents "
             "ORDER BY n_chars DESC, doc_id LIMIT 10"),

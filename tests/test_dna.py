@@ -202,3 +202,21 @@ def test_batch_scan_matches_per_row():
         np.testing.assert_array_equal(pos[m], p_exp)
         np.testing.assert_array_equal(canon[m], c_exp)
         np.testing.assert_array_equal(is_fw[m], f_exp)
+
+
+def test_canonical_choice_order_equivalence():
+    """min(s, revcomp(s)) is the same under string-lex order and
+    packed-word order: if i is the first differing position between s
+    and rc(s), then k+1-i is the last, and the comparisons are
+    complements — so both orders pick the same canonical strand.  (This
+    is why the SQL oracle's least() matches our packed-word min.)"""
+    rng = np.random.default_rng(3)
+    comp = str.maketrans("ACGT", "TGCA")
+    for _ in range(300):
+        k = int(rng.integers(1, 16))
+        s = "".join("ACGT"[c] for c in rng.integers(0, 4, k))
+        rc = s.translate(comp)[::-1]
+        lex_min = min(s, rc)
+        w = encode_kmer(s)
+        c, _ = canonicalize_words(np.array([w], dtype=np.uint64), k)
+        assert decode_kmer(int(c[0]), k) == lex_min
