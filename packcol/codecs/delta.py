@@ -71,8 +71,8 @@ class DeltaCodec(Codec):
         dv = unzigzag(zz)
         v = np.empty(n, dtype=np.uint64)
         v[0] = np.int64(p["first"]).astype(np.uint64)
-        np.cumsum(dv.view(np.uint64), out=v[1:] if n > 1 else v[1:])
         if n > 1:
+            np.cumsum(dv.view(np.uint64), out=v[1:])
             v[1:] += v[0]
         vi = v.view(np.int64)
         valid = validity_from_bytes(enc.buffers.get("validity", b""), n)

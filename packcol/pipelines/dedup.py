@@ -69,10 +69,6 @@ def minhash_lsh_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
         flat = sig.tobytes()
         row_sz = num_perm * 8
         offs = (np.repeat(np.arange(n, dtype=np.int64), n_bands) * row_sz)
-        offsets = np.empty(n * n_bands + 1, dtype=np.int64)
-        offsets[:-1] = offs
-        offsets[-1] = offs[-1] + row_sz if n else 0
-        # variable offsets must be monotone — they are (row-major repeat)
         sig_col = pa.array([flat[o:o + row_sz] for o in offs],
                            type=pa.large_binary())
         return pa.table({
