@@ -61,3 +61,14 @@ def test_via_ray_actor_pool(webtext, ray_session):
     rows = enc.to_pandas()
     assert rows["n_values"].sum() == 2000
     assert (rows["codec"] == "fsst").all()
+
+
+def test_autoscaling_actor_pool(webtext, ray_session):
+    """Actor pool with (min, max) autoscaling concurrency."""
+    import ray.data as rd
+    ds = rd.read_parquet(webtext)
+    enc = ds.map_batches(
+        FsstEncodeActor(webtext, ["text"]),
+        batch_format="pyarrow", batch_size=250,
+        concurrency=(1, 3), num_cpus=1)
+    assert enc.to_pandas()["n_values"].sum() == 2000
