@@ -68,7 +68,9 @@ def test_autoscaling_actor_pool(webtext, ray_session):
     import ray.data as rd
     ds = rd.read_parquet(webtext)
     enc = ds.map_batches(
-        FsstEncodeActor(webtext, ["text"]),
+        FsstEncodeActor,   # class (not instance) → autoscaling pool
+        fn_constructor_kwargs={"sample_paths": webtext,
+                               "columns": ["text"]},
         batch_format="pyarrow", batch_size=250,
         concurrency=(1, 3), num_cpus=1)
     assert enc.to_pandas()["n_values"].sum() == 2000
