@@ -89,6 +89,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         sf, "events", ["event_id", "ts"], "delta")
     q["fsst_roundtrip_text"] = lambda sf: _roundtrip(
         sf, "documents", ["doc_id", "text"], "fsst")
+    q["tokdict_roundtrip_text"] = lambda sf: _roundtrip(
+        sf, "documents", ["doc_id", "text"], "tokdict")
     q["store_roundtrip_props"] = lambda sf: _roundtrip(
         sf, "events", ["event_id", "props"], "store")
     q["auto_roundtrip_documents"] = lambda sf: _roundtrip(
@@ -423,6 +425,7 @@ def oracle_sql() -> dict[str, str]:
         "delta_roundtrip_ts": "SELECT event_id, ts FROM events",
         "bitpack_roundtrip_user": "SELECT event_id, user_id FROM events",
         "fsst_roundtrip_text": "SELECT doc_id, text FROM documents",
+        "tokdict_roundtrip_text": "SELECT doc_id, text FROM documents",
         "store_roundtrip_props": "SELECT event_id, props FROM events",
         "auto_roundtrip_documents": "SELECT * FROM documents",
         "stats_documents": (

@@ -3,17 +3,19 @@
 from .base import (Codec, EncodedColumn, all_codecs, decode_any, get_codec,
                    register)
 from .bitpack import bits_needed, pack, packed_words_for, unpack
-from . import delta, dictionary, forpack, fsst, passthrough, rle  # noqa: F401  (register)
+from . import (delta, dictionary, forpack, fsst, passthrough,  # noqa: F401
+               rle, tokdict)  # (register)
 from .delta import DeltaCodec
 from .dictionary import DictionaryCodec
 from .forpack import ForCodec
 from .fsst import FsstCodec
 from .passthrough import PassthroughCodec
 from .rle import RleCodec
+from .tokdict import TokenDictCodec
 
 __all__ = [
     "Codec", "EncodedColumn", "all_codecs", "decode_any", "get_codec",
     "register", "bits_needed", "pack", "unpack", "packed_words_for",
     "DeltaCodec", "DictionaryCodec", "ForCodec", "FsstCodec", "PassthroughCodec",
-    "RleCodec",
+    "RleCodec", "TokenDictCodec",
 ]

@@ -38,6 +38,10 @@ def estimate_sizes(dtype: pa.DataType, s: dict) -> dict:
         if "delta_max_abs" in s:
             dw = bits_needed(2 * int(s["delta_max_abs"]))
             est["delta"] = n * dw / 8 + 16
+    if s.get("joinable_sampled"):
+        et, ed = s.get("est_n_tokens", 0), max(s.get("est_tok_distinct", 1), 1)
+        est["tokdict"] = (et * bits_needed(2 * ed) / 8
+                          + ed * (s.get("avg_tok_len", 8) + 4) + 200)
     if _is_stringy(dtype):
         db = s.get("data_bytes", raw)
         ent = s.get("entropy", 8.0)
@@ -77,7 +81,15 @@ def encode_with_guard(arr: pa.Array, codec_name: str | None = None,
     if codec_name is None:
         stats = stats or column_stats(arr)
         codec_name = choose_codec(arr.type, stats)
-    enc = get_codec(codec_name).encode(arr)
+    try:
+        enc = get_codec(codec_name).encode(arr)
+    except ValueError:
+        # e.g. tokdict on data whose full scan fails the structural
+        # guard that the sample passed — re-select without it
+        stats = dict(stats or column_stats(arr))
+        stats.pop("joinable_sampled", None)
+        codec_name = choose_codec(arr.type, stats)
+        enc = get_codec(codec_name).encode(arr)
     if codec_name != "store" and enc.enc_bytes >= arr.nbytes + 96:
         store = get_codec("store").encode(arr)
         if store.enc_bytes < enc.enc_bytes:

@@ -97,4 +97,24 @@ def column_stats(arr: pa.Array) -> dict:
         present = (np.bincount(d, minlength=256) > 0) if len(d) else \
             np.zeros(256, dtype=bool)
         s["n_unused_bytes"] = int((~present).sum())
+        # token stats for the token-dictionary codec (plain strings only)
+        if pa.types.is_string(arr.type) or pa.types.is_large_string(arr.type):
+            from ..codecs.tokdict import structurally_joinable
+            from ..functions.text import token_hashes
+            step = max(n // 2048, 1)
+            sl = filled.take(pa.array(range(0, n, step)))
+            if structurally_joinable(sl):
+                h, _ = token_hashes(sl)
+                frac = len(sl) / n
+                n_tok = len(h)
+                distinct = int(len(np.unique(h))) if n_tok else 0
+                s["joinable_sampled"] = True
+                s["est_n_tokens"] = int(n_tok / frac) if frac else 0
+                # saturated vocab (many repeats in the sample) → the
+                # sample already holds ~all tokens; otherwise assume
+                # distinct grows linearly (worst case, e.g. unique urls)
+                sat = distinct < 0.5 * max(n_tok, 1)
+                s["est_tok_distinct"] = int(
+                    distinct * 1.2 if sat else distinct / max(frac, 1e-9))
+                s["avg_tok_len"] = (len(buffer_view(sl)[0]) / max(n_tok, 1))
     return s

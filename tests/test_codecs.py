@@ -221,3 +221,37 @@ def test_float_special_values():
                 assert math.isnan(y)
             else:
                 assert x == y
+
+
+def test_tokdict_roundtrips():
+    from packcol.codecs import TokenDictCodec
+    c = TokenDictCodec()
+    cases = [
+        pa.array(["hello world", "", None, "one", "a b c d", ""]),
+        pa.array(["the cat sat"] * 100),
+        pa.array([f"doc {i} body text" for i in range(200)],
+                 type=pa.large_string()),
+    ]
+    for arr in cases:
+        enc = EncodedColumn.from_row(c.encode(arr).to_row())
+        dec = get_codec("tokdict").decode(enc)
+        assert dec.to_pylist() == arr.to_pylist()
+        assert dec.type == arr.type
+    # structural guard rejects non-joinable text
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        c.encode(pa.array(["double  space"]))
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.one_of(
+    st.none(),
+    st.lists(st.text(alphabet="abcXYZ09", min_size=1, max_size=8),
+             max_size=10).map(" ".join)), max_size=60))
+def test_tokdict_property(xs):
+    from packcol.codecs import TokenDictCodec
+    arr = pa.array(xs, type=pa.string())
+    c = TokenDictCodec()
+    enc = EncodedColumn.from_row(c.encode(arr).to_row())
+    dec = get_codec("tokdict").decode(enc)
+    assert dec.to_pylist() == arr.to_pylist()

@@ -41,7 +41,7 @@ def test_codec_choices_match_expectations():
                       enc.column("codec").to_pylist()))
     assert chosen["lang"] in ("rle", "dict")
     assert chosen["warc_ts"] in ("for", "delta")
-    assert chosen["text"] == "fsst"
+    assert chosen["text"] in ("fsst", "tokdict")
 
 
 def test_encode_files_resume(webtext_dir, ray_session, tmp_path):
