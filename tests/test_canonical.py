@@ -64,3 +64,31 @@ def test_property_roundtrip(xs):
     # idempotence on non-null values
     c2, _ = canonicalize(canonical)
     assert c2.to_pylist() == canonical.to_pylist()
+
+
+def test_canonicalize_improves_compression():
+    """The reference's motivation for canonical forms: mirrored values
+    collapse, halving dictionary cardinality before encoding; the
+    orientation bit (cheap boolean column) restores originals exactly."""
+    import numpy as np
+    from packcol.codecs import get_codec
+    rng = np.random.default_rng(5)
+    base = ["".join(chr(97 + c) for c in rng.integers(0, 26, 12))
+            for _ in range(64)]
+    vals = []
+    for _ in range(4000):
+        s = base[rng.integers(0, 64)]
+        vals.append(s if rng.random() < 0.5 else s[::-1])
+    arr = pa.array(vals)
+    canonical, is_fw = canonicalize(arr)
+
+    d = get_codec("dict")
+    plain = d.encode(arr)
+    canon = d.encode(canonical)
+    orient = get_codec("rle").encode(is_fw)
+    assert canon.params["n_dict"] <= 64 < plain.params["n_dict"]
+    assert canon.enc_bytes + orient.enc_bytes < plain.enc_bytes
+    # exact reconstruction from the encoded pair
+    back = reconstruct(get_codec("dict").decode(canon),
+                       get_codec("rle").decode(orient))
+    assert back.to_pylist() == vals
