@@ -85,10 +85,10 @@ def test_canonicalize_improves_compression():
     d = get_codec("dict")
     plain = d.encode(arr)
     canon = d.encode(canonical)
-    orient = get_codec("rle").encode(is_fw)
+    orient = get_codec("for").encode(is_fw)   # random bits → 1-bit pack
     assert canon.params["n_dict"] <= 64 < plain.params["n_dict"]
     assert canon.enc_bytes + orient.enc_bytes < plain.enc_bytes
     # exact reconstruction from the encoded pair
     back = reconstruct(get_codec("dict").decode(canon),
-                       get_codec("rle").decode(orient))
+                       get_codec("for").decode(orient))
     assert back.to_pylist() == vals
