@@ -49,14 +49,22 @@ def dedup_exact(ds, key: str = "text", id_col: str = "doc_id"):
 
 def minhash_lsh_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
                       num_perm: int = 64, n_bands: int = 16,
-                      threshold: float = 0.6):
+                      threshold: float = 0.6, carry_signatures: bool = True):
     """Near-duplicate candidate pairs via MinHash + LSH banding.
 
     map_batches: signature + band hashes per row → explode to
-    (band, band_hash, id, sig) rows → groupby band keys → within-group
-    pair generation with signature-estimated Jaccard ≥ threshold →
-    distinct pairs.  Only sketch rows shuffle (num_perm*8 B per row per
-    band), never documents."""
+    (band, band_hash, id[, sig]) rows → groupby band keys →
+    within-group pair generation → distinct pairs with estimated
+    Jaccard ≥ threshold.  Only sketch rows shuffle, never documents.
+
+    carry_signatures=True replicates the full signature on every band
+    row (num_perm*8 B × n_bands per doc) and estimates Jaccard from
+    component agreement — exact-est mode for bounded corpora.  False is
+    the 100 TB mode: band rows carry only (band, hash, id) (24 B), and
+    Jaccard is estimated from the band-hit fraction
+    (est = (hits/n_bands)^(1/rows_per_band), the LSH collision model);
+    downstream exact verification (ngram_jaccard) refines if needed."""
+    rows_per_band = num_perm // n_bands
 
     def stage(batch: pa.Table) -> pa.Table:
         text = _col(batch, text_col)
@@ -64,19 +72,19 @@ def minhash_lsh_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
         n = len(ids)
         sig = minhash_signatures(text, num_perm=num_perm)
         bh = band_hashes(sig, n_bands)
-        # signature blob per row, replicated across its n_bands rows via
-        # offset arithmetic (one contiguous buffer, no per-row pylist)
-        flat = sig.tobytes()
-        row_sz = num_perm * 8
-        offs = (np.repeat(np.arange(n, dtype=np.int64), n_bands) * row_sz)
-        sig_col = pa.array([flat[o:o + row_sz] for o in offs],
-                           type=pa.large_binary())
-        return pa.table({
+        cols = {
             "band": np.tile(np.arange(n_bands, dtype=np.int64), n),
             "bh": bh.ravel().view(np.int64),
             id_col: np.repeat(ids, n_bands),
-            "sig": sig_col,
-        })
+        }
+        if carry_signatures:
+            # signature blob per row, replicated across its n_bands rows
+            flat = sig.tobytes()
+            row_sz = num_perm * 8
+            offs = np.repeat(np.arange(n, dtype=np.int64), n_bands) * row_sz
+            cols["sig"] = pa.array([flat[o:o + row_sz] for o in offs],
+                                   type=pa.large_binary())
+        return pa.table(cols)
 
     def pairs(group: pa.Table) -> pa.Table:
         m = group.num_rows
@@ -85,11 +93,15 @@ def minhash_lsh_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
                              "id_b": pa.array([], pa.int64()),
                              "est_jaccard": pa.array([], pa.float64())})
         ids = group.column(id_col).to_numpy(zero_copy_only=False)
-        sigs = np.stack([np.frombuffer(s, dtype=np.uint64)
-                         for s in group.column("sig").to_pylist()])
         ia, ib = np.triu_indices(m, k=1)
-        est = (sigs[ia] == sigs[ib]).mean(axis=1)
-        keep = est >= threshold
+        if carry_signatures:
+            sigs = np.stack([np.frombuffer(s, dtype=np.uint64)
+                             for s in group.column("sig").to_pylist()])
+            est = (sigs[ia] == sigs[ib]).mean(axis=1)
+            keep = est >= threshold
+        else:
+            est = np.ones(len(ia))  # refined by the band-hit aggregate
+            keep = np.ones(len(ia), dtype=bool)
         a, b = ids[ia[keep]], ids[ib[keep]]
         lo, hi = np.minimum(a, b), np.maximum(a, b)
         return pa.table({"id_a": lo, "id_b": hi,
@@ -99,10 +111,23 @@ def minhash_lsh_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
                               zero_copy_batch=True)
     cand = exploded.groupby(["band", "bh"]).map_groups(
         pairs, batch_format="pyarrow")
-    # distinct pairs (a pair can surface from several bands)
-    from ray.data.aggregate import Max
-    return cand.groupby(["id_a", "id_b"]).aggregate(
-        Max("est_jaccard", alias_name="est_jaccard"))
+    from ray.data.aggregate import Count, Max
+    if carry_signatures:
+        # distinct pairs (a pair can surface from several bands)
+        return cand.groupby(["id_a", "id_b"]).aggregate(
+            Max("est_jaccard", alias_name="est_jaccard"))
+    hits = cand.groupby(["id_a", "id_b"]).aggregate(
+        Count(alias_name="n_hits"))
+
+    def estimate(batch: pa.Table) -> pa.Table:
+        nh = batch.column("n_hits").to_numpy(zero_copy_only=False)
+        est = (nh / n_bands) ** (1.0 / rows_per_band)
+        out = pa.table({"id_a": batch.column("id_a"),
+                        "id_b": batch.column("id_b"),
+                        "est_jaccard": est})
+        return out.filter(pa.array(est >= threshold))
+
+    return hits.map_batches(estimate, batch_format="pyarrow")
 
 
 def pairs_to_clusters(pairs, id_a: str = "id_a", id_b: str = "id_b",

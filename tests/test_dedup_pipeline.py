@@ -87,3 +87,22 @@ def test_distributed_propagation_matches_union_find(docs_ds, ray_session):
     exp = {0: 0, 1: 0, 2: 0, 3: 0, 10: 10, 11: 10}
     assert dict(zip(small["id"], small["cluster"])) == exp
     assert dict(zip(big["id"], big["cluster"])) == exp
+
+
+def test_minhash_scale_mode(docs_ds):
+    """carry_signatures=False (24 B band rows) still surfaces planted
+    dups; exact dups get est_jaccard 1.0 (all bands hit)."""
+    from packcol.pipelines.dedup import minhash_lsh_pairs
+    ds, groups = docs_ds
+    pairs = minhash_lsh_pairs(ds, threshold=0.5,
+                              carry_signatures=False).to_pandas()
+    found = {tuple(sorted(p)) for p in zip(pairs["id_a"], pairs["id_b"])}
+    exact_hits = 0
+    for gi in range(10):
+        ids = groups[gi]
+        if tuple(sorted((ids[0], ids[2]))) in found:   # exact dup pair
+            exact_hits += 1
+    assert exact_hits >= 9
+    ex = pairs.set_index(["id_a", "id_b"])["est_jaccard"]
+    a, b = sorted((groups[0][0], groups[0][2]))
+    assert ex.loc[(a, b)] == 1.0
