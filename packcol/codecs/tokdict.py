@@ -120,20 +120,51 @@ class TokenDictCodec(Codec):
                      p["code_width"], nt).view(np.int64)
         counts = unpack(np.frombuffer(enc.buffers["lens"], dtype=np.uint64),
                         p["len_width"], n).view(np.int64)
-        toks = dictionary.take(pa.array(idx)) if nt else \
-            pa.array([], type=dictionary.type)
-        offs = np.zeros(n + 1, dtype=np.int64)
-        np.cumsum(counts, out=offs[1:])
-        lists = pa.LargeListArray.from_arrays(
-            pa.array(offs, type=pa.int64()),
-            toks.cast(pa.large_string()) if nt else
-            pa.array([], type=pa.large_string()))
-        out = pc.binary_join(lists, pa.scalar(" ", type=pa.large_string())) \
-            .cast(dtype)
+        # direct buffer construction (no per-token take + binary_join):
+        # gather token bytes from the dictionary buffer and scatter
+        # separator spaces in one vectorized pass
+        dd, doffs = buffer_view(dictionary.cast(pa.large_string())) \
+            if len(dictionary) else (np.empty(0, np.uint8),
+                                     np.zeros(1, np.int64))
+        dlens = np.diff(doffs)
+        tok_start = doffs[:-1][idx] if nt else np.empty(0, np.int64)
+        tok_len = dlens[idx] if nt else np.empty(0, np.int64)
+        sep = np.ones(nt, dtype=np.int64)
+        ends = np.cumsum(counts)
+        if nt:
+            sep[ends[counts > 0] - 1] = 0  # no space after row-last token
+        slot = tok_len + sep
+        starts_out = np.zeros(nt + 1, dtype=np.int64)
+        np.cumsum(slot, out=starts_out[1:])
+        total = int(starts_out[-1])
+        out = np.empty(total, dtype=np.uint8)
+        if nt:
+            sp = sep == 1
+            space_pos = (starts_out[:-1] + tok_len)[sp]
+            out[space_pos] = 32
+            T = int(tok_len.sum())
+            rel = np.arange(T, dtype=np.int64) - \
+                np.repeat(np.cumsum(tok_len) - tok_len, tok_len)
+            src = np.repeat(tok_start, tok_len) + rel
+            # destination = every out position that is not a space slot
+            tok_mask = np.ones(total, dtype=bool)
+            tok_mask[space_pos] = False
+            out[tok_mask] = dd[src]
+        row_lens = np.bincount(
+            np.repeat(np.arange(n, dtype=np.int64), counts), weights=slot,
+            minlength=n).astype(np.int64) if nt else np.zeros(n, np.int64)
+        row_offs = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(row_lens, out=row_offs[1:])
+        large = pa.types.is_large_string(dtype)
+        off_arr = row_offs.astype(np.int64 if large else np.int32)
+        arr = pa.Array.from_buffers(
+            dtype, n,
+            [None, pa.py_buffer(off_arr.tobytes()),
+             pa.py_buffer(out.tobytes())])
         valid = validity_from_bytes(enc.buffers.get("validity", b""), n)
         if valid is not None:
-            out = pc.if_else(pa.array(valid), out, pa.nulls(n, type=dtype))
-        return out
+            arr = pc.if_else(pa.array(valid), arr, pa.nulls(n, type=dtype))
+        return arr
 
 
 register(TokenDictCodec())
