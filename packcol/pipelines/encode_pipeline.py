@@ -237,13 +237,18 @@ class DecodeVerifyPart:
         n = bad = 0
         for p in batch.column("path").to_pylist():
             t = decode_rows(pq.read_table(p))
-            html = t.column("html").combine_chunks()
-            text = t.column("text").combine_chunks()
-            got = extract_text_batch(html)
-            eq = pc.equal(got.cast(pa.large_string()),
-                          text.cast(pa.large_string()))
-            n += len(eq)
-            bad += len(eq) - int(pc.sum(pc.cast(eq, pa.int64())).as_py() or 0)
+            if {"html", "text"} <= set(t.column_names):
+                html = t.column("html").combine_chunks()
+                text = t.column("text").combine_chunks()
+                got = extract_text_batch(html)
+                eq = pc.equal(got.cast(pa.large_string()),
+                              text.cast(pa.large_string()))
+                n += len(eq)
+                bad += len(eq) - int(
+                    pc.sum(pc.cast(eq, pa.int64())).as_py() or 0)
+            else:
+                # generic schema: decode success + row count only
+                n += t.num_rows
         return pa.table({"n": [n], "n_bad": [bad]})
 
 
