@@ -93,6 +93,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         sf, "documents", ["doc_id", "text"], "tokdict")
     q["store_roundtrip_props"] = lambda sf: _roundtrip(
         sf, "events", ["event_id", "props"], "store")
+    q["decfloat_roundtrip_value"] = lambda sf: _roundtrip(
+        sf, "events", ["event_id", "value"], "decfloat")
     q["auto_roundtrip_documents"] = lambda sf: _roundtrip(
         sf, "documents", None, None)
 
@@ -427,6 +429,7 @@ def oracle_sql() -> dict[str, str]:
         "fsst_roundtrip_text": "SELECT doc_id, text FROM documents",
         "tokdict_roundtrip_text": "SELECT doc_id, text FROM documents",
         "store_roundtrip_props": "SELECT event_id, props FROM events",
+        "decfloat_roundtrip_value": "SELECT event_id, value FROM events",
         "auto_roundtrip_documents": "SELECT * FROM documents",
         "stats_documents": (
             "SELECT COUNT(*) AS n, MIN(n_chars) AS min_chars, "

@@ -3,8 +3,9 @@
 from .base import (Codec, EncodedColumn, all_codecs, decode_any, get_codec,
                    register)
 from .bitpack import bits_needed, pack, packed_words_for, unpack
-from . import (delta, dictionary, forpack, fsst, passthrough,  # noqa: F401
-               rle, tokdict)  # (register)
+from . import (decfloat, delta, dictionary, forpack, fsst,  # noqa: F401
+               passthrough, rle, tokdict)  # (register)
+from .decfloat import DecimalFloatCodec
 from .delta import DeltaCodec
 from .dictionary import DictionaryCodec
 from .forpack import ForCodec
@@ -16,6 +17,6 @@ from .tokdict import TokenDictCodec
 __all__ = [
     "Codec", "EncodedColumn", "all_codecs", "decode_any", "get_codec",
     "register", "bits_needed", "pack", "unpack", "packed_words_for",
-    "DeltaCodec", "DictionaryCodec", "ForCodec", "FsstCodec", "PassthroughCodec",
+    "DecimalFloatCodec", "DeltaCodec", "DictionaryCodec", "ForCodec", "FsstCodec", "PassthroughCodec",
     "RleCodec", "TokenDictCodec",
 ]

@@ -38,6 +38,8 @@ def estimate_sizes(dtype: pa.DataType, s: dict) -> dict:
         if "delta_max_abs" in s:
             dw = bits_needed(2 * int(s["delta_max_abs"]))
             est["delta"] = n * dw / 8 + 16
+    if "dec_scale_sampled" in s:
+        est["decfloat"] = n * s.get("dec_width", 40) / 8 + 16
     if s.get("joinable_sampled"):
         et, ed = s.get("est_n_tokens", 0), max(s.get("est_tok_distinct", 1), 1)
         est["tokdict"] = (et * bits_needed(2 * ed) / 8

@@ -14,6 +14,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from ..codecs.bitpack import bits_needed
 from ..codecs.forpack import is_int_like, to_int64_numpy
 from ..codecs.fsst import _is_stringy, buffer_view
 
@@ -84,6 +85,18 @@ def column_stats(arr: pa.Array) -> dict:
             if len(v) > 1:
                 dv = np.diff(v)
                 s["delta_max_abs"] = int(np.abs(dv).max())
+    elif pa.types.is_floating(arr.type):
+        from ..codecs.decfloat import detect_scale
+        v = arr.drop_null().to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        step = max(len(v) // 4096, 1)
+        sc = detect_scale(np.ascontiguousarray(v[::step]))
+        if sc is not None:
+            s["dec_scale_sampled"] = sc
+            if len(v):
+                span = np.round(v.max() * 10.0 ** sc) - \
+                    np.round(v.min() * 10.0 ** sc)
+                s["dec_width"] = bits_needed(int(max(span, 0)))
     elif _is_stringy(arr.type):
         filled = arr
         if arr.null_count:

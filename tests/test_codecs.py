@@ -255,3 +255,32 @@ def test_tokdict_property(xs):
     enc = EncodedColumn.from_row(c.encode(arr).to_row())
     dec = get_codec("tokdict").decode(enc)
     assert dec.to_pylist() == arr.to_pylist()
+
+
+def test_decfloat_roundtrips():
+    from packcol.codecs import DecimalFloatCodec
+    c = DecimalFloatCodec()
+    cases = [
+        pa.array([6.55, 12.31, None, 0.01, -3.99] * 50),
+        pa.array([1.0, 2.0, 3.0]),
+        pa.array([], type=pa.float64()),
+        pa.array([0.5, -0.25], type=pa.float32()),
+    ]
+    for arr in cases:
+        enc = EncodedColumn.from_row(c.encode(arr).to_row())
+        dec = get_codec("decfloat").decode(enc)
+        assert dec.to_pylist() == arr.to_pylist()
+        assert dec.type == arr.type
+    # a 2-decimal column packs far below 8 B/value
+    big = pa.array(np.round(np.random.default_rng(1).uniform(0, 100, 4000),
+                            2))
+    enc = c.encode(big)
+    assert len(enc.buffers["payload"]) < 4000 * 2.5
+    # irregular floats rejected → selection falls back
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        c.encode(pa.array([0.123456789]))
+    from packcol.stages.select import encode_with_guard
+    out = encode_with_guard(pa.array(np.random.default_rng(2).normal(size=500)),
+                            codec_name="decfloat")
+    assert out.codec != "decfloat"   # fell back cleanly
