@@ -91,11 +91,31 @@ def main() -> None:
     extras["decode_GBps"] = round(metrics["orig_bytes"] / t_dec / 1e9, 3)
     assert inv["mismatches"] == 0, inv
 
+    # --- training-data ops at webtext scale (120k+ docs) ------------------
+    from packcol.pipelines.dedup import dedup_exact, minhash_lsh_pairs
+
+    def _docs_ds():
+        import pyarrow as pa
+        import numpy as np
+        from packcol.functions.text import fingerprints
+        ds = rd.read_parquet(WEBTEXT_DIR, columns=["url", "text"])
+        return ds.map_batches(
+            lambda t: t.append_column("doc_id", pa.array(
+                fingerprints(t.column("url")).view(np.int64))),
+            batch_format="pyarrow")
+
+    t_q, _ = timed(lambda: dedup_exact(
+        _docs_ds(), key="text", id_col="doc_id").materialize())
+    queries["dedup_exact_webtext"] = round(t_q, 3)
+
+    t_q, _ = timed(lambda: minhash_lsh_pairs(
+        _docs_ds(), id_col="doc_id", threshold=0.7,
+        carry_signatures=False).materialize())
+    queries["minhash_webtext"] = round(t_q, 3)
+
     # --- secondary: training-data ops over testdata documents -------------
     doc_path = os.path.join(SF_DIR, "documents.parquet")
     if os.path.exists(doc_path):
-        from packcol.pipelines.dedup import dedup_exact, minhash_lsh_pairs
-
         t_q, _ = timed(lambda: dedup_exact(
             rd.read_parquet(doc_path, columns=["doc_id", "text"])
         ).materialize())
