@@ -109,6 +109,56 @@ def minhash_lsh_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
 
     exploded = ds.map_batches(stage, batch_format="pyarrow",
                               zero_copy_batch=True)
+    # Prefilter: almost all (band, hash) buckets are singletons; shuffling
+    # them into groups is pure overhead.  Find the colliding keys first
+    # and filter band rows down to them before the pair-generation
+    # groupby.  Two paths:
+    #   bounded corpora (keys fit the driver): per-batch key lists →
+    #   driver np.unique — NO shuffle at all;
+    #   at scale: groupby Count aggregate (one shuffle of 16 B keys).
+    import ray as _ray
+    _MIX = np.uint64(0x9E3779B97F4A7C15)
+
+    def _keys_of(batch: pa.Table) -> np.ndarray:
+        bands = batch.column("band").to_numpy(zero_copy_only=False)
+        bhs = batch.column("bh").to_numpy(zero_copy_only=False)
+        with np.errstate(over="ignore"):
+            return bands.astype(np.uint64) * _MIX ^ \
+                bhs.astype(np.int64).view(np.uint64)
+
+    approx_keys = ds.count() * n_bands
+    if approx_keys <= 50_000_000:  # driver-merge path (≤ ~400 MB of keys)
+        # pin the sketch rows: they are consumed twice (key scan + filter)
+        # and re-running the signature stage would double the compute.
+        # Bounded by the key cap (~1.2 GB).  The at-scale branch instead
+        # recomputes — streaming-friendly, no full materialization.
+        exploded = exploded.materialize()
+        key_tables = exploded.map_batches(
+            lambda t: pa.table({"k": _keys_of(t).view(np.int64)}),
+            batch_format="pyarrow")
+        all_keys = key_tables.to_pandas()["k"].to_numpy().view(np.uint64)
+        uniq, cnt = np.unique(all_keys, return_counts=True)
+        coll_arr = uniq[cnt > 1]
+    else:
+        from ray.data.aggregate import Count as _Count
+        coll = exploded.groupby(["band", "bh"]).aggregate(
+            _Count(alias_name="c"))
+        coll_pdf = coll.to_pandas()
+        coll_pdf = coll_pdf[coll_pdf["c"] > 1]
+        with np.errstate(over="ignore"):
+            coll_arr = np.unique(
+                coll_pdf["band"].to_numpy().astype(np.uint64) * _MIX
+                ^ coll_pdf["bh"].to_numpy().astype(np.int64)
+                .view(np.uint64))
+    kref = _ray.put(coll_arr)
+
+    def only_collisions(batch: pa.Table) -> pa.Table:
+        ks = _ray.get(kref)
+        if len(ks) == 0:
+            return batch.slice(0, 0)
+        return batch.filter(pa.array(np.isin(_keys_of(batch), ks)))
+
+    exploded = exploded.map_batches(only_collisions, batch_format="pyarrow")
     cand = exploded.groupby(["band", "bh"]).map_groups(
         pairs, batch_format="pyarrow")
     from ray.data.aggregate import Count, Max
