@@ -23,3 +23,27 @@ from ._malloc import tune_malloc as _tune_malloc
 _tune_malloc()
 
 __version__ = "0.1.0"
+
+
+def __getattr__(name):
+    """Convenience top-level API (lazy so `import packcol` stays light):
+    packcol.encode_files / decode_files / verify_files / curate /
+    count_canonical_kmers / column_profile."""
+    _map = {
+        "encode_files": "packcol.pipelines.encode_pipeline",
+        "decode_files": "packcol.pipelines.encode_pipeline",
+        "verify_files": "packcol.pipelines.encode_pipeline",
+        "spot_check_files": "packcol.pipelines.encode_pipeline",
+        "encode_dataset": "packcol.pipelines.encode_pipeline",
+        "decode_dataset": "packcol.pipelines.encode_pipeline",
+        "curate": "packcol.pipelines.curation",
+        "dedup_exact": "packcol.pipelines.dedup",
+        "minhash_lsh_pairs": "packcol.pipelines.dedup",
+        "count_canonical_kmers": "packcol.pipelines.kmers",
+        "column_profile": "packcol.stages.profile",
+        "write_webtext": "packcol.sources.webtext",
+    }
+    if name in _map:
+        import importlib
+        return getattr(importlib.import_module(_map[name]), name)
+    raise AttributeError(name)
