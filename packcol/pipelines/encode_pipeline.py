@@ -264,6 +264,58 @@ def verify_files(out_dir: str, cpus_per_task: float = 1) -> dict:
     return {"rows": int(res["n"].sum()), "mismatches": int(res["n_bad"].sum())}
 
 
+class EncodedFilterPart:
+    """Task: evaluate an equality predicate on one encoded part WITHOUT
+    decoding the filtered column's values (codecs/access.py pushdown),
+    then decode only the requested output columns at the matching rows.
+    The 100 TB shape for selective point queries over the encoded store."""
+
+    def __init__(self, column: str, value, out_columns: list[str]):
+        self.column = column
+        self.value = value
+        self.out_columns = out_columns
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import numpy as np
+        import pyarrow.compute as pc
+        from ..codecs import EncodedColumn, decode_any
+        from ..codecs.access import filter_eq
+        outs = []
+        for p in batch.column("path").to_pylist():
+            enc_rows = pq.read_table(p)
+            names = enc_rows.column("column").to_pylist()
+            enc_of = {}
+            for i, name in enumerate(names):
+                if name == self.column or name in self.out_columns:
+                    enc_of[name] = EncodedColumn.from_row(
+                        {k: enc_rows.column(k)[i].as_py() for k in
+                         ("codec", "n_values", "params", "payload")})
+            mask = filter_eq(enc_of[self.column], self.value)
+            if not mask.any():
+                continue
+            sel = pa.array(np.flatnonzero(mask))
+            cols = {}
+            for name in self.out_columns:
+                cols[name] = decode_any(enc_of[name]).take(sel)
+            outs.append(pa.table(cols))
+        if not outs:
+            return pa.table(
+                {n: pa.array([], type=pa.string())
+                 for n in self.out_columns}).slice(0, 0)
+        return pa.concat_tables(outs)
+
+
+def filter_encoded(out_dir: str, column: str, value,
+                   out_columns: list[str]) -> "rd.Dataset":
+    """Equality predicate pushed into the encoded store: the filter runs
+    on packed codes; only matching rows of `out_columns` are decoded."""
+    files = [{"path": os.path.join(out_dir, f)}
+             for f in sorted(os.listdir(out_dir)) if f.endswith(".parquet")]
+    ds = rd.from_items(files, override_num_blocks=max(len(files), 1))
+    return ds.map_batches(EncodedFilterPart(column, value, out_columns),
+                          batch_size=1, batch_format="pyarrow")
+
+
 class SpotCheckPart:
     """Task: sample k rows of one encoded part, read each via O(1) point
     access (codecs/access.py) and compare against the original cells

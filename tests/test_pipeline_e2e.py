@@ -155,3 +155,21 @@ def test_spot_check_point_access(ray_session, webtext_dir, tmp_path):
     res = spot_check_files(out, k=5)
     assert res["mismatches"] == 0
     assert res["checked"] > 0
+
+
+def test_filter_encoded_pushdown(ray_session, webtext_dir, tmp_path):
+    """Equality filter runs on packed codes; only hits are decoded."""
+    import ray.data as rd
+    from packcol.pipelines.encode_pipeline import encode_files, filter_encoded
+    out = str(tmp_path / "enc_pred")
+    paths = [os.path.join(webtext_dir, f) for f in os.listdir(webtext_dir)
+             if f.endswith(".parquet")]
+    encode_files(paths, out, target_bytes=1 << 20)
+    got = filter_encoded(out, "lang", "de", ["url", "lang"]).to_pandas()
+    exp = rd.read_parquet(webtext_dir).to_pandas()
+    exp = exp[exp["lang"] == "de"]
+    assert sorted(got["url"]) == sorted(exp["url"])
+    assert (got["lang"] == "de").all()
+    # no-match value → empty
+    none = filter_encoded(out, "lang", "zz-none", ["url"]).to_pandas()
+    assert len(none) == 0
