@@ -115,3 +115,16 @@ def test_ngram_jaccard():
     j = ngram_jaccard(a, b)
     assert 0 < j < 1
     assert ngram_jaccard(a, a) == 1.0
+
+
+def test_empty_input_edges():
+    """Every kernel handles zero-row columns."""
+    empty = pa.array([], type=pa.string())
+    assert token_counts(empty).tolist() == []
+    h, _ = token_hashes(empty)
+    assert len(h) == 0
+    assert unique_token_counts(empty).tolist() == []
+    assert lang_id(empty).to_pylist() == []
+    assert fingerprints(empty).tolist() == []
+    assert minhash_signatures(empty).shape[0] == 0
+    assert simhash(empty).tolist() == []
