@@ -301,6 +301,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return pd.DataFrame(out, columns=["id_a", "id_b", "jaccard"])
     q["ngram_dedup"] = ngram_dedup
 
+    # --- composed curation pipeline (rows-only) --------------------------
+    def curate_documents(sf):
+        from packcol.pipelines.curation import curate
+        return curate(_read(sf, "documents", ["doc_id", "text"]),
+                      text_col="text", id_col="doc_id", min_tokens=3)
+    q["curate_documents"] = curate_documents
+
     # --- canonical k-mer counting (the reference's core use-case) --------
     def kmer_counts(sf):
         from packcol.pipelines.kmers import count_canonical_kmers
