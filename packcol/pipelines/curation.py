@@ -73,11 +73,14 @@ def drop_near_dups(ds, text_col: str = "text", id_col: str = "url",
     """Remove non-representative members of near-dup clusters."""
     import ray
     from .dedup import minhash_lsh_pairs, pairs_to_clusters
+    from ..stages.profile import value_hashes
+
+    def _nid(col):
+        c = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        return value_hashes(c).view(np.int64)
 
     with_ids = ds.map_batches(
-        lambda t: t.append_column(
-            "__nid", pa.array(
-                fingerprints(t.column(id_col)).view(np.int64))),
+        lambda t: t.append_column("__nid", pa.array(_nid(t.column(id_col)))),
         batch_format="pyarrow")
     pairs = minhash_lsh_pairs(with_ids, text_col=text_col, id_col="__nid",
                               threshold=threshold)
@@ -88,7 +91,7 @@ def drop_near_dups(ds, text_col: str = "text", id_col: str = "url",
     def filt(batch: pa.Table) -> pa.Table:
         import ray as _ray
         dd = _ray.get(ref)
-        nid = fingerprints(batch.column(id_col)).view(np.int64)
+        nid = _nid(batch.column(id_col))
         keep = ~np.isin(nid, np.fromiter(dd, dtype=np.int64,
                                          count=len(dd))) if dd else \
             np.ones(len(nid), dtype=bool)
