@@ -56,14 +56,15 @@ def drop_exact_dups(ds, text_col: str = "text", id_col: str = "url"):
     keepers = ds.map_batches(partial, batch_format="pyarrow",
                              zero_copy_batch=True) \
         .groupby("fp").aggregate(Min(id_col, alias_name=id_col))
-    keep_ids = set(keepers.to_pandas()[id_col])
-    ref = ray.put(keep_ids)
+    keep_arr = keepers.to_pandas()[id_col].to_numpy()
+    ref = ray.put(keep_arr)
 
     def filt(batch: pa.Table) -> pa.Table:
         import ray as _ray
+        import pyarrow.compute as pc
         ks = _ray.get(ref)
-        ids = batch.column(id_col).to_pylist()
-        return batch.filter(pa.array([i in ks for i in ids]))
+        mask = pc.is_in(batch.column(id_col), value_set=pa.array(ks))
+        return batch.filter(mask)
 
     return ds.map_batches(filt, batch_format="pyarrow")
 
