@@ -173,3 +173,31 @@ def test_filter_encoded_pushdown(ray_session, webtext_dir, tmp_path):
     # no-match value → empty
     none = filter_encoded(out, "lang", "zz-none", ["url"]).to_pandas()
     assert len(none) == 0
+
+
+def test_encode_files_null_heavy(ray_session, tmp_path):
+    """The checkpointed path preserves nulls in every column type."""
+    import numpy as np
+    import pyarrow.parquet as _pq
+    from packcol.pipelines.encode_pipeline import decode_files, encode_files
+    rng = np.random.default_rng(12)
+    n = 3000
+    t = pa.table({
+        "id": pa.array(range(n), type=pa.int64()),
+        "s": pa.array([None if rng.random() < 0.3 else f"v{i % 50}"
+                       for i in range(n)]),
+        "x": pa.array([None if rng.random() < 0.3 else float(i)
+                       for i in range(n)], type=pa.float64()),
+        "ts": pa.array([None if rng.random() < 0.3 else i * 1000
+                        for i in range(n)], type=pa.int64()).cast(
+            pa.timestamp("us")),
+    })
+    src = str(tmp_path / "nulls.parquet")
+    _pq.write_table(t, src, row_group_size=500)
+    out = str(tmp_path / "enc_nulls")
+    m = encode_files([src], out, target_bytes=1 << 18)
+    assert m["rows"] == n
+    got = decode_files(out).to_pandas().sort_values("id") \
+        .reset_index(drop=True)
+    import pandas as pd
+    pd.testing.assert_frame_equal(got, t.to_pandas())
