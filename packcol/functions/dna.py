@@ -151,6 +151,23 @@ def canonical_kmer_scan(seq: str | bytes, k: int
     return canon, pos, is_fw
 
 
+def decode_kmer_batch(words: np.ndarray, k: int) -> pa.Array:
+    """Vectorized packed-word → ACGT-string decode for a whole array
+    (no per-value Python), used when materializing k-mer count results."""
+    n = len(words)
+    if n == 0:
+        return pa.array([], type=pa.string())
+    w = np.asarray(words, dtype=np.uint64)
+    shifts = np.arange(k, dtype=np.uint64) * np.uint64(2)
+    codes = ((w[:, None] >> shifts) & np.uint64(3)).astype(np.uint8)
+    chars = DEC_TABLE.take(codes)
+    offs = np.arange(n + 1, dtype=np.int32) * k
+    return pa.Array.from_buffers(
+        pa.string(), n,
+        [None, pa.py_buffer(offs.tobytes()),
+         pa.py_buffer(np.ascontiguousarray(chars).tobytes())])
+
+
 def canonical_kmer_scan_batch(seqs: pa.Array, k: int
                               ) -> tuple[np.ndarray, np.ndarray,
                                          np.ndarray, np.ndarray]:
