@@ -1,0 +1,33 @@
+"""Distributed canonical k-mer counting: strategies agree, counts exact."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def test_strategies_agree_and_match_naive(ray_session):
+    import ray.data as rd
+    from packcol.pipelines.kmers import count_canonical_kmers
+    rng = np.random.default_rng(6)
+    seqs = ["".join("ACGT"[c] for c in rng.integers(0, 4, 60))
+            for _ in range(50)] + ["ACGTNACGT", "", "acgtacgt"]
+    ds = rd.from_arrow(pa.table({"seq": pa.array(seqs)}))
+    k = 5
+    tree = count_canonical_kmers(ds, "seq", k, strategy="tree") \
+        .to_pandas().set_index("kmer")["n"].to_dict()
+    grp = count_canonical_kmers(ds, "seq", k, strategy="groupby") \
+        .to_pandas().set_index("kmer")["n"].to_dict()
+    assert tree == grp
+
+    # naive python oracle
+    from collections import Counter
+    comp = str.maketrans("ACGT", "TGCA")
+    naive = Counter()
+    for s in seqs:
+        s = s.upper()
+        for i in range(max(len(s) - k + 1, 0)):
+            w = s[i:i + k]
+            if set(w) <= set("ACGT"):
+                rc = w.translate(comp)[::-1]
+                naive[min(w, rc)] += 1
+    assert tree == dict(naive)
