@@ -97,3 +97,27 @@ def test_width_zero():
     assert pack(np.zeros(10, dtype=np.uint64), 0).size == 0
     np.testing.assert_array_equal(unpack(np.empty(0, np.uint64), 0, 5),
                                   np.zeros(5, dtype=np.uint64))
+
+
+class TestGoldenMultiWord:
+    """Reference parity for multi-word packing (naive.rs:388-436)."""
+
+    def test_k45_u64_words(self):
+        s = "TAAGGATTCTAATCA" * 3
+        words = pack(codes(s), 2)
+        assert words.tolist() == [3585846758293238403, 7397160]
+        # per-symbol extraction table
+        got = unpack(words, 2, 45).tolist()
+        assert got == [3, 0, 0, 2, 2, 0, 3, 3, 1, 3, 0, 0, 3, 1, 0] * 3
+
+    def test_k65_u128_words(self):
+        s = "TAAGGATTCTAATCA" * 4 + "GGGGG"
+        words = pack(codes(s), 2)
+        # the reference's u128 pair [226...995, 2] viewed as 4 LE u64s
+        as_u128_lo = int(words[0]) | (int(words[1]) << 64)
+        as_u128_hi = int(words[2]) if len(words) > 2 else 0
+        assert as_u128_lo == 226115275135941975929349834069397860995
+        assert as_u128_hi == 2
+        got = unpack(words, 2, 65).tolist()
+        assert got == [3, 0, 0, 2, 2, 0, 3, 3, 1, 3, 0, 0, 3, 1, 0] * 4 + \
+            [2, 2, 2, 2, 2]
