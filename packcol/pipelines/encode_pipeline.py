@@ -279,8 +279,9 @@ class EncodedFilterPart:
         import numpy as np
         import pyarrow.compute as pc
         from ..codecs import EncodedColumn, decode_any
+        from ..codecs.base import str_to_type
         from ..codecs.access import filter_eq
-        outs = []
+        outs, out_types = [], {}
         for p in batch.column("path").to_pylist():
             enc_rows = pq.read_table(p)
             names = enc_rows.column("column").to_pylist()
@@ -290,6 +291,10 @@ class EncodedFilterPart:
                     enc_of[name] = EncodedColumn.from_row(
                         {k: enc_rows.column(k)[i].as_py() for k in
                          ("codec", "n_values", "params", "payload")})
+            for name in self.out_columns:  # remember types for empty blocks
+                dt = enc_of[name].params.get("dtype")
+                if dt is not None:
+                    out_types[name] = str_to_type(dt)
             mask = filter_eq(enc_of[self.column], self.value)
             if not mask.any():
                 continue
@@ -299,9 +304,12 @@ class EncodedFilterPart:
                 cols[name] = decode_any(enc_of[name]).take(sel)
             outs.append(pa.table(cols))
         if not outs:
+            # typed empty block: derive each column's type from the
+            # encoded params so schemas unify across tasks (no pa.string()
+            # fallback for non-string columns)
             return pa.table(
-                {n: pa.array([], type=pa.string())
-                 for n in self.out_columns}).slice(0, 0)
+                {n: pa.array([], type=out_types.get(n, pa.string()))
+                 for n in self.out_columns})
         return pa.concat_tables(outs)
 
 

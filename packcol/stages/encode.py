@@ -31,17 +31,25 @@ ENC_SCHEMA = pa.schema([
 
 
 def content_part_id(batch: pa.Table) -> str:
-    """Deterministic part id from block content (schema + count + bounded
-    samples of the first/last rows), so re-runs over the same blocks
-    reproduce the same ids (resume).  O(1) per block: never serializes
-    whole multi-MB cells."""
+    """Deterministic part id from block content (schema + count +
+    per-column byte sizes + bounded samples of up to 16 strided rows),
+    so re-runs over the same blocks reproduce the same ids (resume).
+    Bounded per block: never serializes whole multi-MB cells, but the
+    per-column nbytes + strided interior samples make two blocks that
+    differ only in middle rows hash differently (silent-overwrite fix)."""
     h = hashlib.sha1()
     h.update(str(batch.schema).encode())
     h.update(str(batch.num_rows).encode())
-    if batch.num_rows:
-        for row in (batch.slice(0, 1), batch.slice(batch.num_rows - 1, 1)):
-            for col in row.columns:
-                v = col[0].as_py()
+    n = batch.num_rows
+    if n:
+        # strided sample incl. first and last row — ≤16 rows total
+        idx = np.unique(np.linspace(0, n - 1, num=min(n, 16), dtype=np.int64))
+        for name in batch.column_names:
+            col = batch.column(name)
+            h.update(str(col.nbytes).encode())
+            h.update(str(col.null_count).encode())
+            for i in idx:
+                v = col[int(i)].as_py()
                 if isinstance(v, (bytes, str)):
                     s = v[:256]
                     h.update(s.encode() if isinstance(s, str) else s)
@@ -82,6 +90,10 @@ def decode_rows(enc_rows: pa.Table) -> pa.Table:
         row = {k: enc_rows.column(k)[i].as_py() for k in
                ("codec", "n_values", "params", "payload")}
         name = enc_rows.column("column")[i].as_py()
+        if name in cols:
+            raise ValueError(
+                f"duplicate encoded row for column {name!r} "
+                f"(part_id collision or mixed partitions in one group)")
         cols[name] = decode_any(EncodedColumn.from_row(row))
         names.append(name)
     return pa.table({n: cols[n] for n in names})

@@ -57,16 +57,21 @@ def estimate_sizes(dtype: pa.DataType, s: dict) -> dict:
     return est
 
 
-def choose_codec(dtype: pa.DataType, s: dict) -> str:
+def choose_codec(dtype: pa.DataType, s: dict,
+                 exclude: set | None = None) -> str:
     n = s.get("n", 0)
+    exclude = exclude or set()
     # long-runs rule: when the column is runs-dominated, RLE wins outright
     # (F3 const_col/runs_col; generalizes the crawl-ordered `lang` column)
-    if n and s.get("n_runs", n) <= max(4, n // 64) and \
+    if n and "rle" not in exclude and \
+            s.get("n_runs", n) <= max(4, n // 64) and \
             get_codec("rle").can_encode(dtype, s):
         return "rle"
     est = estimate_sizes(dtype, s)
     applicable = {k: v for k, v in est.items()
-                  if get_codec(k).can_encode(dtype, s)}
+                  if k not in exclude and get_codec(k).can_encode(dtype, s)}
+    if not applicable:
+        return "store"
     return min(sorted(applicable), key=lambda k: applicable[k])
 
 
@@ -83,15 +88,20 @@ def encode_with_guard(arr: pa.Array, codec_name: str | None = None,
     if codec_name is None:
         stats = stats or column_stats(arr)
         codec_name = choose_codec(arr.type, stats)
-    try:
-        enc = get_codec(codec_name).encode(arr)
-    except ValueError:
-        # e.g. tokdict on data whose full scan fails the structural
-        # guard that the sample passed — re-select without it
-        stats = dict(stats or column_stats(arr))
-        stats.pop("joinable_sampled", None)
-        codec_name = choose_codec(arr.type, stats)
-        enc = get_codec(codec_name).encode(arr)
+    # Sampled stats (joinable_sampled, dec_scale_sampled) can pass on the
+    # sample but fail on the full column; exclude each failing codec and
+    # re-select until one succeeds ("store" always does).
+    failed: set[str] = set()
+    while True:
+        try:
+            enc = get_codec(codec_name).encode(arr)
+            break
+        except ValueError:
+            if codec_name == "store":
+                raise
+            failed.add(codec_name)
+            stats = dict(stats or column_stats(arr))
+            codec_name = choose_codec(arr.type, stats, exclude=failed)
     if codec_name != "store" and enc.enc_bytes >= arr.nbytes + 96:
         store = get_codec("store").encode(arr)
         if store.enc_bytes < enc.enc_bytes:

@@ -89,6 +89,25 @@ def test_distributed_propagation_matches_union_find(docs_ds, ray_session):
     assert dict(zip(big["id"], big["cluster"])) == exp
 
 
+def test_distributed_propagation_deep_chain(ray_session):
+    """Diameter-60 path: pointer doubling must converge in far fewer
+    rounds than the diameter (was: silent split after max_iters)."""
+    import ray.data as rd
+    n = 61
+    pairs_t = pa.table({
+        "id_a": pa.array(list(range(n - 1)), type=pa.int64()),
+        "id_b": pa.array(list(range(1, n)), type=pa.int64())})
+    out = pairs_to_clusters_import()(rd.from_arrow(pairs_t),
+                                     small_threshold=0, max_iters=8)
+    assert set(out["cluster"]) == {0}
+    assert len(out) == n
+
+
+def pairs_to_clusters_import():
+    from packcol.pipelines.dedup import pairs_to_clusters
+    return pairs_to_clusters
+
+
 def test_minhash_scale_mode(docs_ds):
     """carry_signatures=False (24 B band rows) still surfaces planted
     dups; exact dups get est_jaccard 1.0 (all bands hit)."""
