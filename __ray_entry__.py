@@ -315,6 +315,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _read(sf, "documents", ["text"]), seq_col="text", k=3)
     q["kmer_counts"] = kmer_counts
 
+    def kmer_counts_k45(sf):
+        """k>32 multi-word path (generic Kmer<P,K,B>,
+        /root/reference/src/kmer.rs:12-14): DNA derived deterministically
+        from each document (md5 hex → ACGT), counted at k=45 on [u64;2]
+        words.  Cross-checked against the same derivation in SQL."""
+        from packcol.pipelines.kmers import count_canonical_kmers
+        import hashlib
+        import pyarrow as _pa
+        hex2dna = str.maketrans("0123456789abcdef", "ACGTACGTACGTACGT")
+
+        def to_dna(batch):
+            dna = [hashlib.md5(t.encode()).hexdigest().translate(hex2dna) * 2
+                   for t in batch.column("text").to_pylist()]
+            return _pa.table({"dna": _pa.array(dna)})
+
+        ds = _read(sf, "documents", ["text"]).map_batches(
+            to_dna, batch_format="pyarrow")
+        return count_canonical_kmers(ds, seq_col="dna", k=45)
+    q["kmer_counts_k45"] = kmer_counts_k45
+
     # --- distributed sort + top-k ----------------------------------------
     def longest_docs(sf):
         ds = _read(sf, "documents", ["doc_id", "n_chars"])
@@ -489,6 +509,18 @@ def oracle_sql() -> dict[str, str]:
             "kmer FROM documents d CROSS JOIN generate_series(1, 4000) "
             "AS g(i) WHERE g.i <= length(d.text) - 2) "
             "WHERE regexp_matches(kmer, '^[ACGT]{3}$')) GROUP BY canon"),
+        # least() (string lex) picks the same canonical strand as the
+        # packed multi-word integer min: complement is order-reversing,
+        # so first-position lex and last-position packed comparisons
+        # always agree (test_canonical_choice_order_equivalence_multi)
+        "kmer_counts_k45": (
+            "SELECT canon AS kmer, COUNT(*) AS n FROM ("
+            "SELECT least(kmer, translate(reverse(kmer), 'ACGT', 'TGCA')) "
+            "AS canon FROM (SELECT substr(d.dna, g.i::INT, 45) AS kmer "
+            "FROM (SELECT translate(repeat(md5(text), 2), "
+            "'0123456789abcdef', 'ACGTACGTACGTACGT') AS dna "
+            "FROM documents) d CROSS JOIN generate_series(1, 20) AS g(i))) "
+            "GROUP BY canon"),
         "longest_docs": (
             "SELECT doc_id, n_chars FROM documents "
             "ORDER BY n_chars DESC, doc_id LIMIT 10"),

@@ -203,6 +203,197 @@ def canonical_kmer_scan_batch(seqs: pa.Array, k: int
     return row.astype(np.int64), in_row, canon, is_fw
 
 
+# --- multi-word k-mers (k > 32): generic Kmer<P,K,B> parity ----------------
+#
+# The reference's generic kmer packs K 2-bit symbols low-order-first
+# across an array of B words (src/kmer.rs:12-14, word_for_k at :67-69;
+# golden vectors for k=45 on [u64;2] and k=65 on u128 at
+# src/encoding/naive.rs:388-436 — reproduced in tests/test_bitpack.py).
+# Here a column of multi-word k-mers is an (n, B) uint64 ndarray
+# (little-endian word order), and every kernel below is vectorized
+# across n.  Canonical order for k>32 compares the multi-word value as
+# one big unsigned integer (most-significant word first) — the natural
+# generalization of naive_impl's Ord-on-u64 canonical choice
+# (src/naive_impl/kmer.rs:55-74).
+
+K_MAX_MULTI = 512  # sanity cap: 32 u64 words per k-mer
+
+
+def n_words_for_k(k: int) -> int:
+    """word_for_k::<u64, K>() (src/kmer.rs:67-69)."""
+    return (2 * k + 63) // 64
+
+
+def _rev2_word(x: np.ndarray) -> np.ndarray:
+    """Reverse the 32 2-bit groups of each u64 (the 5-step swizzle of
+    src/naive_impl/kmer.rs:138-147, without the final down-shift)."""
+    x = ((x >> np.uint64(2)) & np.uint64(0x3333333333333333)) | \
+        ((x & np.uint64(0x3333333333333333)) << np.uint64(2))
+    x = ((x >> np.uint64(4)) & np.uint64(0x0F0F0F0F0F0F0F0F)) | \
+        ((x & np.uint64(0x0F0F0F0F0F0F0F0F)) << np.uint64(4))
+    x = ((x >> np.uint64(8)) & np.uint64(0x00FF00FF00FF00FF)) | \
+        ((x & np.uint64(0x00FF00FF00FF00FF)) << np.uint64(8))
+    x = ((x >> np.uint64(16)) & np.uint64(0x0000FFFF0000FFFF)) | \
+        ((x & np.uint64(0x0000FFFF0000FFFF)) << np.uint64(16))
+    return (x >> np.uint64(32)) | (x << np.uint64(32))
+
+
+def _shr_multi(words: np.ndarray, s: int) -> np.ndarray:
+    """Logical right shift of (n, B) little-endian u64 arrays by s bits."""
+    n, B = words.shape
+    ws, bs = divmod(s, 64)
+    ext = np.concatenate(
+        [words, np.zeros((n, ws + 1), dtype=np.uint64)], axis=1)
+    lo = ext[:, ws:ws + B]
+    if bs == 0:
+        return lo.copy()
+    return (lo >> np.uint64(bs)) | \
+        (ext[:, ws + 1:ws + 1 + B] << np.uint64(64 - bs))
+
+
+def mask_kmer_multi(words: np.ndarray, k: int) -> np.ndarray:
+    """Clear bits above 2k across the word array (MASK_TABLE semantics)."""
+    B = words.shape[1]
+    out = words.copy()
+    top_bits = 2 * k - 64 * (B - 1)
+    if top_bits < 64:
+        out[:, B - 1] &= np.uint64((1 << top_bits) - 1)
+    return out
+
+
+def revcomp_words_multi(words: np.ndarray, k: int) -> np.ndarray:
+    """Vectorized reverse-complement of (n, B) packed k-mers — the
+    generic two-pointer rev_comp (src/encoding/naive.rs:138-154)
+    expressed as: complement, reverse 2-bit groups within each word,
+    reverse word order, shift down by 2*(32*B - k)."""
+    words = np.asarray(words, dtype=np.uint64)
+    x = _rev2_word(~words)[:, ::-1]
+    return _shr_multi(np.ascontiguousarray(x), 2 * (32 * words.shape[1] - k))
+
+
+def _lex_le_multi(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """a <= b comparing (n, B) little-endian multi-word unsigned ints."""
+    n, B = a.shape
+    result = np.ones(n, dtype=bool)
+    decided = np.zeros(n, dtype=bool)
+    for j in range(B - 1, -1, -1):  # most-significant word first
+        lt = ~decided & (a[:, j] < b[:, j])
+        gt = ~decided & (a[:, j] > b[:, j])
+        result[gt] = False
+        decided |= lt | gt
+    return result
+
+
+def canonicalize_words_multi(words: np.ndarray, k: int
+                             ) -> tuple[np.ndarray, np.ndarray]:
+    """(canonical (n,B), is_fw): canonical = min(fw, rc) under multi-word
+    integer order."""
+    fw = mask_kmer_multi(np.asarray(words, dtype=np.uint64), k)
+    rc = revcomp_words_multi(fw, k)
+    is_fw = _lex_le_multi(fw, rc)
+    return np.where(is_fw[:, None], fw, rc), is_fw
+
+
+def kmer_windows_multi(seq: str | bytes, k: int
+                       ) -> tuple[np.ndarray, np.ndarray]:
+    """All k-windows as (n_win, B) packed words + positions, skipping
+    invalid-symbol windows — kmer_windows generalized past one word."""
+    B = n_words_for_k(k)
+    codes = seq_to_codes(seq)
+    n = len(codes)
+    if n < k:
+        return np.empty((0, B), np.uint64), np.empty(0, np.int64)
+    valid = codes != INVALID
+    cs = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(~valid, out=cs[1:])
+    ok = (cs[k:] - cs[:-k]) == 0
+    safe = np.where(valid, codes, 0).astype(np.uint64)
+    packed = pack(safe, 2)
+    packed = np.concatenate([packed, np.zeros(B + 1, dtype=np.uint64)])
+    nw = n - k + 1
+    i = np.arange(nw, dtype=np.int64)
+    wi = i >> 5
+    sh = ((i & 31) << 1).astype(np.uint64)
+    hi_shift = (np.uint64(64) - sh) & np.uint64(63)
+    out = np.empty((nw, B), dtype=np.uint64)
+    nonzero_sh = sh > 0
+    for j in range(B):
+        lo = packed[wi + j] >> sh
+        hi = np.where(nonzero_sh, packed[wi + j + 1] << hi_shift,
+                      np.uint64(0))
+        out[:, j] = lo | hi
+    out = mask_kmer_multi(out, k)
+    pos = np.flatnonzero(ok)
+    return out[pos], pos
+
+
+def canonical_kmer_scan_multi(seq: str | bytes, k: int
+                              ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(canonical (n,B), positions, is_fw) for every valid window, k>32."""
+    w, pos = kmer_windows_multi(seq, k)
+    canon, is_fw = canonicalize_words_multi(w, k)
+    return canon, pos, is_fw
+
+
+def decode_kmer_multi(words: np.ndarray, k: int) -> str:
+    """One (B,) word array → ACGT string."""
+    codes = unpack(np.asarray(words, dtype=np.uint64).ravel(), 2, k)
+    return codes_to_seq(codes.astype(np.uint8)).decode()
+
+
+def decode_kmer_batch_multi(words: np.ndarray, k: int) -> pa.Array:
+    """Vectorized (n, B) packed-word → ACGT-string decode."""
+    n, B = words.shape
+    if n == 0:
+        return pa.array([], type=pa.string())
+    w = np.ascontiguousarray(words, dtype=np.uint64)
+    # per-symbol extraction across words: symbol i lives in word i//32
+    sym = np.arange(k, dtype=np.int64)
+    wi, sh = sym >> 5, ((sym & 31) << 1).astype(np.uint64)
+    codes = ((w[:, wi] >> sh) & np.uint64(3)).astype(np.uint8)
+    chars = DEC_TABLE.take(codes)
+    offs = np.arange(n + 1, dtype=np.int32) * k
+    return pa.Array.from_buffers(
+        pa.string(), n,
+        [None, pa.py_buffer(offs.tobytes()),
+         pa.py_buffer(np.ascontiguousarray(chars).tobytes())])
+
+
+def canonical_kmer_scan_batch_multi(seqs: pa.Array, k: int
+                                    ) -> tuple[np.ndarray, np.ndarray,
+                                               np.ndarray, np.ndarray]:
+    """(row_ids, in_row_positions, canonical (n,B), is_fw) over a whole
+    string column in one vectorized pass — canonical_kmer_scan_batch for
+    k > 32 (separator-byte row-boundary guard, same as the k≤32 path)."""
+    import pyarrow.compute as pc
+    from ..codecs.fsst import buffer_view
+    if k <= K_MAX:
+        raise ValueError("use canonical_kmer_scan_batch for k <= 32")
+    if k > K_MAX_MULTI:
+        raise ValueError(f"k must be <= {K_MAX_MULTI}")
+    B = n_words_for_k(k)
+    if isinstance(seqs, pa.ChunkedArray):
+        seqs = seqs.combine_chunks()
+    if seqs.null_count:
+        seqs = pc.fill_null(seqs, "")
+    d, offs = buffer_view(seqs)
+    n_rows = len(seqs)
+    if len(d) == 0:
+        z = np.empty(0, np.int64)
+        return z, z, np.empty((0, B), np.uint64), np.empty(0, bool)
+    lens = np.diff(offs)
+    sep_d = np.zeros(len(d) + n_rows, dtype=np.uint8)
+    new_starts = offs[:-1] + np.arange(n_rows)
+    pos_map = np.arange(len(d), dtype=np.int64) + \
+        np.repeat(np.arange(n_rows, dtype=np.int64), lens)
+    sep_d[pos_map] = d
+    w, p = kmer_windows_multi(sep_d.tobytes(), k)
+    row = np.searchsorted(new_starts, p, side="right") - 1
+    in_row = p - new_starts[row]
+    canon, is_fw = canonicalize_words_multi(w, k)
+    return row.astype(np.int64), in_row, canon, is_fw
+
+
 # --- equivalency (N5) ------------------------------------------------------
 
 NO_MATCH, IDENTITY_MATCH, TWIN_MATCH = 0, 1, 2

@@ -17,22 +17,40 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-from ..functions.dna import canonical_kmer_scan_batch, decode_kmer_batch
+from ..functions.dna import (K_MAX, canonical_kmer_scan_batch,
+                             canonical_kmer_scan_batch_multi,
+                             decode_kmer_batch, decode_kmer_batch_multi,
+                             n_words_for_k)
+
+
+def _wcols(B: int) -> list[str]:
+    return [f"w{j}" for j in range(B)]
 
 
 def _merge_counts(a: "pa.Table", b: "pa.Table") -> "pa.Table":
-    """Merge two (w, n) partial count tables, vectorized."""
-    w = np.concatenate([a.column("w").to_numpy(zero_copy_only=False),
-                        b.column("w").to_numpy(zero_copy_only=False)])
+    """Merge two (w..., n) partial count tables, vectorized.  Key is one
+    column ("w") for k≤32 or B word columns ("w0".."w{B-1}") for k>32."""
+    keys = [c for c in a.column_names if c != "n"]
+    cols = [np.concatenate([a.column(c).to_numpy(zero_copy_only=False),
+                            b.column(c).to_numpy(zero_copy_only=False)])
+            for c in keys]
     n = np.concatenate([a.column("n").to_numpy(zero_copy_only=False),
                         b.column("n").to_numpy(zero_copy_only=False)])
-    order = np.argsort(w, kind="stable")
-    w, n = w[order], n[order]
-    first = np.ones(len(w), dtype=bool)
-    first[1:] = w[1:] != w[:-1]
+    order = np.lexsort(cols[::-1]) if len(cols) > 1 else \
+        np.argsort(cols[0], kind="stable")
+    cols = [c[order] for c in cols]
+    n = n[order]
+    first = np.ones(len(n), dtype=bool)
+    if len(n) > 1:
+        diff = np.zeros(len(n) - 1, dtype=bool)
+        for c in cols:
+            diff |= c[1:] != c[:-1]
+        first[1:] = diff
     starts = np.flatnonzero(first)
     sums = np.add.reduceat(n, starts) if len(starts) else n[:0]
-    return pa.table({"w": w[starts], "n": sums.astype(np.int64)})
+    out = {c: col[starts] for c, col in zip(keys, cols)}
+    out["n"] = sums.astype(np.int64)
+    return pa.table(out)
 
 
 def count_canonical_kmers(ds, seq_col: str = "text", k: int = 31,
@@ -47,17 +65,37 @@ def count_canonical_kmers(ds, seq_col: str = "text", k: int = 31,
     replaces the groupby shuffle; appropriate while the merged result
     fits one node (bounded key sets — small k or genome-bounded).
     strategy="groupby": all-to-all shuffle on the 8-byte packed word;
-    scales to open-ended key spaces (result stays distributed)."""
+    scales to open-ended key spaces (result stays distributed).
+
+    k > 32 uses the multi-word kernels (generic Kmer<P,K,B> parity,
+    src/kmer.rs:12-14): keys become B int64 word columns w0..w{B-1}."""
     from ray.data.aggregate import Sum
+
+    B = n_words_for_k(k)
+    multi = k > K_MAX
+    wcols = _wcols(B) if multi else ["w"]
+
+    def _empty() -> pa.Table:
+        t = {c: pa.array([], pa.int64()) for c in wcols}
+        t["n"] = pa.array([], pa.int64())
+        return pa.table(t)
 
     def partial(batch: pa.Table) -> pa.Table:
         col = batch.column(seq_col)
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
+        if multi:
+            _, _, canon, _ = canonical_kmer_scan_batch_multi(col, k)
+            if len(canon) == 0:
+                return _empty()
+            vals, counts = np.unique(canon, axis=0, return_counts=True)
+            out = {c: vals[:, j].view(np.int64)
+                   for j, c in enumerate(wcols)}
+            out["n"] = counts.astype(np.int64)
+            return pa.table(out)
         _, _, canon, _ = canonical_kmer_scan_batch(col, k)
         if len(canon) == 0:
-            return pa.table({"w": pa.array([], pa.int64()),
-                             "n": pa.array([], pa.int64())})
+            return _empty()
         vals, counts = np.unique(canon, return_counts=True)
         return pa.table({"w": vals.view(np.int64),
                          "n": counts.astype(np.int64)})
@@ -69,16 +107,24 @@ def count_canonical_kmers(ds, seq_col: str = "text", k: int = 31,
                               zero_copy_batch=True)
 
     def to_strings(batch: pa.Table) -> pa.Table:
+        if multi:
+            w = np.stack([batch.column(c).to_numpy(zero_copy_only=False)
+                          .view(np.uint64) for c in wcols], axis=1) \
+                if batch.num_rows else np.empty((0, B), np.uint64)
+            return pa.table({"kmer": decode_kmer_batch_multi(w, k),
+                             "n": batch.column("n")})
         w = batch.column("w").to_numpy(zero_copy_only=False).view(np.uint64)
         return pa.table({"kmer": decode_kmer_batch(w, k),
                          "n": batch.column("n")})
 
     if strategy == "groupby":
-        agg = partials.groupby("w").aggregate(Sum("n", alias_name="n"))
+        agg = partials.groupby(wcols).aggregate(Sum("n", alias_name="n"))
         return agg.map_batches(to_strings, batch_format="pyarrow")
 
     # tree path: raw Ray tasks, because the Dataset API cannot express a
-    # tree-reduce over mergeable partial tables
+    # tree-reduce over mergeable partial tables.  Leaves are the
+    # Dataset's own object-store block refs — partials never pass
+    # through the driver (no iter_batches + re-put funnel).
     import ray
     import ray.data as rd
 
@@ -86,10 +132,7 @@ def count_canonical_kmers(ds, seq_col: str = "text", k: int = 31,
     def merge2(a, b):
         return _merge_counts(a, b)
 
-    refs = []
-    for b in partials.iter_batches(batch_size=None, batch_format="pyarrow"):
-        t = b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
-        refs.append(ray.put(t))
+    refs = list(partials.to_arrow_refs())
     if not refs:
         return rd.from_arrow(pa.table({"kmer": pa.array([], pa.string()),
                                        "n": pa.array([], pa.int64())}))

@@ -220,3 +220,95 @@ def test_canonical_choice_order_equivalence():
         w = encode_kmer(s)
         c, _ = canonicalize_words(np.array([w], dtype=np.uint64), k)
         assert decode_kmer(int(c[0]), k) == lex_min
+
+
+class TestMultiWord:
+    """k > 32 multi-word kernels — generic Kmer<P,K,B> parity
+    (/root/reference/src/encoding/naive.rs:388-436, src/kmer.rs:12-14)."""
+
+    def test_k45_golden_revcomp(self):
+        from packcol.codecs.bitpack import pack
+        from packcol.functions.dna import (decode_kmer_multi,
+                                           revcomp_words_multi, seq_to_codes)
+        s = "TAAGGATTCTAATCA" * 3
+        w = pack(seq_to_codes(s).astype(np.uint64), 2)
+        assert w.tolist() == [3585846758293238403, 7397160]
+        rc = revcomp_words_multi(w[None, :], 45)
+        assert decode_kmer_multi(rc[0], 45) == "TGATTAGAATCCTTA" * 3
+
+    def test_k65_golden_revcomp(self):
+        from packcol.codecs.bitpack import pack
+        from packcol.functions.dna import (decode_kmer_multi,
+                                           revcomp_words_multi, seq_to_codes)
+        s = "TAAGGATTCTAATCA" * 4 + "GGGGG"
+        w = pack(seq_to_codes(s).astype(np.uint64), 2)
+        rc = revcomp_words_multi(w[None, :], 65)
+        assert decode_kmer_multi(rc[0], 65) == "CCCCC" + "TGATTAGAATCCTTA" * 4
+
+    def test_revcomp_involution_and_canonical_idempotence(self):
+        from packcol.codecs.bitpack import pack
+        from packcol.functions.dna import (canonicalize_words_multi,
+                                           n_words_for_k,
+                                           revcomp_words_multi, seq_to_codes)
+        rng = np.random.default_rng(17)
+        for k in (33, 45, 63, 64, 65, 96, 127, 128):
+            B = n_words_for_k(k)
+            seq = "".join("ACGT"[c] for c in rng.integers(0, 4, k))
+            w = pack(seq_to_codes(seq).astype(np.uint64), 2)
+            if len(w) < B:
+                w = np.concatenate([w, np.zeros(B - len(w), np.uint64)])
+            w = w[None, :]
+            assert np.array_equal(
+                revcomp_words_multi(revcomp_words_multi(w, k), k), w), k
+            c, _ = canonicalize_words_multi(w, k)
+            c2, _ = canonicalize_words_multi(c, k)
+            assert np.array_equal(c, c2), k
+
+    def test_windows_skip_invalid_and_match_slices(self):
+        from packcol.functions.dna import decode_kmer_multi, kmer_windows_multi
+        rng = np.random.default_rng(23)
+        seq = ("".join("ACGT"[c] for c in rng.integers(0, 4, 120)) + "N"
+               + "".join("ACGT"[c] for c in rng.integers(0, 4, 70)))
+        k = 45
+        wins, pos = kmer_windows_multi(seq, k)
+        exp = [i for i in range(len(seq) - k + 1)
+               if "N" not in seq[i:i + k]]
+        assert pos.tolist() == exp
+        for t in range(0, len(pos), 17):
+            assert decode_kmer_multi(wins[t], k) == seq[pos[t]:pos[t] + k]
+
+    def test_batch_scan_matches_per_row_multi(self):
+        from packcol.functions.dna import (canonical_kmer_scan_batch_multi,
+                                           canonical_kmer_scan_multi)
+        rng = np.random.default_rng(29)
+        mk = lambda n: "".join("ACGT"[c] for c in rng.integers(0, 4, n))
+        seqs = pa.array([mk(100), "", mk(44), None, mk(50) + "N" + mk(60)])
+        k = 45
+        rows, pos, canon, is_fw = canonical_kmer_scan_batch_multi(seqs, k)
+        off = 0
+        for i, s in enumerate(seqs.to_pylist()):
+            m = rows == i
+            c_exp, p_exp, f_exp = canonical_kmer_scan_multi(s or "", k)
+            np.testing.assert_array_equal(pos[m], p_exp)
+            np.testing.assert_array_equal(canon[m], c_exp)
+            np.testing.assert_array_equal(is_fw[m], f_exp)
+
+    def test_canonical_choice_order_equivalence_multi(self):
+        """least(s, rc) string order == multi-word packed min for k>32
+        (the SQL-oracle equivalence, extended past one word)."""
+        from packcol.codecs.bitpack import pack
+        from packcol.functions.dna import (canonicalize_words_multi,
+                                           decode_kmer_multi, n_words_for_k,
+                                           seq_to_codes)
+        rng = np.random.default_rng(31)
+        comp = str.maketrans("ACGT", "TGCA")
+        for _ in range(100):
+            k = int(rng.integers(33, 80))
+            B = n_words_for_k(k)
+            s = "".join("ACGT"[c] for c in rng.integers(0, 4, k))
+            rc = s.translate(comp)[::-1]
+            w = pack(seq_to_codes(s).astype(np.uint64), 2)
+            if len(w) < B:
+                w = np.concatenate([w, np.zeros(B - len(w), np.uint64)])
+            c, _ = canonicalize_words_multi(w[None, :], k)
+            assert decode_kmer_multi(c[0], k) == min(s, rc)

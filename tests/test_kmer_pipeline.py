@@ -31,3 +31,30 @@ def test_strategies_agree_and_match_naive(ray_session):
                 rc = w.translate(comp)[::-1]
                 naive[min(w, rc)] += 1
     assert tree == dict(naive)
+
+
+def test_k45_multiword_strategies_agree_and_match_naive(ray_session):
+    """k>32 counting through the multi-word kernels (Kmer<P,K,B> path)."""
+    import ray.data as rd
+    from packcol.pipelines.kmers import count_canonical_kmers
+    rng = np.random.default_rng(8)
+    seqs = ["".join("ACGT"[c] for c in rng.integers(0, 4, 90))
+            for _ in range(30)] + ["ACGT" * 11, "", "N" * 50]
+    ds = rd.from_arrow(pa.table({"seq": pa.array(seqs)}))
+    k = 45
+    tree = count_canonical_kmers(ds, "seq", k, strategy="tree") \
+        .to_pandas().set_index("kmer")["n"].to_dict()
+    grp = count_canonical_kmers(ds, "seq", k, strategy="groupby") \
+        .to_pandas().set_index("kmer")["n"].to_dict()
+    assert tree == grp
+
+    from collections import Counter
+    comp = str.maketrans("ACGT", "TGCA")
+    naive = Counter()
+    for s in seqs:
+        s = s.upper()
+        for i in range(max(len(s) - k + 1, 0)):
+            w = s[i:i + k]
+            if set(w) <= set("ACGT"):
+                naive[min(w, w.translate(comp)[::-1])] += 1
+    assert tree == dict(naive)
