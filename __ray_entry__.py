@@ -335,6 +335,41 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return count_canonical_kmers(ds, seq_col="dna", k=45)
     q["kmer_counts_k45"] = kmer_counts_k45
 
+    def minimizer_counts(sf):
+        """Sliding-window minimizer scan (reference S3 monotone deque,
+        /root/reference/src/naive_impl/seq_vector/minimizers.rs:38-142)
+        over md5-derived DNA: per k-mer window the leftmost lex-min
+        w-mer; counts per distinct minimizer.  Lex hash order == string
+        order, so the oracle is MIN(substr) per window in SQL."""
+        import hashlib
+        import numpy as np
+        import pyarrow as _pa
+        from ray.data.aggregate import Sum
+        from packcol.functions.dna import decode_kmer_batch
+        from packcol.functions.minimizers import minimizer_scan_batch
+        k, w = 21, 11
+        hex2dna = str.maketrans("0123456789abcdef", "ACGTACGTACGTACGT")
+
+        def scan(batch):
+            dna = [hashlib.md5(t.encode()).hexdigest().translate(hex2dna)
+                   * 2 for t in batch.column("text").to_pylist()]
+            _, _, words, _ = minimizer_scan_batch(_pa.array(dna), k, w)
+            vals, counts = np.unique(words, return_counts=True)
+            return _pa.table({"w": vals.view(np.int64),
+                              "n": counts.astype(np.int64)})
+
+        parts = _read(sf, "documents", ["text"]).map_batches(
+            scan, batch_format="pyarrow")
+        agg = parts.groupby("w").aggregate(Sum("n", alias_name="n"))
+
+        def to_strings(batch):
+            ww = batch.column("w").to_numpy(
+                zero_copy_only=False).view(np.uint64)
+            return _pa.table({"minimizer": decode_kmer_batch(ww, w),
+                              "n": batch.column("n")})
+        return agg.map_batches(to_strings, batch_format="pyarrow")
+    q["minimizer_counts"] = minimizer_counts
+
     # --- distributed sort + top-k ----------------------------------------
     def longest_docs(sf):
         ds = _read(sf, "documents", ["doc_id", "n_chars"])
@@ -521,6 +556,18 @@ def oracle_sql() -> dict[str, str]:
             "'0123456789abcdef', 'ACGTACGTACGTACGT') AS dna "
             "FROM documents) d CROSS JOIN generate_series(1, 20) AS g(i))) "
             "GROUP BY canon"),
+        # per (doc, kmer-window): minimizer = lex-min w-mer in the
+        # window (LexHasher order == string order); k=21, w=11 over the
+        # same md5-derived 64-char DNA → 44 windows × 11 inner positions
+        "minimizer_counts": (
+            "SELECT mm AS minimizer, COUNT(*) AS n FROM ("
+            "SELECT d.rid, g.i, MIN(substr(d.dna, (g.i + o.o)::INT, 11)) "
+            "AS mm FROM (SELECT row_number() OVER () AS rid, "
+            "translate(repeat(md5(text), 2), '0123456789abcdef', "
+            "'ACGTACGTACGTACGT') AS dna FROM documents) d "
+            "CROSS JOIN generate_series(1, 44) AS g(i) "
+            "CROSS JOIN generate_series(0, 10) AS o(o) "
+            "GROUP BY d.rid, g.i) GROUP BY mm"),
         "longest_docs": (
             "SELECT doc_id, n_chars FROM documents "
             "ORDER BY n_chars DESC, doc_id LIMIT 10"),

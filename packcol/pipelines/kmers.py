@@ -67,9 +67,21 @@ def count_canonical_kmers(ds, seq_col: str = "text", k: int = 31,
     strategy="groupby": all-to-all shuffle on the 8-byte packed word;
     scales to open-ended key spaces (result stays distributed).
 
+    strategy="minimizer" (k≤32): the at-scale shuffle-reduction path —
+    sequences are cut into super-k-mers keyed by the strand-canonical
+    minimizer (functions/minimizers.py, generalizing the reference's
+    SeqVecMinimizerIter S3), so what shuffles is substrings (~1-4 B per
+    k-mer amortized) instead of per-k-mer rows, and each canonical
+    k-mer lands in exactly ONE bucket — per-bucket counts are final,
+    no second shuffle.
+
     k > 32 uses the multi-word kernels (generic Kmer<P,K,B> parity,
     src/kmer.rs:12-14): keys become B int64 word columns w0..w{B-1}."""
     from ray.data.aggregate import Sum
+
+    if strategy == "minimizer":
+        return _count_via_minimizer_buckets(ds, seq_col, k,
+                                            partial_batch_size)
 
     B = n_words_for_k(k)
     multi = k > K_MAX
@@ -146,3 +158,63 @@ def count_canonical_kmers(ds, seq_col: str = "text", k: int = 31,
     if not isinstance(merged, pa.Table):
         merged = ray.get(merged)
     return rd.from_arrow(to_strings(merged))
+
+
+def _count_via_minimizer_buckets(ds, seq_col: str, k: int,
+                                 partial_batch_size: int,
+                                 w: int | None = None,
+                                 n_buckets: int = 256):
+    """Super-k-mer counting: map_batches cuts each sequence into spans
+    keyed by strand-canonical minimizer → groupby(bucket) shuffles the
+    spans (substrings, not per-kmer rows) → per-bucket scan + count is
+    FINAL (each canonical k-mer maps to exactly one minimizer value,
+    hence one bucket)."""
+    from ..codecs.fsst import buffer_view
+    from ..functions.minimizers import canonical_superkmer_spans_batch
+
+    if k > K_MAX:
+        raise ValueError("minimizer strategy requires k <= 32")
+    w = w or max(k // 2, min(11, k))
+
+    def spans(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        col = batch.column(seq_col)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        if col.null_count:  # fill BEFORE buffer_view so offsets align
+            col = pc.fill_null(col, "")
+        key, row, start, end = canonical_superkmer_spans_batch(col, k, w)
+        if len(key) == 0:
+            return pa.table({"bucket": pa.array([], pa.int64()),
+                             "sk": pa.array([], pa.large_string())})
+        d, offs = buffer_view(col)
+        lens = (end - start).astype(np.int64)
+        abs_start = offs[row] + start
+        csum = np.concatenate([[0], np.cumsum(lens)])
+        idx = np.arange(csum[-1], dtype=np.int64) \
+            - np.repeat(csum[:-1], lens) + np.repeat(abs_start, lens)
+        data = np.ascontiguousarray(d[idx])
+        sk = pa.Array.from_buffers(
+            pa.large_string(), len(key),
+            [None, pa.py_buffer(csum.astype(np.int64).tobytes()),
+             pa.py_buffer(data.tobytes())])
+        bucket = (key % np.uint64(n_buckets)).astype(np.int64)
+        return pa.table({"bucket": bucket, "sk": sk})
+
+    def count_group(group: pa.Table) -> pa.Table:
+        col = group.column("sk")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        _, _, canon, _ = canonical_kmer_scan_batch(col, k)
+        if len(canon) == 0:
+            return pa.table({"kmer": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        vals, counts = np.unique(canon, return_counts=True)
+        return pa.table({"kmer": decode_kmer_batch(vals, k),
+                         "n": counts.astype(np.int64)})
+
+    sk_rows = ds.map_batches(spans, batch_format="pyarrow",
+                             batch_size=partial_batch_size,
+                             zero_copy_batch=True)
+    return sk_rows.groupby("bucket").map_groups(
+        count_group, batch_format="pyarrow")

@@ -58,3 +58,20 @@ def test_k45_multiword_strategies_agree_and_match_naive(ray_session):
             if set(w) <= set("ACGT"):
                 naive[min(w, w.translate(comp)[::-1])] += 1
     assert tree == dict(naive)
+
+
+def test_minimizer_strategy_matches_tree(ray_session):
+    """Super-k-mer bucketed counting == direct counting (exact)."""
+    import ray.data as rd
+    from packcol.pipelines.kmers import count_canonical_kmers
+    rng = np.random.default_rng(9)
+    seqs = ["".join("ACGT"[c] for c in rng.integers(0, 4, 150))
+            for _ in range(40)] + ["ACGTNACGTACGTACGTACGTACGTACGTACGT",
+                                   "", None, "acgt" * 10]
+    ds = rd.from_arrow(pa.table({"seq": pa.array(seqs)}))
+    for k in (21, 31):
+        tree = count_canonical_kmers(ds, "seq", k, strategy="tree") \
+            .to_pandas().set_index("kmer")["n"].to_dict()
+        mini = count_canonical_kmers(ds, "seq", k, strategy="minimizer") \
+            .to_pandas().set_index("kmer")["n"].to_dict()
+        assert mini == tree, k
