@@ -119,15 +119,63 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return dx(_read(sf, "documents", ["doc_id", "text"]))
     q["dedup_exact"] = dedup_exact
 
+    # Planted-duplicate fixture: documents ∪ copies of every 20th doc
+    # (doc_id + 1,000,000).  Identical texts produce identical sketches,
+    # which collide in EVERY band — so sketch candidates + exact
+    # verification must return exactly the identical-text pairs, an
+    # SQL-expressible contract (self-join on text) that oracle-checks
+    # the whole sketch machinery end-to-end.
+    _PLANT_OFF = 1_000_000
+
+    def _planted_docs(sf):
+        def plant(batch: pa.Table) -> pa.Table:
+            ids = batch.column("doc_id")
+            if isinstance(ids, pa.ChunkedArray):
+                ids = ids.combine_chunks()
+            idv = ids.to_numpy(zero_copy_only=False)
+            copies = batch.filter(pa.array(idv % 20 == 0))
+            cid = copies.column("doc_id")
+            if isinstance(cid, pa.ChunkedArray):
+                cid = cid.combine_chunks()
+            copies = copies.set_column(
+                copies.schema.get_field_index("doc_id"), "doc_id",
+                pa.array(cid.to_numpy(zero_copy_only=False) + _PLANT_OFF))
+            return pa.concat_tables([batch, copies])
+        return _read(sf, "documents", ["doc_id", "text"]).map_batches(
+            plant, batch_format="pyarrow", zero_copy_batch=True)
+
     def minhash_pairs(sf):
-        from packcol.pipelines.dedup import minhash_lsh_pairs
-        return minhash_lsh_pairs(_read(sf, "documents", ["doc_id", "text"]))
+        """MinHash LSH candidates → exact fingerprint verification over
+        the planted corpus == identical-text pairs (oracle: self-join)."""
+        from packcol.pipelines.dedup import (minhash_lsh_pairs,
+                                             verify_pairs_identical)
+        ds = _planted_docs(sf)
+        cand = minhash_lsh_pairs(ds, threshold=0.9)
+        return verify_pairs_identical(ds, cand)
     q["minhash_pairs"] = minhash_pairs
 
+    def minhash_pairs_est(sf):
+        """Estimated-Jaccard near-dup pairs (sketch estimates are not
+        SQL-expressible — rows-only check)."""
+        from packcol.pipelines.dedup import minhash_lsh_pairs
+        return minhash_lsh_pairs(_read(sf, "documents", ["doc_id", "text"]))
+    q["minhash_pairs_est"] = minhash_pairs_est
+
     def simhash_pairs(sf):
+        """SimHash banded candidates → exact verification over the
+        planted corpus (same identical-pairs oracle)."""
+        from packcol.pipelines.dedup import (simhash_pairs as sp,
+                                             verify_pairs_identical)
+        ds = _planted_docs(sf)
+        cand = sp(ds)
+        return verify_pairs_identical(ds, cand)
+    q["simhash_pairs"] = simhash_pairs
+
+    def simhash_pairs_hamming(sf):
+        """Hamming-distance near-dup pairs (rows-only)."""
         from packcol.pipelines.dedup import simhash_pairs as sp
         return sp(_read(sf, "documents", ["doc_id", "text"]))
-    q["simhash_pairs"] = simhash_pairs
+    q["simhash_pairs_hamming"] = simhash_pairs_hamming
 
     # --- text analysis ---------------------------------------------------
     def token_count(sf):
@@ -277,36 +325,76 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return pdf
     q["events_hourly"] = events_hourly
 
-    # --- n-gram Jaccard near-dup pairs (exact verify; rows-only) ---------
-    def ngram_dedup(sf):
+    # --- n-gram Jaccard near-dup pairs -----------------------------------
+    def _ngram_scored(sf, ds):
         import pandas as pd
+        import ray as _ray
         from packcol.functions.hashing import ngram_jaccard, shingle_hashes
-        import pyarrow.parquet as pq
-        # candidates from minhash, verified with exact shingle Jaccard
         from packcol.pipelines.dedup import minhash_lsh_pairs
-        cand = minhash_lsh_pairs(
-            _read(sf, "documents", ["doc_id", "text"])).to_pandas()
-        t = pq.read_table(os.path.join(sf, "documents.parquet"),
-                          columns=["doc_id", "text"])
-        ids = t.column("doc_id").to_numpy()
-        text = t.column("text").combine_chunks()
+        cand = minhash_lsh_pairs(ds).to_pandas()
+        if len(cand) == 0:
+            return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                                 "id_b": pd.Series([], dtype="int64"),
+                                 "jaccard": pd.Series([], dtype="float64")})
+        # only candidate documents reach the driver (bounded by the LSH
+        # output, not the corpus)
+        cand_ids = np.unique(np.concatenate([cand["id_a"].to_numpy(),
+                                             cand["id_b"].to_numpy()]))
+        iref = _ray.put(cand_ids)
+
+        def pick(batch: pa.Table) -> pa.Table:
+            ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+            ci = _ray.get(iref)
+            pos = np.minimum(np.searchsorted(ci, ids), len(ci) - 1)
+            return batch.filter(pa.array(ci[pos] == ids))
+
+        corpus = ds.map_batches(pick, batch_format="pyarrow").to_pandas()
+        text = pa.array(corpus["text"])
         sh, rows = shingle_hashes(text, 3)
-        pos = {int(v): i for i, v in enumerate(ids)}
+        pos = {int(v): i for i, v in enumerate(corpus["doc_id"])}
         out = []
         for _, r in cand.iterrows():
             ia, ib = pos[int(r["id_a"])], pos[int(r["id_b"])]
             j = ngram_jaccard(sh[rows == ia], sh[rows == ib])
-            if j >= 0.5:
-                out.append((int(r["id_a"]), int(r["id_b"]), round(j, 4)))
+            out.append((int(r["id_a"]), int(r["id_b"]), j))
         return pd.DataFrame(out, columns=["id_a", "id_b", "jaccard"])
+
+    def ngram_dedup(sf):
+        """Exact n-gram-Jaccard verification of LSH candidates over the
+        planted corpus: J == 1.0 + fingerprint check == identical-text
+        pairs (oracle: self-join)."""
+        from packcol.pipelines.dedup import verify_pairs_identical
+        ds = _planted_docs(sf)
+        scored = _ngram_scored(sf, ds)
+        return verify_pairs_identical(ds, scored[scored["jaccard"] >= 1.0])
     q["ngram_dedup"] = ngram_dedup
 
-    # --- composed curation pipeline (rows-only) --------------------------
+    def ngram_dedup_scores(sf):
+        """Jaccard-scored near-dup candidates ≥ 0.5 (rows-only)."""
+        scored = _ngram_scored(sf, _read(sf, "documents",
+                                         ["doc_id", "text"]))
+        scored = scored[scored["jaccard"] >= 0.5].copy()
+        scored["jaccard"] = scored["jaccard"].round(4)
+        return scored.reset_index(drop=True)
+    q["ngram_dedup_scores"] = ngram_dedup_scores
+
+    # --- composed curation pipeline --------------------------------------
     def curate_documents(sf):
+        """Quality gate + exact dedup (min-id keeper) — the
+        SQL-expressible composition, oracle-checked end-to-end."""
+        from packcol.pipelines.curation import curate
+        return curate(_read(sf, "documents", ["doc_id", "text"]),
+                      text_col="text", id_col="doc_id", min_tokens=3,
+                      near_dup=False)
+    q["curate_documents"] = curate_documents
+
+    def curate_documents_near(sf):
+        """Full pipeline incl. MinHash near-dup cluster removal
+        (sketch-based — rows-only)."""
         from packcol.pipelines.curation import curate
         return curate(_read(sf, "documents", ["doc_id", "text"]),
                       text_col="text", id_col="doc_id", min_tokens=3)
-    q["curate_documents"] = curate_documents
+    q["curate_documents_near"] = curate_documents_near
 
     # --- canonical k-mer counting (the reference's core use-case) --------
     def kmer_counts(sf):
@@ -499,6 +587,42 @@ def oracle_sql() -> dict[str, str]:
             "COUNT(DISTINCT source) AS n_source FROM documents"),
         "dedup_exact": (
             "SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text"),
+        # planted corpus: documents ∪ copies of every 20th doc; sketch
+        # candidates + exact verification == identical-text self-join
+        "minhash_pairs": (
+            "WITH corpus AS (SELECT doc_id, text FROM documents UNION ALL "
+            "SELECT doc_id + 1000000, text FROM documents "
+            "WHERE doc_id % 20 = 0) "
+            "SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM corpus a "
+            "JOIN corpus b ON a.text = b.text AND a.doc_id < b.doc_id"),
+        "simhash_pairs": (
+            "WITH corpus AS (SELECT doc_id, text FROM documents UNION ALL "
+            "SELECT doc_id + 1000000, text FROM documents "
+            "WHERE doc_id % 20 = 0) "
+            "SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM corpus a "
+            "JOIN corpus b ON a.text = b.text AND a.doc_id < b.doc_id"),
+        "ngram_dedup": (
+            "WITH corpus AS (SELECT doc_id, text FROM documents UNION ALL "
+            "SELECT doc_id + 1000000, text FROM documents "
+            "WHERE doc_id % 20 = 0) "
+            "SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM corpus a "
+            "JOIN corpus b ON a.text = b.text AND a.doc_id < b.doc_id"),
+        # quality gate (token/alpha/diversity thresholds mirrored from
+        # curation.quality_filter) + min-id exact dedup
+        "curate_documents": (
+            "WITH feat AS (SELECT doc_id, text, length(text) AS n_chars, "
+            "CASE WHEN length(text)=0 THEN 0 ELSE length(text) - "
+            "length(replace(text,' ','')) + 1 END AS n_tokens, "
+            "length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha, "
+            "len(list_distinct(string_split(text,' '))) AS n_uniq "
+            "FROM documents), ok AS (SELECT doc_id, text FROM feat "
+            "WHERE n_tokens >= 3 AND n_tokens <= 100000 "
+            "AND (CASE WHEN n_chars > 0 THEN CAST(n_alpha AS DOUBLE) / "
+            "n_chars ELSE 0 END) >= 0.5 "
+            "AND (CASE WHEN n_tokens > 0 THEN CAST(n_uniq AS DOUBLE) / "
+            "n_tokens ELSE 0 END) >= 0.1) "
+            "SELECT doc_id, text FROM ok WHERE doc_id IN "
+            "(SELECT MIN(doc_id) FROM ok GROUP BY text)"),
         "token_count": (
             "SELECT doc_id, CASE WHEN length(text)=0 THEN 0 ELSE "
             "length(text) - length(replace(text,' ','')) + 1 END AS n_tokens "

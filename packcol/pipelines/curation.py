@@ -34,11 +34,34 @@ def quality_filter(ds, text_col: str = "text", min_tokens: int = 5,
     return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
 
 
-def drop_exact_dups(ds, text_col: str = "text", id_col: str = "url"):
-    """Keep one row per distinct text (min id), via broadcast of the
-    keeper-id set computed from fingerprint partials."""
+def drop_exact_dups(ds, text_col: str = "text", id_col: str = "url",
+                    _broadcast_stats: dict | None = None):
+    """Keep one row per distinct text (min id).
+
+    Scale shape: only the DROP set is ever broadcast — its size is the
+    number of duplicate documents, not the corpus.  Three bounded steps:
+
+    1. map_batches combiner: batch-local duplicates drop immediately
+       (their ids go straight to the drop side); one (fp, min_id) row
+       per distinct fingerprint per batch continues.
+    2. groupby(fp) → (min_id, count): only fingerprints with count > 1
+       collide ACROSS batches; that small (fp → global min) table is
+       broadcast (size = #duplicated fingerprints).
+    3. a second pass over the pinned partials emits ids that lost to
+       the global min → cross-batch drop ids.
+
+    The final filter broadcasts sorted 8-byte id-hashes of the drop set
+    (same hash-collision trade as fingerprint dedup itself).
+
+    `_broadcast_stats` (tests): filled with the byte sizes of every
+    broadcast structure, to assert nothing O(corpus) ships."""
     import ray
-    from ray.data.aggregate import Min
+    from ray.data.aggregate import Count, Min
+    from ..stages.profile import value_hashes
+
+    def _idh(col) -> np.ndarray:
+        c = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        return value_hashes(c).view(np.int64)
 
     def partial(batch: pa.Table) -> pa.Table:
         fp = fingerprints(batch.column(text_col)).view(np.int64)
@@ -46,25 +69,81 @@ def drop_exact_dups(ds, text_col: str = "text", id_col: str = "url"):
         if isinstance(ids, pa.ChunkedArray):
             ids = ids.combine_chunks()
         order = np.lexsort((np.asarray(ids.to_pandas()), fp))
-        first = np.ones(len(fp), dtype=bool)
         f_sorted = fp[order]
+        first = np.ones(len(fp), dtype=bool)
         first[1:] = f_sorted[1:] != f_sorted[:-1]
-        sel = order[first]
-        return pa.table({"fp": f_sorted[first],
-                         id_col: ids.take(pa.array(sel))})
+        # batch-local non-min duplicates are dropped regardless of other
+        # batches → flag them now (no second look needed)
+        return pa.table({"fp": f_sorted,
+                         "id": ids.take(pa.array(order)),
+                         "local_dup": ~first})
 
-    keepers = ds.map_batches(partial, batch_format="pyarrow",
-                             zero_copy_batch=True) \
-        .groupby("fp").aggregate(Min(id_col, alias_name=id_col))
-    keep_arr = keepers.to_pandas()[id_col].to_numpy()
-    ref = ray.put(keep_arr)
+    # pinned: consumed twice (global-min aggregate + loser scan); rows
+    # are small (fp, id, flag) sketches, not documents
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True).materialize()
+
+    def only_firsts(batch: pa.Table) -> pa.Table:
+        return batch.filter(pa.compute.invert(batch.column("local_dup"))) \
+            .select(["fp", "id"])
+
+    agg = partials.map_batches(only_firsts, batch_format="pyarrow") \
+        .groupby("fp").aggregate(Min("id", alias_name="gmin"),
+                                 Count(alias_name="c"))
+
+    def only_collided(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        return batch.filter(pc.greater(batch.column("c"), 1)) \
+            .select(["fp", "gmin"])
+
+    # only fingerprints duplicated ACROSS batches reach the driver —
+    # size = #duplicated fingerprints, not the corpus
+    coll = agg.map_batches(only_collided, batch_format="pyarrow") \
+        .to_pandas()
+    order = np.argsort(coll["fp"].to_numpy()) if len(coll) else []
+    coll_fp = coll["fp"].to_numpy()[order] if len(coll) else \
+        np.empty(0, np.int64)
+    coll_min = coll["gmin"].to_numpy()[order] if len(coll) else \
+        np.empty(0, object)
+    cref = ray.put((coll_fp, coll_min))
+
+    def losers(batch: pa.Table) -> pa.Table:
+        import ray as _ray
+        cfp, cmin = _ray.get(cref)
+        fp = batch.column("fp").to_numpy(zero_copy_only=False)
+        ids = np.asarray(batch.column("id").to_pandas())
+        dup = batch.column("local_dup").to_numpy(zero_copy_only=False)
+        drop = dup.copy()
+        if len(cfp):
+            pos = np.searchsorted(cfp, fp)
+            safe = np.minimum(pos, len(cfp) - 1)
+            hit = (cfp[safe] == fp) & ~dup
+            # batch-first rows that lost to the global min id
+            drop |= hit & (ids != cmin[safe])
+        sel = pa.array(drop)
+        return pa.table({"id": batch.column("id").filter(sel)})
+
+    drop_pdf = partials.map_batches(
+        losers, batch_format="pyarrow").to_pandas()
+    drop_ids = drop_pdf["id"] if "id" in drop_pdf.columns else []
+    drop_hashes = np.sort(value_hashes(pa.array(drop_ids)).view(np.int64)) \
+        if len(drop_ids) else np.empty(0, np.int64)
+    dref = ray.put(drop_hashes)
+    if _broadcast_stats is not None:
+        _broadcast_stats["collided_fp_bytes"] = int(
+            coll_fp.nbytes + sum(len(str(s)) for s in coll_min))
+        _broadcast_stats["drop_set_bytes"] = int(drop_hashes.nbytes)
+        _broadcast_stats["n_dropped"] = int(len(drop_hashes))
 
     def filt(batch: pa.Table) -> pa.Table:
         import ray as _ray
-        import pyarrow.compute as pc
-        ks = _ray.get(ref)
-        mask = pc.is_in(batch.column(id_col), value_set=pa.array(ks))
-        return batch.filter(mask)
+        dh = _ray.get(dref)
+        if len(dh) == 0:
+            return batch
+        idh = _idh(batch.column(id_col))
+        pos = np.searchsorted(dh, idh)
+        safe = np.minimum(pos, len(dh) - 1)
+        return batch.filter(pa.array(dh[safe] != idh))
 
     return ds.map_batches(filt, batch_format="pyarrow")
 
@@ -102,9 +181,12 @@ def drop_near_dups(ds, text_col: str = "text", id_col: str = "url",
 
 
 def curate(ds, text_col: str = "text", id_col: str = "url",
-           min_tokens: int = 5) -> "object":
-    """The composed pipeline; returns the curated Dataset (lazy)."""
+           min_tokens: int = 5, near_dup: bool = True) -> "object":
+    """The composed pipeline; returns the curated Dataset (lazy).
+    near_dup=False runs the SQL-checkable subset (quality gate + exact
+    dedup); True adds MinHash near-dup cluster removal."""
     ds = quality_filter(ds, text_col=text_col, min_tokens=min_tokens)
     ds = drop_exact_dups(ds, text_col=text_col, id_col=id_col)
-    ds = drop_near_dups(ds, text_col=text_col, id_col=id_col)
+    if near_dup:
+        ds = drop_near_dups(ds, text_col=text_col, id_col=id_col)
     return ds

@@ -180,6 +180,57 @@ def minhash_lsh_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
     return hits.map_batches(estimate, batch_format="pyarrow")
 
 
+def verify_pairs_identical(ds, pairs, text_col: str = "text",
+                           id_col: str = "doc_id"):
+    """Exact verification of sketch-candidate pairs: keep only pairs
+    whose texts are byte-identical (fingerprint equality).
+
+    Scale shape: candidate ids (bounded — LSH output, not the corpus)
+    broadcast once; one distributed pass over the documents collects
+    only the candidates' fingerprints; the pair filter then runs on the
+    driver over candidate-sized arrays.  Combined with the fact that
+    identical texts ALWAYS collide in every band (identical sketch),
+    the verified output is exactly the identical-text pairs — an
+    SQL-checkable contract for the whole sketch machinery."""
+    import pandas as pd
+    import ray
+
+    cand = pairs.to_pandas() if not isinstance(pairs, pd.DataFrame) \
+        else pairs
+    if len(cand) == 0:
+        return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                             "id_b": pd.Series([], dtype="int64")})
+    cand_ids = np.unique(np.concatenate(
+        [cand["id_a"].to_numpy(), cand["id_b"].to_numpy()]))
+    iref = ray.put(cand_ids)
+
+    def fp_of_candidates(batch: pa.Table) -> pa.Table:
+        import ray as _ray
+        ids = _col(batch, id_col).to_numpy(zero_copy_only=False)
+        ci = _ray.get(iref)
+        pos = np.searchsorted(ci, ids)
+        safe = np.minimum(pos, len(ci) - 1)
+        hit = ci[safe] == ids
+        if not hit.any():
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "fp": pa.array([], pa.int64())})
+        sel = pa.array(hit)
+        fp = fingerprints(_col(batch.filter(sel), text_col)).view(np.int64)
+        return pa.table({id_col: ids[hit], "fp": fp})
+
+    fps = ds.map_batches(fp_of_candidates,
+                         batch_format="pyarrow").to_pandas()
+    fps = fps.drop_duplicates(id_col).set_index(id_col)["fp"]
+    a = cand["id_a"].to_numpy()
+    b = cand["id_b"].to_numpy()
+    fa = pd.Series(a).map(fps)
+    fb = pd.Series(b).map(fps)
+    keep = (fa.notna() & fb.notna() & (fa == fb)).to_numpy()
+    out = pd.DataFrame({"id_a": a[keep], "id_b": b[keep]})
+    return out.drop_duplicates().sort_values(["id_a", "id_b"]) \
+        .reset_index(drop=True)
+
+
 def pairs_to_clusters(pairs, id_a: str = "id_a", id_b: str = "id_b",
                       max_iters: int = 30, small_threshold: int = 2_000_000):
     """Connected components over near-dup pairs → (id, cluster) with

@@ -42,3 +42,37 @@ def test_curate(ray_session):
     assert len(urls & {"https://ok/1", "https://dup/near1"}) == 1
     # the 58 other clean docs survive
     assert sum(1 for u in urls if u.startswith("https://ok/")) >= 57
+
+
+def test_drop_exact_dups_broadcast_is_dup_bounded(ray_session):
+    """Scale invariant: broadcast structures are O(#duplicates), never
+    O(corpus); min-ID keeper semantics; multi-block input."""
+    import ray.data as rd
+    from packcol.pipelines.curation import drop_exact_dups
+    rng = np.random.default_rng(33)
+    vocab = [f"w{i}" for i in range(100)]
+    n_unique, n_dup_groups = 400, 7
+    rows = []
+    for i in range(n_unique):
+        rows.append({"url": f"https://u/{i:04d}",
+                     "text": " ".join(rng.choice(vocab, 30))})
+    # each dup group: 3 extra copies of one text, spread across blocks
+    for g in range(n_dup_groups):
+        for c in range(3):
+            rows.append({"url": f"https://zdup/{g}/{c}",
+                         "text": rows[g]["text"]})
+    t = pa.Table.from_pylist(rows)
+    ds = rd.from_arrow(t).repartition(8)
+    stats = {}
+    out = drop_exact_dups(ds, _broadcast_stats=stats).to_pandas()
+    n_dropped_expected = n_dup_groups * 3
+    assert stats["n_dropped"] == n_dropped_expected
+    assert stats["drop_set_bytes"] == n_dropped_expected * 8
+    # collided-fp broadcast bounded by dup groups (≪ corpus)
+    assert stats["collided_fp_bytes"] <= n_dup_groups * (8 + 64)
+    # min-id keeper: the original url survives, copies don't
+    urls = set(out["url"])
+    for g in range(n_dup_groups):
+        assert f"https://u/{g:04d}" in urls
+        assert not any(f"https://zdup/{g}/" in u for u in urls)
+    assert len(out) == n_unique
