@@ -247,6 +247,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
             threshold=0.45)
     q["embedding_dedup"] = embedding_dedup
 
+    def embedding_dedup_lsh(sf):
+        """Bucketed (no-broadcast) near-dup scale path: hyperplane
+        buckets → in-bucket exact cosine (recall < 1 by design —
+        rows-only)."""
+        from packcol.pipelines.ann import embedding_near_dup_pairs_lsh
+        out = embedding_near_dup_pairs_lsh(
+            _read(sf, "embeddings", ["vec_id", "embedding"]),
+            threshold=0.45)
+        return out.to_pandas()[["id_a", "id_b"]] if hasattr(
+            out, "to_pandas") else out[["id_a", "id_b"]]
+    q["embedding_dedup_lsh"] = embedding_dedup_lsh
+
     def ann_ivf(sf):
         from packcol.pipelines.ann import ann_ivf_topk
         pdf = ann_ivf_topk(_read(sf, "embeddings"), _query_vec(sf), k=10)

@@ -76,21 +76,40 @@ def embedding_near_dup_pairs(ds, threshold: float = 0.9,
                              id_col: str = "vec_id"):
     """All pairs with cosine ≥ threshold — embedding near-dup detection.
 
-    Exact path (used here): L2-normalize once on the driver-broadcast
-    side, each batch computes one matmul against the broadcast matrix and
-    emits its (id_a < id_b) pairs.  Valid while the corpus matrix fits a
-    broadcast (≤ ~1M × dim fp32); beyond that switch to the LSH-bucketed
-    groupby (same shape as :func:`ann_lsh_topk`'s bucketing) which trades
-    exactness for a bucket-local scan."""
-    import pyarrow.parquet as pq
+    Exact path: L2-normalize, broadcast the corpus matrix once
+    (compact float32 numpy built from per-batch blocks — never a
+    driver-side pandas materialization of the Dataset), each batch does
+    one matmul against it and emits its (id_a < id_b) pairs.  Valid
+    while the matrix fits a broadcast (≤ ~1M × dim fp32 ≈ 0.5 GB);
+    beyond that use :func:`embedding_near_dup_pairs_lsh` (bucketed
+    groupby, exact verify inside buckets — no broadcast at all)."""
+    # compact collection: one (ids-blob, fp32-matrix-blob) row per batch
+    def pack(batch: pa.Table) -> pa.Table:
+        X = embedding_matrix(batch, vec_col).astype(np.float32)
+        ids = batch.column(id_col).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "ids": pa.array([ids.tobytes()], pa.large_binary()),
+            "v": pa.array([X.tobytes()], pa.large_binary())})
 
-    full = ds.to_pandas()  # small side by assumption (documented above)
-    ids_all = full[id_col].to_numpy()
-    X = np.stack([np.asarray(v, dtype=np.float64)
-                  for v in full[vec_col]])
-    Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-30)
+    id_parts, vec_parts = [], []
+    for b in ds.map_batches(pack, batch_format="pyarrow") \
+            .iter_batches(batch_size=None, batch_format="pyarrow"):
+        for ib, vb in zip(b.column("ids").to_pylist(),
+                          b.column("v").to_pylist()):
+            id_parts.append(np.frombuffer(ib, dtype=np.int64))
+            vec_parts.append(np.frombuffer(vb, dtype=np.float32))
+    ids_all = np.concatenate(id_parts) if id_parts else \
+        np.empty(0, np.int64)
     import ray
-    ref = ray.put((ids_all, Xn))
+    if len(ids_all) == 0:
+        ref = ray.put((ids_all, np.empty((0, 0), np.float64)))
+    else:
+        X = np.concatenate(vec_parts).reshape(
+            len(ids_all), -1).astype(np.float64)
+        Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True),
+                            1e-30)
+        ref = ray.put((ids_all, Xn))
 
     def stage(batch: pa.Table) -> pa.Table:
         ids_b = batch.column(id_col).to_numpy(zero_copy_only=False)
@@ -113,6 +132,91 @@ def embedding_near_dup_pairs(ds, threshold: float = 0.9,
 
     return ds.map_batches(stage, batch_format="pyarrow",
                           zero_copy_batch=True)
+
+
+def embedding_near_dup_pairs_lsh(ds, threshold: float = 0.9,
+                                 n_planes: int = 10, n_tables: int = 8,
+                                 vec_col: str = "embedding",
+                                 id_col: str = "vec_id", seed: int = 19,
+                                 max_bucket: int = 4096):
+    """Near-dup pairs beyond broadcast scale: random-hyperplane buckets
+    (n_tables independent tables) → groupby(table, bucket) → EXACT
+    cosine verification inside each bucket → distinct pairs.
+
+    Nothing is broadcast and nothing materializes the corpus: only
+    (table, bucket, id, fp32 vector) rows shuffle — the replication
+    factor is n_tables, the per-bucket work is capped (logged) at
+    max_bucket rows.  Recall for a pair at cosine s is
+    1 - (1 - p^n_planes)^n_tables with p = 1 - arccos(s)/π; at the
+    defaults and s ≥ 0.9, miss probability < 10^-3."""
+    import ray
+    from ray.data.aggregate import Max
+    from .dedup import _cap_group
+
+    first = ds.take(1)
+    if not first:
+        import pandas as pd
+        return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                             "id_b": pd.Series([], dtype="int64"),
+                             "cos": pd.Series([], dtype="float64")})
+    dim = len(first[0][vec_col])
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_tables, n_planes, dim))
+    weights = (1 << np.arange(n_planes, dtype=np.int64))
+    pref = ray.put(planes)
+
+    def stage(batch: pa.Table) -> pa.Table:
+        pl = ray.get(pref)
+        X = embedding_matrix(batch, vec_col)
+        ids = batch.column(id_col).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        n = len(ids)
+        if n == 0:
+            return pa.table({"table": pa.array([], pa.int64()),
+                             "bucket": pa.array([], pa.int64()),
+                             id_col: pa.array([], pa.int64()),
+                             "vec": pa.array([], pa.large_binary())})
+        Xn = (X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True),
+                             1e-30)).astype(np.float32)
+        vec = pa.array([Xn[i].tobytes() for i in range(n)],
+                       type=pa.large_binary())
+        tabs, bks = [], []
+        for t in range(pl.shape[0]):
+            tabs.append(np.full(n, t, dtype=np.int64))
+            bks.append(((X @ pl[t].T) > 0) @ weights)
+        rep = pl.shape[0]
+        return pa.table({
+            "table": np.concatenate(tabs),
+            "bucket": np.concatenate(bks),
+            id_col: np.tile(ids, rep),
+            "vec": pa.concat_arrays([vec] * rep)})
+
+    def pairs(group: pa.Table) -> pa.Table:
+        group = _cap_group(group, id_col, max_bucket, "embedding-lsh")
+        m = group.num_rows
+        empty = pa.table({"id_a": pa.array([], pa.int64()),
+                          "id_b": pa.array([], pa.int64()),
+                          "cos": pa.array([], pa.float64())})
+        if m < 2:
+            return empty
+        ids = group.column(id_col).to_numpy(zero_copy_only=False)
+        V = np.stack([np.frombuffer(v, dtype=np.float32)
+                      for v in group.column("vec").to_pylist()]) \
+            .astype(np.float64)
+        S = V @ V.T
+        ia, ib = np.nonzero(np.triu(S >= threshold, k=1))
+        if len(ia) == 0:
+            return empty
+        a, b = ids[ia], ids[ib]
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        return pa.table({"id_a": lo, "id_b": hi, "cos": S[ia, ib]})
+
+    cand = ds.map_batches(stage, batch_format="pyarrow",
+                          zero_copy_batch=True) \
+        .groupby(["table", "bucket"]).map_groups(
+            pairs, batch_format="pyarrow")
+    return cand.groupby(["id_a", "id_b"]).aggregate(
+        Max("cos", alias_name="cos"))
 
 
 def _kmeans(X: np.ndarray, n_lists: int, iters: int = 8,

@@ -47,9 +47,34 @@ def dedup_exact(ds, key: str = "text", id_col: str = "doc_id"):
     return out.select_columns([id_col])
 
 
+_DEFAULT_MAX_BUCKET = 4096
+
+
+def _cap_group(group: pa.Table, id_col: str, max_bucket: int,
+               kind: str) -> pa.Table:
+    """Bound in-bucket pair generation: one mass-duplicated crawl page
+    can put m ≫ 10^4 rows in a bucket, turning O(m²) pairing into a
+    quadratic job.  Keep the max_bucket smallest ids (deterministic) and
+    log the drop — callers should run exact-dup collapse first so only
+    genuinely distinct near-dups remain in buckets."""
+    m = group.num_rows
+    if m <= max_bucket:
+        return group
+    import logging
+    logging.getLogger(__name__).warning(
+        "%s bucket capped: %d rows -> %d (%d dropped); run "
+        "collapse_exact first if this bucket is clone-heavy",
+        kind, m, max_bucket, m - max_bucket)
+    ids = group.column(id_col).to_numpy(zero_copy_only=False)
+    keep = np.sort(np.argsort(ids, kind="stable")[:max_bucket])
+    return group.take(pa.array(keep))
+
+
 def minhash_lsh_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
                       num_perm: int = 64, n_bands: int = 16,
-                      threshold: float = 0.6, carry_signatures: bool = True):
+                      threshold: float = 0.6, carry_signatures: bool = True,
+                      collapse_exact: bool = False,
+                      max_bucket: int = _DEFAULT_MAX_BUCKET):
     """Near-duplicate candidate pairs via MinHash + LSH banding.
 
     map_batches: signature + band hashes per row → explode to
@@ -63,8 +88,16 @@ def minhash_lsh_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
     the 100 TB mode: band rows carry only (band, hash, id) (24 B), and
     Jaccard is estimated from the band-hit fraction
     (est = (hits/n_bands)^(1/rows_per_band), the LSH collision model);
-    downstream exact verification (ngram_jaccard) refines if needed."""
+    downstream exact verification (ngram_jaccard) refines if needed.
+
+    collapse_exact=True removes exact duplicates first (duplicate-
+    bounded broadcast, curation.drop_exact_dups) so mass-duplicated
+    pages cannot flood buckets; their pairs are exact-dedup's job.
+    max_bucket caps in-bucket pair generation (logged) as the backstop."""
     rows_per_band = num_perm // n_bands
+    if collapse_exact:
+        from .curation import drop_exact_dups
+        ds = drop_exact_dups(ds, text_col=text_col, id_col=id_col)
 
     def stage(batch: pa.Table) -> pa.Table:
         text = _col(batch, text_col)
@@ -87,6 +120,7 @@ def minhash_lsh_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
         return pa.table(cols)
 
     def pairs(group: pa.Table) -> pa.Table:
+        group = _cap_group(group, id_col, max_bucket, "minhash")
         m = group.num_rows
         if m < 2:
             return pa.table({"id_a": pa.array([], pa.int64()),
@@ -354,11 +388,16 @@ def pairs_to_clusters(pairs, id_a: str = "id_a", id_b: str = "id_b",
 
 
 def simhash_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
-                  max_dist: int = 3):
+                  max_dist: int = 3, collapse_exact: bool = False,
+                  max_bucket: int = _DEFAULT_MAX_BUCKET):
     """Near-dup pairs via 64-bit SimHash, banded into 4×16-bit blocks:
     any pair within Hamming distance 3 shares at least one exact block
     (pigeonhole), so groupby(block) finds all candidates; exact Hamming
-    check inside the group."""
+    check inside the group.  collapse_exact / max_bucket bound in-bucket
+    pairing exactly as in minhash_lsh_pairs."""
+    if collapse_exact:
+        from .curation import drop_exact_dups
+        ds = drop_exact_dups(ds, text_col=text_col, id_col=id_col)
 
     def stage(batch: pa.Table) -> pa.Table:
         sh = simhash(_col(batch, text_col))
@@ -376,6 +415,7 @@ def simhash_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
         })
 
     def pairs(group: pa.Table) -> pa.Table:
+        group = _cap_group(group, id_col, max_bucket, "simhash")
         m = group.num_rows
         empty = pa.table({"id_a": pa.array([], pa.int64()),
                           "id_b": pa.array([], pa.int64()),

@@ -172,7 +172,8 @@ class DecodePartFile:
                 import pyarrow.compute as pc
                 enc = enc.filter(pc.is_in(
                     enc.column("column"), value_set=pa.array(self.columns)))
-            tables.append(decode_rows(enc))
+            tables.append(decode_rows(
+                enc, expect_complete=self.columns is None))
         return pa.concat_tables(tables)
 
 
@@ -201,12 +202,25 @@ def encode_dataset(ds: "rd.Dataset",
                           batch_format="pyarrow", zero_copy_batch=True)
 
 
-def decode_dataset(enc_ds: "rd.Dataset") -> "rd.Dataset":
-    """Assumes each block holds whole partitions (true for blocks straight
-    out of encode_dataset).  For re-shuffled encoded rows, use
-    ``enc_ds.groupby("part_id").map_groups(...)`` instead."""
-    return enc_ds.map_batches(DecodeBatch(), batch_format="pyarrow",
-                              zero_copy_batch=True)
+def decode_dataset(enc_ds: "rd.Dataset",
+                   whole_blocks: bool | None = None) -> "rd.Dataset":
+    """Decode encoded rows → original blocks.
+
+    Default (whole_blocks=None/False): ALWAYS-correct grouped path —
+    ``groupby("part_id").map_groups`` reassembles each partition's rows
+    first, so arbitrarily re-split/re-shuffled encoded rows decode
+    byte-identically (one shuffle of the encoded rows).
+
+    whole_blocks=True: fast shuffle-free path for blocks known to hold
+    whole partitions (anything straight out of encode_dataset).  The
+    assumption is CHECKED, not trusted: each partition records its
+    column count (n_cols), and a block holding a partial partition
+    raises instead of silently mis-decoding."""
+    if whole_blocks:
+        return enc_ds.map_batches(DecodeBatch(), batch_format="pyarrow",
+                                  zero_copy_batch=True)
+    return enc_ds.groupby("part_id").map_groups(
+        lambda g: decode_rows(g), batch_format="pyarrow")
 
 
 def verify_dataset(ds: "rd.Dataset",

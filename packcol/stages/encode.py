@@ -27,6 +27,8 @@ ENC_SCHEMA = pa.schema([
     ("payload", pa.large_binary()),
     ("orig_bytes", pa.int64()),
     ("enc_bytes", pa.int64()),
+    ("n_cols", pa.int64()),   # columns in this partition → lets a
+                              # decoder DETECT a mid-partition re-split
 ])
 
 
@@ -80,11 +82,26 @@ def encode_table(batch: pa.Table, part_id: str | None = None,
         rows["payload"].append(r["payload"])
         rows["orig_bytes"].append(col.nbytes)
         rows["enc_bytes"].append(enc.enc_bytes)
+    rows["n_cols"] = [len(batch.column_names)] * len(rows["part_id"])
     return pa.table(rows, schema=ENC_SCHEMA)
 
 
-def decode_rows(enc_rows: pa.Table) -> pa.Table:
-    """Reassemble one partition's original table from its encoded rows."""
+def decode_rows(enc_rows: pa.Table, expect_complete: bool = True) -> pa.Table:
+    """Reassemble one partition's original table from its encoded rows.
+
+    With expect_complete (default), raises if the rows are fewer than
+    the partition's recorded column count — i.e. the encoded rows were
+    re-split mid-partition (use decode_dataset's grouped path, which
+    reassembles partitions first).  Pass False for deliberate column
+    projections."""
+    if expect_complete and enc_rows.num_rows and \
+            "n_cols" in enc_rows.column_names:
+        exp = enc_rows.column("n_cols")[0].as_py()
+        if exp is not None and enc_rows.num_rows < exp:
+            raise ValueError(
+                f"incomplete partition: {enc_rows.num_rows} of {exp} "
+                "column rows present (encoded rows were re-split "
+                "mid-partition; decode via groupby('part_id'))")
     cols, names = {}, []
     for i in range(enc_rows.num_rows):
         row = {k: enc_rows.column(k)[i].as_py() for k in

@@ -120,4 +120,5 @@ class FsstEncodeActor:
                 col.nbytes if not isinstance(col, pa.ChunkedArray)
                 else col.combine_chunks().nbytes)
             rows["enc_bytes"].append(enc.enc_bytes)
+        rows["n_cols"] = [len(self.columns)] * len(rows["part_id"])
         return pa.table(rows, schema=ENC_SCHEMA)

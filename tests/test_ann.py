@@ -1,6 +1,7 @@
 """ANN pipelines: brute-force exact, LSH, IVF (recall vs exact)."""
 
 import numpy as np
+import pyarrow as pa
 import pyarrow.parquet as pq
 import pytest
 
@@ -54,3 +55,33 @@ def test_embedding_near_dup(ray_session):
         .to_pandas()
     assert (pairs["id_a"] < pairs["id_b"]).all()
     assert len(pairs) >= 1
+
+
+def test_lsh_near_dup_pairs_recall(ray_session):
+    """Bucketed near-dup path: planted high-cosine pairs are recovered
+    exactly (verified in-bucket), with no corpus broadcast."""
+    import ray.data as rd
+    from packcol.pipelines.ann import (embedding_near_dup_pairs,
+                                       embedding_near_dup_pairs_lsh)
+    rng = np.random.default_rng(71)
+    dim, n = 16, 300
+    X = rng.standard_normal((n, dim))
+    # plant 20 near-dup pairs: id n+i is a tiny perturbation of id i
+    planted = []
+    rows = [{"vec_id": i, "embedding": X[i].tolist()} for i in range(n)]
+    for i in range(20):
+        v = X[i] + 0.02 * rng.standard_normal(dim)
+        rows.append({"vec_id": n + i, "embedding": v.tolist()})
+        planted.append((i, n + i))
+    ds = rd.from_arrow(pa.Table.from_pylist(rows)).repartition(4)
+    lsh = embedding_near_dup_pairs_lsh(ds, threshold=0.95).to_pandas()
+    got = {tuple(sorted(p)) for p in zip(lsh["id_a"], lsh["id_b"])}
+    hits = sum(1 for p in planted if p in got)
+    assert hits >= 19  # miss prob < 1e-3 per pair at these settings
+    # agreement with the exact broadcast path
+    exact = embedding_near_dup_pairs(
+        rd.from_arrow(pa.Table.from_pylist(rows)), threshold=0.95) \
+        .to_pandas()
+    exact_pairs = {tuple(sorted(p))
+                   for p in zip(exact["id_a"], exact["id_b"])}
+    assert got <= exact_pairs  # LSH never invents pairs (exact verify)

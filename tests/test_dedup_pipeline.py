@@ -125,3 +125,52 @@ def test_minhash_scale_mode(docs_ds):
     ex = pairs.set_index(["id_a", "id_b"])["est_jaccard"]
     a, b = sorted((groups[0][0], groups[0][2]))
     assert ex.loc[(a, b)] == 1.0
+
+
+def test_mass_duplicate_no_quadratic_blowup(ray_session):
+    """A 10k-copy document must not turn bucket pairing into an O(m²)
+    job: collapse_exact removes the clones before banding (their pairs
+    are exact-dedup's output), and the non-clone near-dup pairs are
+    unchanged."""
+    import time
+    import ray.data as rd
+    from packcol.pipelines.dedup import minhash_lsh_pairs
+    rng = np.random.default_rng(51)
+    vocab = [f"w{i}" for i in range(300)]
+    base = [" ".join(rng.choice(vocab, 60)) for _ in range(10)]
+    rows = [{"doc_id": i, "text": b} for i, b in enumerate(base)]
+    # a near-dup pair among the normal docs
+    words = base[0].split(); words[5] = "CHANGED"
+    rows.append({"doc_id": 100, "text": " ".join(words)})
+    clean = pa.Table.from_pylist(rows)
+    clone_rows = [{"doc_id": 1000 + i, "text": base[1]}
+                  for i in range(10_000)]
+    big = pa.Table.from_pylist(rows + clone_rows)
+
+    t0 = time.perf_counter()
+    pairs_big = minhash_lsh_pairs(
+        rd.from_arrow(big).repartition(8), threshold=0.5,
+        collapse_exact=True).to_pandas()
+    elapsed = time.perf_counter() - t0
+    assert elapsed < 60  # clones collapsed → no quadratic bucket work
+    pairs_clean = minhash_lsh_pairs(
+        rd.from_arrow(clean), threshold=0.5).to_pandas()
+    norm = lambda df: {tuple(sorted(p)) for p in
+                       zip(df["id_a"], df["id_b"])}
+    # same non-clone pairs (doc_id 1 survives as the clone keeper)
+    assert norm(pairs_clean) <= norm(pairs_big) | {(0, 100)}
+    assert (0, 100) in norm(pairs_big)
+    # no clone-id pairs remain
+    assert not any(a >= 1000 or b >= 1000 for a, b in norm(pairs_big))
+
+
+def test_bucket_cap_bounds_group(ray_session):
+    """Without collapse, the max_bucket cap bounds pairing work."""
+    import ray.data as rd
+    from packcol.pipelines.dedup import minhash_lsh_pairs
+    rows = [{"doc_id": i, "text": "same text for everyone here today"}
+            for i in range(500)]
+    pairs = minhash_lsh_pairs(rd.from_arrow(pa.Table.from_pylist(rows)),
+                              threshold=0.5, max_bucket=50).to_pandas()
+    # capped at 50 rows → at most C(50,2) distinct pairs
+    assert 0 < len(pairs) <= 50 * 49 // 2

@@ -201,3 +201,34 @@ def test_encode_files_null_heavy(ray_session, tmp_path):
         .reset_index(drop=True)
     import pandas as pd
     pd.testing.assert_frame_equal(got, t.to_pandas())
+
+
+def test_decode_survives_mid_partition_resplit(ray_session):
+    """Grouped decode (the default) reassembles partitions that were
+    re-split across blocks; the fast path detects and refuses them."""
+    import ray.data as rd
+    import pytest
+    from packcol.pipelines.encode_pipeline import (decode_dataset,
+                                                   encode_dataset)
+    import pyarrow as pa
+    import numpy as np
+    rng = np.random.default_rng(61)
+    t = pa.table({"a": [f"v{i % 7}" for i in range(600)],
+                  "b": rng.integers(0, 1000, 600),
+                  "c": [f"text {i}" for i in range(600)]})
+    ds = rd.from_arrow([t.slice(0, 200), t.slice(200, 200),
+                        t.slice(400, 200)])
+    enc = encode_dataset(ds).materialize()
+    # re-split mid-partition: 1 encoded row (column) per block
+    resplit = enc.repartition(enc.count())
+    dec = decode_dataset(resplit).to_pandas()
+    orig = t.to_pandas()
+    key = ["a", "b", "c"]
+    assert sorted(map(tuple, dec[key].itertuples(index=False))) == \
+        sorted(map(tuple, orig[key].itertuples(index=False)))
+    # fast path on intact blocks still works…
+    dec_fast = decode_dataset(enc, whole_blocks=True).to_pandas()
+    assert len(dec_fast) == 600
+    # …and raises loudly on re-split blocks instead of mis-decoding
+    with pytest.raises(Exception, match="incomplete partition"):
+        decode_dataset(resplit, whole_blocks=True).to_pandas()
