@@ -84,7 +84,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["for_roundtrip_ts"] = lambda sf: _roundtrip(
         sf, "events", ["event_id", "ts"], "for")
     q["bitpack_roundtrip_user"] = lambda sf: _roundtrip(
-        sf, "events", ["event_id", "user_id"], "for")
+        sf, "events", ["event_id", "user_id"], "bitpack")
     q["delta_roundtrip_ts"] = lambda sf: _roundtrip(
         sf, "events", ["event_id", "ts"], "delta")
     q["fsst_roundtrip_text"] = lambda sf: _roundtrip(

@@ -45,7 +45,7 @@ def get_value(enc: EncodedColumn, i: int):
         code = _unpack_one(enc.buffers["payload"], p["width"], i)
         dictionary = ipc_deserialize_array(enc.buffers["aux"])
         return dictionary[code].as_py()
-    if enc.codec == "for":
+    if enc.codec in ("for", "bitpack"):
         delta = _unpack_one(enc.buffers["payload"], p["width"], i)
         v = np.int64(np.uint64(np.int64(p["base"]).astype(np.uint64)
                                + np.uint64(delta)))
@@ -97,7 +97,7 @@ def filter_eq(enc: EncodedColumn, value) -> np.ndarray:
         if idx is None:
             return np.zeros(enc.n_values, dtype=bool)
         mask = _dict_codes(enc) == np.uint64(idx)
-    elif enc.codec == "for":
+    elif enc.codec in ("for", "bitpack"):
         p = enc.params
         from .bitpack import unpack
         base = int(p["base"])

@@ -105,6 +105,44 @@ class ForCodec(Codec):
         return from_int64_numpy(v, dtype)
 
 
+class BitpackCodec(ForCodec):
+    """Plain fixed-point bit-packing: width-⌈log2(max+1)⌉ codes packed
+    into u64 words with NO frame subtraction — the unmodified analogue
+    of the reference's 2-bit packing (naive.rs:116-124) for
+    non-negative integer columns (ids, counts, enum codes).  Encoded
+    form = FOR with base pinned to 0, so O(1) point access and the
+    filter pushdown work unchanged."""
+
+    name = "bitpack"
+
+    def can_encode(self, dtype: pa.DataType, stats: dict | None = None) -> bool:
+        if not is_int_like(dtype):
+            return False
+        if stats is not None and "min" in stats:
+            return int(stats["min"]) >= 0
+        return True
+
+    def encode(self, arr: pa.Array) -> EncodedColumn:
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        n = len(arr)
+        validity = validity_to_bytes(arr)
+        v = to_int64_numpy(arr)
+        if arr.null_count:
+            valid = arr.is_valid().to_numpy(zero_copy_only=False)
+            v = np.where(valid, v, 0)
+        if n and int(v.min()) < 0:
+            raise ValueError("bitpack requires non-negative values; "
+                             "use 'for'")
+        width = bits_needed(int(v.max())) if n else 0
+        return EncodedColumn(
+            codec=self.name, n_values=n,
+            params={"base": 0, "width": width,
+                    "dtype": type_to_str(arr.type)},
+            buffers={"payload": pack(v.view(np.uint64), width).tobytes(),
+                     "validity": validity})
+
+
 def _masked_cast(v: np.ndarray, dtype: pa.DataType, valid: np.ndarray) -> pa.Array:
     arr = pa.array(v, type=pa.int64(), mask=~valid)
     if pa.types.is_date32(dtype) or pa.types.is_time32(dtype):
@@ -115,3 +153,4 @@ def _masked_cast(v: np.ndarray, dtype: pa.DataType, valid: np.ndarray) -> pa.Arr
 
 
 register(ForCodec())
+register(BitpackCodec())

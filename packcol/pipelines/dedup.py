@@ -177,22 +177,44 @@ def minhash_lsh_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
         from ray.data.aggregate import Count as _Count
         coll = exploded.groupby(["band", "bh"]).aggregate(
             _Count(alias_name="c"))
-        coll_pdf = coll.to_pandas()
-        coll_pdf = coll_pdf[coll_pdf["c"] > 1]
-        with np.errstate(over="ignore"):
-            coll_arr = np.unique(
-                coll_pdf["band"].to_numpy().astype(np.uint64) * _MIX
-                ^ coll_pdf["bh"].to_numpy().astype(np.int64)
-                .view(np.uint64))
-    kref = _ray.put(coll_arr)
 
-    def only_collisions(batch: pa.Table) -> pa.Table:
-        ks = _ray.get(kref)
-        if len(ks) == 0:
-            return batch.slice(0, 0)
-        return batch.filter(pa.array(np.isin(_keys_of(batch), ks)))
+        def only_multi(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+            return batch.filter(pc.greater(batch.column("c"), 1)) \
+                .select(["band", "bh"])
 
-    exploded = exploded.map_batches(only_collisions, batch_format="pyarrow")
+        # only COLLIDING keys reach the driver; bounded further by a
+        # hard cap — above it the prefilter is skipped (logged) and the
+        # pair-gen groupby handles everything (correct, just slower),
+        # so no driver structure ever exceeds _MAX_COLL_KEYS*8 bytes
+        _MAX_COLL_KEYS = 20_000_000
+        coll_pdf = coll.map_batches(
+            only_multi, batch_format="pyarrow").limit(
+                _MAX_COLL_KEYS + 1).to_pandas()
+        if len(coll_pdf) > _MAX_COLL_KEYS:
+            import logging
+            logging.getLogger(__name__).warning(
+                "minhash prefilter skipped: > %d colliding band keys; "
+                "falling through to the full pair-gen groupby",
+                _MAX_COLL_KEYS)
+            coll_arr = None
+        else:
+            with np.errstate(over="ignore"):
+                coll_arr = np.unique(
+                    coll_pdf["band"].to_numpy().astype(np.uint64) * _MIX
+                    ^ coll_pdf["bh"].to_numpy().astype(np.int64)
+                    .view(np.uint64))
+    if coll_arr is not None:
+        kref = _ray.put(coll_arr)
+
+        def only_collisions(batch: pa.Table) -> pa.Table:
+            ks = _ray.get(kref)
+            if len(ks) == 0:
+                return batch.slice(0, 0)
+            return batch.filter(pa.array(np.isin(_keys_of(batch), ks)))
+
+        exploded = exploded.map_batches(only_collisions,
+                                        batch_format="pyarrow")
     cand = exploded.groupby(["band", "bh"]).map_groups(
         pairs, batch_format="pyarrow")
     from ray.data.aggregate import Count, Max

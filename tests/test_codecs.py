@@ -284,3 +284,41 @@ def test_decfloat_roundtrips():
     out = encode_with_guard(pa.array(np.random.default_rng(2).normal(size=500)),
                             codec_name="decfloat")
     assert out.codec != "decfloat"   # fell back cleanly
+
+
+class TestBitpackCodec:
+    """Standalone bitpack codec (no frame): the unmodified analogue of
+    the reference's fixed-width packing (naive.rs:116-124)."""
+
+    def test_roundtrip_and_width(self):
+        import json
+        from packcol.codecs import get_codec
+        arr = pa.array([0, 3, 7, 2, 5, None, 7], type=pa.int64())
+        enc = get_codec("bitpack").encode(arr)
+        assert enc.params["width"] == 3  # max=7 → 3 bits
+        assert enc.params["base"] == 0
+        assert get_codec("bitpack").decode(enc).equals(arr)
+
+    def test_rejects_negative(self):
+        from packcol.codecs import get_codec
+        with pytest.raises(ValueError, match="non-negative"):
+            get_codec("bitpack").encode(pa.array([-1, 2, 3]))
+        assert not get_codec("bitpack").can_encode(
+            pa.int64(), {"n": 3, "min": -1, "max": 3})
+
+    def test_point_access_and_filter(self):
+        import numpy as np
+        from packcol.codecs import get_codec
+        from packcol.codecs.access import filter_eq, get_value
+        vals = [5, 9, 5, 0, 1023, 5]
+        enc = get_codec("bitpack").encode(pa.array(vals, type=pa.int64()))
+        assert [get_value(enc, i) for i in range(len(vals))] == vals
+        np.testing.assert_array_equal(
+            filter_eq(enc, 5), np.array([1, 0, 1, 0, 0, 1], dtype=bool))
+
+    def test_timestamps(self):
+        from packcol.codecs import get_codec
+        arr = pa.array([1_000_000, 2_000_000, 1_500_000],
+                       type=pa.timestamp("us"))
+        enc = get_codec("bitpack").encode(arr)
+        assert get_codec("bitpack").decode(enc).equals(arr)
