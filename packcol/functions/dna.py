@@ -411,6 +411,141 @@ def word_equivalency(a: np.ndarray, b: np.ndarray, k: int) -> np.ndarray:
     return out
 
 
+# --- streaming rolling updates (kmer.rs:76-102, canonical_kmer.rs:20-141) --
+#
+# The incremental path for data that arrives one symbol at a time and
+# cannot be re-batched: O(1) append/prepend on a dual-tracked (fw, rc)
+# pair, exactly the reference's CanonicalKmer.  The batch pipelines use
+# the vectorized scans above; these classes exist for true streams and
+# as executable documentation of the rolling semantics.
+
+class CanonicalKmerStream:
+    """Dual-track rolling canonical k-mer: fw and rc are kept in sync so
+    append/prepend are O(1) and the canonical word is min(fw, rc) at
+    any instant (canonical_kmer.rs:20-141)."""
+
+    __slots__ = ("k", "fw", "rc", "_mask", "_top")
+
+    def __init__(self, k: int):
+        if not 1 <= k <= K_MAX:
+            raise ValueError(f"k must be in 1..{K_MAX}")
+        self.k = k
+        self._mask = (1 << (2 * k)) - 1
+        self._top = 2 * k - 2
+        # blank_of_size: fw=0, rc=all-ones (canonical_kmer.rs:22-29)
+        self.fw = 0
+        self.rc = ((1 << 64) - 1) & self._mask
+
+    @classmethod
+    def from_word(cls, w: int, k: int) -> "CanonicalKmerStream":
+        self = cls(k)
+        self.fw = w & self._mask_of(k)
+        self.rc = int(revcomp_words(
+            np.array([self.fw], dtype=np.uint64), k)[0])
+        return self
+
+    @classmethod
+    def from_seq(cls, seq: str | bytes, k: int) -> "CanonicalKmerStream":
+        return cls.from_word(encode_kmer(seq), k)
+
+    @staticmethod
+    def _mask_of(k: int) -> int:
+        return (1 << (2 * k)) - 1
+
+    def append_base(self, b: int) -> int:
+        """Push symbol b at the end; returns the dropped first symbol
+        (fw append + rc prepend of the complement, O(1))."""
+        r = self.fw & 3
+        self.fw = (self.fw >> 2) | (b << self._top)
+        self.rc = self._mask & ((self.rc << 2) | (3 - b))
+        return r
+
+    def prepend_base(self, b: int) -> int:
+        r = (self.fw >> self._top) & 3
+        self.fw = self._mask & ((self.fw << 2) | b)
+        self.rc = (self.rc >> 2) | ((3 - b) << self._top)
+        return r
+
+    def append_char(self, c: str | int) -> int:
+        b = int(ENC_TABLE[ord(c) if isinstance(c, str) else c])
+        if b == INVALID:
+            raise ValueError(f"invalid nucleotide {c!r}")
+        return self.append_base(b)
+
+    def swap(self) -> None:
+        self.fw, self.rc = self.rc, self.fw
+
+    def is_fw_canonical(self) -> bool:
+        return self.fw < self.rc
+
+    def get_canonical_word(self) -> int:
+        return self.fw if self.fw < self.rc else self.rc
+
+    def get_fw_word(self) -> int:
+        return self.fw
+
+    def get_rc_word(self) -> int:
+        return self.rc
+
+    def get_word_equivalency(self, other: int) -> int:
+        if self.fw == other:
+            return IDENTITY_MATCH
+        if self.rc == other:
+            return TWIN_MATCH
+        return NO_MATCH
+
+
+class CanonicalKmerIteratorStream:
+    """Streaming CanonicalKmerIterator
+    (canonical_kmer_iterator.rs:32-116): rolling append one base per
+    step, skipping windows containing invalid symbols via the
+    last_invalid watermark.  API parity: exhausted / inc / inc_by /
+    get() → (stream, pos)."""
+
+    def __init__(self, seq: str | bytes, k: int):
+        self.seq = seq.encode() if isinstance(seq, str) else bytes(seq)
+        self.k = k
+        self.km = CanonicalKmerStream(k)
+        self.pos = 0
+        self.invalid = False
+        self.last_invalid = -1
+        self._find_next(-1, -1)
+
+    def _find_next(self, ii: int, jj: int) -> None:
+        i = ii + 1
+        for l in range(jj + 1, len(self.seq)):
+            b = int(ENC_TABLE[self.seq[l]])
+            if b != INVALID:
+                self.km.append_base(b)
+                if l - self.last_invalid >= self.k:
+                    self.pos = i
+                    return
+            else:
+                self.last_invalid = l
+                i = l + 1
+        self.invalid = True
+
+    def exhausted(self) -> bool:
+        return self.invalid
+
+    def inc(self) -> bool:
+        lpos = self.pos + self.k
+        self.invalid = self.invalid or lpos >= len(self.seq)
+        if not self.invalid:
+            self._find_next(self.pos, lpos - 1)
+        return not self.invalid
+
+    def inc_by(self, count: int) -> bool:
+        v = not self.invalid
+        while count > 0 and v:
+            v = self.inc()
+            count -= 1
+        return v
+
+    def get(self) -> tuple["CanonicalKmerStream", int]:
+        return self.km, self.pos
+
+
 # --- minimizers (S2) -------------------------------------------------------
 
 def minimizer(word: int, k: int, w: int, hasher=None) -> tuple[int, int]:

@@ -312,3 +312,117 @@ class TestMultiWord:
                 w = np.concatenate([w, np.zeros(B - len(w), np.uint64)])
             c, _ = canonicalize_words_multi(w[None, :], k)
             assert decode_kmer_multi(c[0], k) == min(s, rc)
+
+
+class TestStreaming:
+    """Rolling O(1) append/prepend + streaming iterator — parity with
+    canonical_kmer.rs:20-141 and canonical_kmer_iterator.rs:123-206
+    (all five reference iterator tests reproduced verbatim)."""
+
+    READ31 = ("TTTTGGCCATTTTTCCTGTTCTTCAAGAAAACAGGAGATAACTAGAAGGACT"
+              "AGAGAATGGGGCTGCCAGAACTAGTGGGAAGCTCCCTAGAAATGGTGACATC"
+              "GCCCACCAAACAGACC")
+
+    def _canon_at(self, seq, i, k=31):
+        from packcol.functions.dna import canonicalize_words, encode_kmer
+        w = encode_kmer(seq[i:i + k])
+        c, _ = canonicalize_words(np.array([w], dtype=np.uint64), k)
+        return int(c[0])
+
+    def test_iter_init(self):
+        from packcol.functions.dna import CanonicalKmerIteratorStream
+        it = CanonicalKmerIteratorStream(self.READ31, 31)
+        km, pos = it.get()
+        assert pos == 0
+        assert km.get_canonical_word() == self._canon_at(self.READ31, 0)
+
+    def test_iter_inc(self):
+        from packcol.functions.dna import CanonicalKmerIteratorStream
+        it = CanonicalKmerIteratorStream(self.READ31, 31)
+        it.inc()
+        km, pos = it.get()
+        assert pos == 1
+        assert km.get_canonical_word() == self._canon_at(self.READ31, 1)
+
+    def test_iter_inc_by(self):
+        from packcol.functions.dna import CanonicalKmerIteratorStream
+        it = CanonicalKmerIteratorStream(self.READ31, 31)
+        it.inc_by(10)
+        km, pos = it.get()
+        assert pos == 10
+        assert km.get_canonical_word() == self._canon_at(self.READ31, 10)
+
+    def test_iter_init_invalid(self):
+        from packcol.functions.dna import CanonicalKmerIteratorStream
+        r = self.READ31[:4] + "N" + self.READ31[4:]
+        it = CanonicalKmerIteratorStream(r, 31)
+        km, pos = it.get()
+        assert pos == 5
+        assert km.get_canonical_word() == self._canon_at(r, 5)
+
+    def test_iter_inc_by_invalid(self):
+        from packcol.functions.dna import CanonicalKmerIteratorStream
+        r = self.READ31[:35] + "N" + self.READ31[35:]
+        it = CanonicalKmerIteratorStream(r, 31)
+        it.inc_by(5)
+        km, pos = it.get()
+        assert pos == 36
+        assert km.get_canonical_word() == self._canon_at(r, 36)
+
+    def test_exhausted_works(self):
+        from packcol.functions.dna import CanonicalKmerIteratorStream
+        it = CanonicalKmerIteratorStream(self.READ31, 31)
+        it.inc_by(20)
+        assert not it.exhausted()
+        it.inc_by(len(self.READ31) - 20)
+        assert it.exhausted()
+        it.inc()
+        assert it.exhausted()
+
+    def test_stream_matches_batch_scan(self):
+        """Every (canonical word, pos) from the streaming iterator
+        equals the vectorized scan output — incl. invalid skipping."""
+        from packcol.functions.dna import (CanonicalKmerIteratorStream,
+                                           canonical_kmer_scan)
+        rng = np.random.default_rng(77)
+        for _ in range(10):
+            n = int(rng.integers(35, 200))
+            chars = rng.choice(list("ACGTN"), n, p=[.24, .24, .24, .24, .04])
+            seq = "".join(chars)
+            k = int(rng.integers(3, 32))
+            canon, pos, _ = canonical_kmer_scan(seq, k)
+            it = CanonicalKmerIteratorStream(seq, k)
+            got = []
+            while not it.exhausted():
+                km, p = it.get()
+                got.append((km.get_canonical_word(), p))
+                it.inc()
+            assert got == list(zip(canon.tolist(), pos.tolist()))
+
+    def test_swap_identity_and_equivalency(self):
+        """Property parity with canonical_kmer.rs:216-241."""
+        from packcol.functions.dna import (IDENTITY_MATCH, TWIN_MATCH,
+                                           CanonicalKmerStream)
+        rng = np.random.default_rng(79)
+        for _ in range(50):
+            k = int(rng.integers(1, 33))
+            w = int(rng.integers(0, 1 << min(2 * k, 63)))
+            km = CanonicalKmerStream.from_word(w, k)
+            fw, rc = km.get_fw_word(), km.get_rc_word()
+            km.swap()
+            km.swap()
+            assert (km.get_fw_word(), km.get_rc_word()) == (fw, rc)
+            assert km.get_word_equivalency(fw) == IDENTITY_MATCH
+            assert km.get_word_equivalency(rc) == (
+                TWIN_MATCH if rc != fw else IDENTITY_MATCH)
+
+    def test_rolling_append_matches_reencode(self):
+        from packcol.functions.dna import (CanonicalKmerStream, encode_kmer)
+        rng = np.random.default_rng(83)
+        seq = "".join("ACGT"[c] for c in rng.integers(0, 4, 60))
+        k = 13
+        km = CanonicalKmerStream.from_seq(seq[:k], k)
+        for i in range(k, len(seq)):
+            km.append_char(seq[i])
+            win = seq[i - k + 1:i + 1]
+            assert km.get_fw_word() == encode_kmer(win), i
