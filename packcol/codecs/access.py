@@ -83,6 +83,17 @@ def _dict_codes(enc: EncodedColumn) -> np.ndarray:
     return unpack(words, enc.params["width"], enc.n_values)
 
 
+def _predicate_int(value, dtype_str: str | None) -> int:
+    """Physical int64 of a predicate scalar for for/bitpack comparison —
+    accepts plain ints or logical values (datetime, date, bool) of the
+    column's dtype."""
+    if isinstance(value, (int, np.integer)):
+        return int(value)
+    from .forpack import to_int64_numpy
+    t = str_to_type(dtype_str) if dtype_str else None
+    return int(to_int64_numpy(pa.array([value], type=t))[0])
+
+
 def filter_eq(enc: EncodedColumn, value) -> np.ndarray:
     """Boolean mask of rows equal to `value`, computed on codes (dict)
     or deltas (for) — never decodes the column."""
@@ -101,7 +112,7 @@ def filter_eq(enc: EncodedColumn, value) -> np.ndarray:
         p = enc.params
         from .bitpack import unpack
         base = int(p["base"])
-        target = int(value) - base
+        target = _predicate_int(value, p.get("dtype")) - base
         if target < 0 or (p["width"] < 64 and target >= (1 << p["width"])):
             return np.zeros(enc.n_values, dtype=bool)
         words = np.frombuffer(enc.buffers["payload"], dtype=np.uint64)
@@ -117,22 +128,45 @@ def filter_eq(enc: EncodedColumn, value) -> np.ndarray:
 
 
 def filter_range(enc: EncodedColumn, lo, hi) -> np.ndarray:
-    """Mask of lo <= value <= hi on a dict block — valid because codes
-    are order-preserving (sorted dictionary == LexHasher property)."""
-    if enc.codec != "dict":
-        raise NotImplementedError("range pushdown implemented for dict")
-    import pyarrow.compute as pc
-    dictionary = ipc_deserialize_array(enc.buffers["aux"])
-    dvals = dictionary.to_pylist()
-    import bisect
-    lo_code = bisect.bisect_left(dvals, lo)
-    hi_code = bisect.bisect_right(dvals, hi) - 1
-    if hi_code < lo_code:
-        return np.zeros(enc.n_values, dtype=bool)
-    codes = _dict_codes(enc)
-    mask = (codes >= np.uint64(lo_code)) & (codes <= np.uint64(hi_code))
+    """Mask of lo <= value <= hi computed in the ENCODED domain:
+
+    * dict — codes are order-preserving (sorted dictionary, the
+      LexHasher property H3), so the range becomes a code interval;
+    * for / bitpack — the range becomes integer bounds on the packed
+      deltas (no value reconstruction);
+    * anything else — decode fallback (still correct, not pushed)."""
     valid = validity_from_bytes(enc.buffers.get("validity", b""),
                                 enc.n_values)
+    if enc.codec == "dict":
+        dictionary = ipc_deserialize_array(enc.buffers["aux"])
+        dvals = dictionary.to_pylist()
+        import bisect
+        lo_code = bisect.bisect_left(dvals, lo)
+        hi_code = bisect.bisect_right(dvals, hi) - 1
+        if hi_code < lo_code:
+            return np.zeros(enc.n_values, dtype=bool)
+        codes = _dict_codes(enc)
+        mask = (codes >= np.uint64(lo_code)) & (codes <= np.uint64(hi_code))
+    elif enc.codec in ("for", "bitpack"):
+        from .bitpack import unpack
+        p = enc.params
+        base = int(p["base"])
+        cap = (1 << p["width"]) - 1 if p["width"] < 64 else (1 << 64) - 1
+        lo_t = max(_predicate_int(lo, p.get("dtype")) - base, 0)
+        hi_t = min(_predicate_int(hi, p.get("dtype")) - base, cap)
+        if hi_t < lo_t:
+            return np.zeros(enc.n_values, dtype=bool)
+        words = np.frombuffer(enc.buffers["payload"], dtype=np.uint64)
+        deltas = unpack(words, p["width"], enc.n_values)
+        mask = (deltas >= np.uint64(lo_t)) & (deltas <= np.uint64(hi_t))
+    else:
+        import pyarrow.compute as pc
+        from .base import decode_any
+        arr = decode_any(enc)
+        mask = pc.and_(pc.greater_equal(arr, lo),
+                       pc.less_equal(arr, hi)).fill_null(False) \
+            .to_numpy(zero_copy_only=False)
+        return mask
     if valid is not None:
         mask &= valid
     return mask

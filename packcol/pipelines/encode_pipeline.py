@@ -284,9 +284,12 @@ class EncodedFilterPart:
     then decode only the requested output columns at the matching rows.
     The 100 TB shape for selective point queries over the encoded store."""
 
-    def __init__(self, column: str, value, out_columns: list[str]):
+    def __init__(self, column: str, value, out_columns: list[str],
+                 op: str = "eq", value2=None):
         self.column = column
         self.value = value
+        self.value2 = value2
+        self.op = op  # "eq" | "range" (value..value2 inclusive)
         self.out_columns = out_columns
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -294,7 +297,7 @@ class EncodedFilterPart:
         import pyarrow.compute as pc
         from ..codecs import EncodedColumn, decode_any
         from ..codecs.base import str_to_type
-        from ..codecs.access import filter_eq
+        from ..codecs.access import filter_eq, filter_range
         outs, out_types = [], {}
         for p in batch.column("path").to_pylist():
             enc_rows = pq.read_table(p)
@@ -309,7 +312,9 @@ class EncodedFilterPart:
                 dt = enc_of[name].params.get("dtype")
                 if dt is not None:
                     out_types[name] = str_to_type(dt)
-            mask = filter_eq(enc_of[self.column], self.value)
+            mask = filter_eq(enc_of[self.column], self.value) \
+                if self.op == "eq" else \
+                filter_range(enc_of[self.column], self.value, self.value2)
             if not mask.any():
                 continue
             sel = pa.array(np.flatnonzero(mask))
@@ -336,6 +341,19 @@ def filter_encoded(out_dir: str, column: str, value,
     ds = rd.from_items(files, override_num_blocks=max(len(files), 1))
     return ds.map_batches(EncodedFilterPart(column, value, out_columns),
                           batch_size=1, batch_format="pyarrow")
+
+
+def filter_encoded_range(out_dir: str, column: str, lo, hi,
+                         out_columns: list[str]) -> "rd.Dataset":
+    """Range predicate (lo <= col <= hi) pushed into the encoded store:
+    order-preserving dict codes / FOR deltas make it a code-interval
+    test (codecs/access.py::filter_range) — only matching rows decode."""
+    files = [{"path": os.path.join(out_dir, f)}
+             for f in sorted(os.listdir(out_dir)) if f.endswith(".parquet")]
+    ds = rd.from_items(files, override_num_blocks=max(len(files), 1))
+    return ds.map_batches(
+        EncodedFilterPart(column, lo, out_columns, op="range", value2=hi),
+        batch_size=1, batch_format="pyarrow")
 
 
 class SpotCheckPart:

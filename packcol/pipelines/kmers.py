@@ -67,7 +67,7 @@ def count_canonical_kmers(ds, seq_col: str = "text", k: int = 31,
     strategy="groupby": all-to-all shuffle on the 8-byte packed word;
     scales to open-ended key spaces (result stays distributed).
 
-    strategy="minimizer" (k≤32): the at-scale shuffle-reduction path —
+    strategy="minimizer" (any k; w ≤ 31): the at-scale shuffle-reduction path —
     sequences are cut into super-k-mers keyed by the strand-canonical
     minimizer (functions/minimizers.py, generalizing the reference's
     SeqVecMinimizerIter S3), so what shuffles is substrings (~1-4 B per
@@ -172,9 +172,8 @@ def _count_via_minimizer_buckets(ds, seq_col: str, k: int,
     from ..codecs.fsst import buffer_view
     from ..functions.minimizers import canonical_superkmer_spans_batch
 
-    if k > K_MAX:
-        raise ValueError("minimizer strategy requires k <= 32")
-    w = w or max(k // 2, min(11, k))
+    multi = k > K_MAX
+    w = w or max(min(k // 2, 31), min(11, k))
 
     def spans(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -205,10 +204,18 @@ def _count_via_minimizer_buckets(ds, seq_col: str, k: int,
         col = group.column("sk")
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
+        empty = pa.table({"kmer": pa.array([], pa.string()),
+                          "n": pa.array([], pa.int64())})
+        if multi:  # k > 32: multi-word scan/decode inside the bucket
+            _, _, canon, _ = canonical_kmer_scan_batch_multi(col, k)
+            if len(canon) == 0:
+                return empty
+            vals, counts = np.unique(canon, axis=0, return_counts=True)
+            return pa.table({"kmer": decode_kmer_batch_multi(vals, k),
+                             "n": counts.astype(np.int64)})
         _, _, canon, _ = canonical_kmer_scan_batch(col, k)
         if len(canon) == 0:
-            return pa.table({"kmer": pa.array([], pa.string()),
-                             "n": pa.array([], pa.int64())})
+            return empty
         vals, counts = np.unique(canon, return_counts=True)
         return pa.table({"kmer": decode_kmer_batch(vals, k),
                          "n": counts.astype(np.int64)})

@@ -204,6 +204,34 @@ def test_encoded_domain_filters():
     assert filter_eq(enc_for, 25).tolist() == [False, True, False, False,
                                                True]
     assert filter_eq(enc_for, 9999).sum() == 0
+    # range on FOR deltas: bounds clamp to the block's [base, base+cap]
+    assert filter_range(enc_for, 20, 40).tolist() == [False, True, False,
+                                                      True, True]
+    assert filter_range(enc_for, -5, 10).tolist() == [True, False, False,
+                                                      False, False]
+    assert filter_range(enc_for, 41, 100).sum() == 0
+    assert filter_range(enc_for, 40, 10).sum() == 0  # inverted bounds
+
+
+def test_filter_range_timestamp_and_fallback():
+    """Timestamp predicates coerce to the physical int64 on FOR blocks;
+    non-pushable codecs fall back to decode and stay correct."""
+    from datetime import datetime
+    from packcol.codecs.access import filter_eq, filter_range
+    ts = [datetime(2024, 1, d) for d in (1, 5, 9, 13)]
+    arr = pa.array([ts[0], ts[1], None, ts[2], ts[3]],
+                   type=pa.timestamp("us"))
+    enc = CODECS["for"].encode(arr)
+    assert filter_eq(enc, ts[1]).tolist() == [False, True, False, False,
+                                              False]
+    got = filter_range(enc, datetime(2024, 1, 4), datetime(2024, 1, 10))
+    assert got.tolist() == [False, True, False, True, False]
+    # decode-fallback path (rle has no range pushdown)
+    vals = pa.array([5, 5, 5, 9, 9, None, 2], type=pa.int64())
+    enc_rle = CODECS["rle"].encode(vals)
+    assert filter_range(enc_rle, 3, 8).tolist() == [True, True, True,
+                                                    False, False, False,
+                                                    False]
 
 
 def test_float_special_values():

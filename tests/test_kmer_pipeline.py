@@ -69,7 +69,7 @@ def test_minimizer_strategy_matches_tree(ray_session):
             for _ in range(40)] + ["ACGTNACGTACGTACGTACGTACGTACGTACGT",
                                    "", None, "acgt" * 10]
     ds = rd.from_arrow(pa.table({"seq": pa.array(seqs)}))
-    for k in (21, 31):
+    for k in (21, 31, 45):
         tree = count_canonical_kmers(ds, "seq", k, strategy="tree") \
             .to_pandas().set_index("kmer")["n"].to_dict()
         mini = count_canonical_kmers(ds, "seq", k, strategy="minimizer") \

@@ -175,6 +175,33 @@ def test_filter_encoded_pushdown(ray_session, webtext_dir, tmp_path):
     assert len(none) == 0
 
 
+def test_filter_encoded_range_pushdown(ray_session, webtext_dir, tmp_path):
+    """Range predicate evaluated in the encoded domain (dict code
+    interval / FOR delta bounds) — matches a plaintext filter."""
+    import ray.data as rd
+    from packcol.pipelines.encode_pipeline import (encode_files,
+                                                   filter_encoded_range)
+    out = str(tmp_path / "enc_rng")
+    paths = [os.path.join(webtext_dir, f) for f in os.listdir(webtext_dir)
+             if f.endswith(".parquet")]
+    encode_files(paths, out, target_bytes=1 << 20)
+    exp = rd.read_parquet(webtext_dir).to_pandas()
+    # timestamp range on the FOR-encoded warc_ts column
+    lo = exp["warc_ts"].quantile(0.25)
+    hi = exp["warc_ts"].quantile(0.75)
+    got = filter_encoded_range(out, "warc_ts", lo.to_pydatetime(),
+                               hi.to_pydatetime(),
+                               ["url", "warc_ts"]).to_pandas()
+    want = exp[(exp["warc_ts"] >= lo) & (exp["warc_ts"] <= hi)]
+    assert sorted(got["url"]) == sorted(want["url"])
+    # string range on the dict-encoded lang column
+    got2 = filter_encoded_range(out, "lang", "de", "en", ["url", "lang"]) \
+        .to_pandas()
+    want2 = exp[(exp["lang"] >= "de") & (exp["lang"] <= "en")]
+    assert sorted(got2["url"]) == sorted(want2["url"])
+    assert got2["lang"].between("de", "en").all()
+
+
 def test_encode_files_null_heavy(ray_session, tmp_path):
     """The checkpointed path preserves nulls in every column type."""
     import numpy as np
