@@ -487,6 +487,39 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return ds.select_columns(["doc_id"])
     q["english_docs"] = english_docs
 
+    # --- predicate pushdown into the ENCODED store -----------------------
+    # (filters evaluated on packed codes / FOR deltas; only hits decode)
+    def _encoded_store(sf, table):
+        import hashlib
+        from packcol.pipelines.encode_pipeline import encode_files
+        tag = hashlib.sha1(os.path.abspath(sf).encode()).hexdigest()[:10]
+        out = os.path.join("/tmp", f"packcol_store_{table}_{tag}")
+        encode_files([os.path.join(sf, f"{table}.parquet")], out,
+                     resume=True)  # manifest-resumable: re-calls skip
+        return out
+
+    def filter_encoded_eq(sf):
+        from packcol.pipelines.encode_pipeline import filter_encoded
+        out = _encoded_store(sf, "documents")
+        return filter_encoded(out, "lang", "de", ["doc_id", "lang"])
+    q["filter_encoded_eq"] = filter_encoded_eq
+
+    def filter_encoded_rng(sf):
+        from packcol.pipelines.encode_pipeline import filter_encoded_range
+        out = _encoded_store(sf, "events")
+        return filter_encoded_range(out, "user_id", 3, 9,
+                                    ["event_id", "user_id"])
+    q["filter_encoded_range"] = filter_encoded_rng
+
+    def filter_encoded_ts(sf):
+        from datetime import datetime
+        from packcol.pipelines.encode_pipeline import filter_encoded_range
+        out = _encoded_store(sf, "events")
+        return filter_encoded_range(out, "ts", datetime(2024, 1, 5),
+                                    datetime(2024, 1, 12),
+                                    ["event_id", "ts"])
+    q["filter_encoded_ts_range"] = filter_encoded_ts
+
     # --- stream-shaped ops: sessionization + top-per-group ---------------
     # (Ray Data has no event-time windows; the documented pattern is
     # groupby(key).map_groups over ts-sorted groups — ordering assumption:
@@ -673,6 +706,14 @@ def oracle_sql() -> dict[str, str]:
             "COUNT(DISTINCT user_id), MIN(user_id), MAX(user_id) "
             "FROM events) ORDER BY \"column\""),
         "english_docs": "SELECT doc_id FROM documents WHERE lang = 'en'",
+        "filter_encoded_eq": (
+            "SELECT doc_id, lang FROM documents WHERE lang = 'de'"),
+        "filter_encoded_range": (
+            "SELECT event_id, user_id FROM events "
+            "WHERE user_id BETWEEN 3 AND 9"),
+        "filter_encoded_ts_range": (
+            "SELECT event_id, ts FROM events WHERE ts BETWEEN "
+            "TIMESTAMP '2024-01-05' AND TIMESTAMP '2024-01-12'"),
         "kmer_counts": (
             "SELECT canon AS kmer, COUNT(*) AS n FROM ("
             "SELECT least(kmer, translate(reverse(kmer), 'ACGT', 'TGCA')) "

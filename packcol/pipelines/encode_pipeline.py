@@ -24,6 +24,7 @@ from __future__ import annotations
 import os
 import time
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
@@ -31,7 +32,8 @@ import ray.data as rd
 
 from ..stages.encode import (ENC_SCHEMA, DecodeBatch, EncodeBatch,
                              RoundtripVerify, decode_rows, encode_table)
-from ..state.manifest import Manifest, params_hash
+from ..state.manifest import (Manifest, compute_zones, params_hash,
+                              zone_may_match)
 
 _DEFAULT_TARGET_BYTES = 64 << 20
 
@@ -101,6 +103,7 @@ class EncodePartitionWriter:
                 "input": d["path"], "rg_start": d["rg_start"],
                 "rg_end": d["rg_end"], "rows": t.num_rows,
                 "orig_bytes": orig, "enc_bytes": encb,
+                "zones": compute_zones(t),
                 "codecs": dict(zip(enc.column("column").to_pylist(),
                                    enc.column("codec").to_pylist())),
                 "params_hash": params_hash(enc),
@@ -332,13 +335,64 @@ class EncodedFilterPart:
         return pa.concat_tables(outs)
 
 
+def _zone_bounds(column: str, lo, hi, zone_kind: str):
+    """Predicate bounds in a zone's physical domain, or None if the
+    value type doesn't map onto the zone kind (→ cannot prune)."""
+    import datetime
+    if zone_kind == "i64":
+        if isinstance(lo, (datetime.datetime, datetime.date)):
+            from ..codecs.access import _predicate_int
+            t = ("timestamp[us]" if isinstance(lo, datetime.datetime)
+                 else "date32[day]")
+            return (_predicate_int(lo, t), _predicate_int(hi, t))
+        if isinstance(lo, (int, np.integer)):
+            return (int(lo), int(hi))
+        return None
+    if zone_kind == "f64":
+        try:
+            return (float(lo), float(hi))
+        except (TypeError, ValueError):
+            return None
+    if zone_kind == "str":
+        return (lo, hi) if isinstance(lo, str) else None
+    return None
+
+
+def _surviving_parts(out_dir: str, column: str, lo, hi) -> list[dict]:
+    """Part files whose manifest zone map intersects [lo, hi].  Parts
+    without a manifest entry or zone (older stores, long/binary columns)
+    are kept — pruning is best-effort, never lossy."""
+    zones = {}
+    man_dir = os.path.join(out_dir, "_manifest")
+    if os.path.isdir(man_dir):
+        for m in Manifest(out_dir).load_all():
+            zones[m["part_id"]] = m.get("zones", {}).get(column)
+    files = []
+    for f in sorted(os.listdir(out_dir)):
+        if not f.endswith(".parquet"):
+            continue
+        part_id = f[len("part-"):-len(".parquet")] \
+            if f.startswith("part-") else None
+        zone = zones.get(part_id)
+        if zone is not None:
+            bounds = _zone_bounds(column, lo, hi, zone["kind"])
+            if bounds is not None and not zone_may_match(zone, *bounds):
+                continue  # provably no rows in range → never read
+        files.append({"path": os.path.join(out_dir, f)})
+    return files
+
+
 def filter_encoded(out_dir: str, column: str, value,
                    out_columns: list[str]) -> "rd.Dataset":
-    """Equality predicate pushed into the encoded store: the filter runs
-    on packed codes; only matching rows of `out_columns` are decoded."""
-    files = [{"path": os.path.join(out_dir, f)}
-             for f in sorted(os.listdir(out_dir)) if f.endswith(".parquet")]
-    ds = rd.from_items(files, override_num_blocks=max(len(files), 1))
+    """Equality predicate pushed into the encoded store: manifest zone
+    maps prune whole parts driver-side (tiny JSON, no data reads), then
+    the filter runs on packed codes; only matching rows of
+    `out_columns` are decoded."""
+    files = _surviving_parts(out_dir, column, value, value)
+    if not files:  # every part pruned — provably empty result
+        return rd.from_arrow(pa.table(
+            {n: pa.array([], pa.string()) for n in out_columns}))
+    ds = rd.from_items(files, override_num_blocks=len(files))
     return ds.map_batches(EncodedFilterPart(column, value, out_columns),
                           batch_size=1, batch_format="pyarrow")
 
@@ -346,11 +400,14 @@ def filter_encoded(out_dir: str, column: str, value,
 def filter_encoded_range(out_dir: str, column: str, lo, hi,
                          out_columns: list[str]) -> "rd.Dataset":
     """Range predicate (lo <= col <= hi) pushed into the encoded store:
-    order-preserving dict codes / FOR deltas make it a code-interval
-    test (codecs/access.py::filter_range) — only matching rows decode."""
-    files = [{"path": os.path.join(out_dir, f)}
-             for f in sorted(os.listdir(out_dir)) if f.endswith(".parquet")]
-    ds = rd.from_items(files, override_num_blocks=max(len(files), 1))
+    manifest zone maps prune whole parts first; order-preserving dict
+    codes / FOR deltas make the residual a code-interval test
+    (codecs/access.py::filter_range) — only matching rows decode."""
+    files = _surviving_parts(out_dir, column, lo, hi)
+    if not files:  # every part pruned — provably empty result
+        return rd.from_arrow(pa.table(
+            {n: pa.array([], pa.string()) for n in out_columns}))
+    ds = rd.from_items(files, override_num_blocks=len(files))
     return ds.map_batches(
         EncodedFilterPart(column, lo, out_columns, op="range", value2=hi),
         batch_size=1, batch_format="pyarrow")

@@ -42,6 +42,64 @@ class Manifest:
         return [self.load(p) for p in sorted(self.done_parts())]
 
 
+_ZONE_STR_MAX = 256  # don't zone-map long strings / binary payloads
+
+
+def compute_zones(t) -> dict:
+    """Per-column min/max zone map of one partition, JSON-safe.
+
+    Kinds: "i64" (ints / timestamps / dates / bools, physical int64),
+    "f64", "str" (only when max length <= _ZONE_STR_MAX — a truncated
+    max would be an incorrect upper bound, so long columns are simply
+    not mapped).  Null-only and unsupported columns are omitted; a
+    missing entry means "cannot prune"."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from ..codecs.forpack import is_int_like
+    zones: dict = {}
+    for name in t.column_names:
+        col = t.column(name)
+        if col.null_count == len(col) or len(col) == 0:
+            continue
+        typ = col.type
+        try:
+            if is_int_like(typ):
+                mm = pc.min_max(col)
+                lo, hi = mm["min"], mm["max"]
+                phys = pa.array([lo, hi], type=typ)
+                from ..codecs.forpack import to_int64_numpy
+                v = to_int64_numpy(phys.combine_chunks()
+                                   if isinstance(phys, pa.ChunkedArray)
+                                   else phys)
+                zones[name] = {"kind": "i64", "min": int(v[0]),
+                               "max": int(v[1])}
+            elif pa.types.is_floating(typ):
+                mm = pc.min_max(col)
+                lo, hi = mm["min"].as_py(), mm["max"].as_py()
+                if lo is None or lo != lo or hi != hi:  # NaN-poisoned
+                    continue
+                zones[name] = {"kind": "f64", "min": float(lo),
+                               "max": float(hi)}
+            elif pa.types.is_string(typ) or pa.types.is_large_string(typ):
+                if pc.max(pc.binary_length(col)).as_py() > _ZONE_STR_MAX:
+                    continue
+                mm = pc.min_max(col)
+                zones[name] = {"kind": "str", "min": mm["min"].as_py(),
+                               "max": mm["max"].as_py()}
+        except pa.ArrowNotImplementedError:
+            continue
+    return zones
+
+
+def zone_may_match(zone: dict | None, lo, hi) -> bool:
+    """Could any value in [zone.min, zone.max] fall inside [lo, hi]?
+    Conservative: unknown zone → True.  lo/hi must already be in the
+    zone's physical domain (int for "i64", etc.)."""
+    if zone is None:
+        return True
+    return not (hi < zone["min"] or lo > zone["max"])
+
+
 def params_hash(enc_rows_table) -> str:
     """Hash of the per-column codec decisions + params of one partition."""
     h = hashlib.sha1()

@@ -202,6 +202,68 @@ def test_filter_encoded_range_pushdown(ray_session, webtext_dir, tmp_path):
     assert got2["lang"].between("de", "en").all()
 
 
+def test_zone_map_computation():
+    from datetime import datetime
+    from packcol.state.manifest import compute_zones, zone_may_match
+    t = pa.table({
+        "i": pa.array([5, 1, None, 9], pa.int64()),
+        "ts": pa.array([datetime(2024, 1, 2), datetime(2024, 1, 8)],
+                       pa.timestamp("us")).take(pa.array([0, 1, 0, 1])),
+        "f": pa.array([1.5, -2.0, 3.25, None]),
+        "s": pa.array(["bb", "aa", "zz", None]),
+        "long": pa.array(["x" * 500, "y"]).take(pa.array([0, 1, 0, 1])),
+        "bin": pa.array([b"ab", b"cd", b"e", b"f"], pa.binary()),
+        "allnull": pa.array([None] * 4, pa.int64()),
+    })
+    z = compute_zones(t)
+    assert z["i"] == {"kind": "i64", "min": 1, "max": 9}
+    assert z["f"] == {"kind": "f64", "min": -2.0, "max": 3.25}
+    assert z["s"] == {"kind": "str", "min": "aa", "max": "zz"}
+    assert z["ts"]["kind"] == "i64"
+    # long strings, binary, all-null: no zone → never pruned
+    assert "long" not in z and "bin" not in z and "allnull" not in z
+    assert zone_may_match(z["i"], 9, 20) and zone_may_match(z["i"], -5, 1)
+    assert not zone_may_match(z["i"], 10, 20)
+    assert zone_may_match(None, 0, 0)  # unknown zone is conservative
+
+
+def test_zone_map_part_pruning(ray_session, tmp_path):
+    """Disjoint-ranged parts: out-of-range predicates read ZERO parts
+    (driver-side manifest pruning), results stay exact."""
+    import numpy as np
+    import ray.data as rd
+    from packcol.pipelines.encode_pipeline import (
+        _surviving_parts, encode_files, filter_encoded_range)
+    src = tmp_path / "src"
+    src.mkdir()
+    for i in range(4):  # part i holds ids [i*100, i*100+99]
+        ids = np.arange(i * 100, i * 100 + 100, dtype=np.int64)
+        pq.write_table(pa.table({"id": ids, "v": ids * 2}),
+                       str(src / f"f{i}.parquet"))
+    out = str(tmp_path / "enc")
+    encode_files([str(src / f"f{i}.parquet") for i in range(4)], out,
+                 target_bytes=1 << 20)
+    # predicate inside part 1 only → exactly one part survives pruning
+    assert len(_surviving_parts(out, "id", 150, 160)) == 1
+    got = filter_encoded_range(out, "id", 150, 160, ["id", "v"]).to_pandas()
+    assert sorted(got["id"]) == list(range(150, 161))
+    assert (got["v"] == got["id"] * 2).all()
+    # predicate outside every part → zero parts read, empty result
+    assert _surviving_parts(out, "id", 5000, 6000) == []
+    assert len(filter_encoded_range(out, "id", 5000, 6000,
+                                    ["id"]).to_pandas()) == 0
+    # zoneless manifests (older stores) keep every part — not lossy
+    for m in os.listdir(os.path.join(out, "_manifest")):
+        import json
+        p = os.path.join(out, "_manifest", m)
+        d = json.load(open(p))
+        d.pop("zones", None)
+        json.dump(d, open(p, "w"))
+    assert len(_surviving_parts(out, "id", 150, 160)) == 4
+    got2 = filter_encoded_range(out, "id", 150, 160, ["id"]).to_pandas()
+    assert sorted(got2["id"]) == list(range(150, 161))
+
+
 def test_encode_files_null_heavy(ray_session, tmp_path):
     """The checkpointed path preserves nulls in every column type."""
     import numpy as np
