@@ -520,6 +520,109 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                     ["event_id", "ts"])
     q["filter_encoded_ts_range"] = filter_encoded_ts
 
+    # --- joins (pipelines/join.py): broadcast fact⋈dim, anti, shuffle ----
+    def orders_by_nation(sf):
+        import pyarrow.parquet as pq
+        from ray.data.aggregate import Count, Sum
+        from packcol.pipelines.join import broadcast_join
+        # dim side: customer⋈nation joined driver-side (tiny), broadcast
+        cust = pq.read_table(os.path.join(sf, "customer.parquet"),
+                             columns=["c_custkey", "c_nationkey"])
+        nat = pq.read_table(os.path.join(sf, "nation.parquet"),
+                            columns=["n_nationkey", "n_name"])
+        dim = cust.join(nat, keys=["c_nationkey"],
+                        right_keys=["n_nationkey"]) \
+            .select(["c_custkey", "n_name"])
+        ds = _read(sf, "orders", ["o_custkey", "o_totalprice"])
+
+        def cents(batch: pa.Table) -> pa.Table:
+            p = batch.column("o_totalprice").to_numpy(zero_copy_only=False)
+            return pa.table({
+                "o_custkey": batch.column("o_custkey"),
+                "price_cents": np.floor(p * 100 + 0.5).astype(np.int64)})
+        j = broadcast_join(ds.map_batches(cents, batch_format="pyarrow"),
+                           dim, on="o_custkey", right_on="c_custkey")
+        return j.groupby("n_name").aggregate(
+            Count(alias_name="n_orders"),
+            Sum("price_cents", alias_name="total_cents"))
+    q["orders_by_nation"] = orders_by_nation
+
+    def customers_without_orders(sf):
+        # customers with no URGENT order: filter at the read (row-group
+        # pruning) → distinct keys → broadcast anti-join (drop-set shape)
+        import pyarrow.compute as pcc
+        import ray.data as rd
+        from packcol.pipelines.join import broadcast_anti_join
+        cust = _read(sf, "customer", ["c_custkey"])
+        okeys = rd.read_parquet(
+            os.path.join(sf, "orders.parquet"), columns=["o_custkey"],
+            filter=(pcc.field("o_orderpriority") == "1-URGENT")) \
+            .unique("o_custkey")
+        small = pa.table({"o_custkey": pa.array(sorted(okeys),
+                                                pa.int64())})
+        return broadcast_anti_join(cust, small, on="c_custkey",
+                                   right_on="o_custkey")
+    q["customers_without_orders"] = customers_without_orders
+
+    def revenue_by_brand(sf):
+        from ray.data.aggregate import Sum
+        from packcol.pipelines.join import shuffle_join
+        li = _read(sf, "lineitem",
+                   ["l_partkey", "l_extendedprice", "l_discount"])
+
+        def cents(batch: pa.Table) -> pa.Table:
+            e = batch.column("l_extendedprice") \
+                .to_numpy(zero_copy_only=False)
+            d = batch.column("l_discount").to_numpy(zero_copy_only=False)
+            return pa.table({
+                "l_partkey": batch.column("l_partkey"),
+                "rev_cents": np.floor(e * (1 - d) * 100 + 0.5)
+                .astype(np.int64)})
+        pt = _read(sf, "part", ["p_partkey", "p_brand"])
+        j = shuffle_join(li.map_batches(cents, batch_format="pyarrow"),
+                         pt, on="l_partkey", right_on="p_partkey",
+                         num_partitions=8)
+        return j.groupby("p_brand").aggregate(
+            Sum("rev_cents", alias_name="revenue_cents"))
+    q["revenue_by_brand"] = revenue_by_brand
+
+    def top_orders_q3(sf):
+        """TPC-H Q3 shape: filter + broadcast join + groupby + distributed
+        sort + limit (deterministic tie-break on o_orderkey)."""
+        import pyarrow.compute as pcc
+        import pyarrow.parquet as pq
+        from ray.data.aggregate import Sum
+        from packcol.pipelines.join import broadcast_semi_join
+        cust = pq.read_table(os.path.join(sf, "customer.parquet"),
+                             columns=["c_custkey", "c_mktsegment"])
+        seg = cust.filter(pcc.equal(cust.column("c_mktsegment"),
+                                    "BUILDING")).select(["c_custkey"])
+        orders = _read(sf, "orders", ["o_orderkey", "o_custkey"])
+        o_keep = broadcast_semi_join(orders, seg, on="o_custkey",
+                                     right_on="c_custkey") \
+            .select_columns(["o_orderkey"])
+        li = _read(sf, "lineitem",
+                   ["l_orderkey", "l_extendedprice", "l_discount"])
+
+        def cents(batch: pa.Table) -> pa.Table:
+            e = batch.column("l_extendedprice") \
+                .to_numpy(zero_copy_only=False)
+            d = batch.column("l_discount").to_numpy(zero_copy_only=False)
+            return pa.table({
+                "l_orderkey": batch.column("l_orderkey"),
+                "rev_cents": np.floor(e * (1 - d) * 100 + 0.5)
+                .astype(np.int64)})
+        # semi-join lineitem to the kept orders (broadcast: order keys of
+        # one segment are bounded; at open scale use shuffle_join)
+        li_keep = broadcast_semi_join(
+            li.map_batches(cents, batch_format="pyarrow"),
+            o_keep, on="l_orderkey", right_on="o_orderkey")
+        agg = li_keep.groupby("l_orderkey").aggregate(
+            Sum("rev_cents", alias_name="revenue_cents"))
+        return agg.sort(["revenue_cents", "l_orderkey"],
+                        descending=[True, False]).limit(10)
+    q["top_orders_q3"] = top_orders_q3
+
     # --- stream-shaped ops: sessionization + top-per-group ---------------
     # (Ray Data has no event-time windows; the documented pattern is
     # groupby(key).map_groups over ts-sorted groups — ordering assumption:
@@ -714,6 +817,31 @@ def oracle_sql() -> dict[str, str]:
         "filter_encoded_ts_range": (
             "SELECT event_id, ts FROM events WHERE ts BETWEEN "
             "TIMESTAMP '2024-01-05' AND TIMESTAMP '2024-01-12'"),
+        "orders_by_nation": (
+            "SELECT n_name, COUNT(*) AS n_orders, "
+            "SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) "
+            "AS total_cents "
+            "FROM orders JOIN customer ON o_custkey = c_custkey "
+            "JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name"),
+        "customers_without_orders": (
+            "SELECT c_custkey FROM customer WHERE c_custkey NOT IN "
+            "(SELECT o_custkey FROM orders "
+            "WHERE o_orderpriority = '1-URGENT')"),
+        "revenue_by_brand": (
+            "SELECT p_brand, "
+            "SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100, 0) "
+            "AS BIGINT)) AS revenue_cents "
+            "FROM lineitem JOIN part ON l_partkey = p_partkey "
+            "GROUP BY p_brand"),
+        "top_orders_q3": (
+            "SELECT l_orderkey, "
+            "SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100, 0) "
+            "AS BIGINT)) AS revenue_cents "
+            "FROM lineitem WHERE l_orderkey IN ("
+            "SELECT o_orderkey FROM orders JOIN customer "
+            "ON o_custkey = c_custkey WHERE c_mktsegment = 'BUILDING') "
+            "GROUP BY l_orderkey "
+            "ORDER BY revenue_cents DESC, l_orderkey LIMIT 10"),
         "kmer_counts": (
             "SELECT canon AS kmer, COUNT(*) AS n FROM ("
             "SELECT least(kmer, translate(reverse(kmer), 'ACGT', 'TGCA')) "

@@ -1,0 +1,125 @@
+"""Distributed joins, Ray-Data-first.
+
+The reference has no joins (SURVEY §2.7); these are the engine-side
+operators the north rule requires.  Two physical strategies:
+
+* ``broadcast_join`` — the 100 TB shape for fact ⋈ dim: the small side
+  is collected ONCE (size-guarded), ``ray.put`` into the object store,
+  and every ``map_batches`` task probes it with a zero-copy pyarrow
+  hash join per batch.  No shuffle of the big side, streaming
+  execution preserved.
+
+* ``shuffle_join`` — large ⋈ large via Ray Data's native hash join
+  (``Dataset.join``): both sides hash-partition on the key, each
+  partition joins independently.  One all-to-all exchange; use only
+  when neither side fits the broadcast guard.
+
+Semi/anti broadcast variants filter the big side without materializing
+the join output — the dedup/curation workhorses.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+_DEFAULT_BROADCAST_CAP = 256 << 20  # bytes; dims beyond this → shuffle_join
+
+
+def _as_table(small) -> pa.Table:
+    import pandas as pd
+    if isinstance(small, pa.Table):
+        return small
+    if isinstance(small, pd.DataFrame):
+        return pa.Table.from_pandas(small, preserve_index=False)
+    # ray Dataset — caller asserts it is the SMALL side
+    tbls = [b for b in small.iter_batches(batch_format="pyarrow")]
+    if not tbls:
+        raise ValueError("empty small side: schema unknown; pass a "
+                         "pyarrow Table instead")
+    return pa.concat_tables(
+        [t if isinstance(t, pa.Table) else pa.Table.from_batches([t])
+         for t in tbls])
+
+
+class _BroadcastProbe:
+    """map_batches callable: per-batch pyarrow hash join against the
+    broadcast small side.  The object-store get is free after the first
+    batch on each worker (local shared-memory read)."""
+
+    def __init__(self, small_ref, on, right_on, join_type: str,
+                 right_suffix: str):
+        self.small_ref = small_ref
+        self.on = on
+        self.right_on = right_on
+        self.join_type = join_type
+        self.right_suffix = right_suffix
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import ray
+        small: pa.Table = ray.get(self.small_ref)
+        return batch.join(small, keys=list(self.on),
+                          right_keys=list(self.right_on),
+                          join_type=self.join_type,
+                          right_suffix=self.right_suffix)
+
+
+def broadcast_join(big, small, on, right_on=None,
+                   join_type: str = "inner", right_suffix: str = "_r",
+                   max_broadcast_bytes: int = _DEFAULT_BROADCAST_CAP):
+    """big ⋈ small with the small side broadcast (ray.put once, probed
+    zero-copy in every task).  join_type: any pyarrow Table.join type
+    ("inner", "left outer", "left semi", "left anti", ...) — joins are
+    evaluated per-batch, so only types that are row-local w.r.t. the
+    big side are allowed (no "right outer"/"full outer": a small-side
+    row missing from one batch may match another batch).
+
+    Raises if the small side exceeds ``max_broadcast_bytes`` —
+    at that size use ``shuffle_join``."""
+    import ray
+    if join_type in ("right outer", "full outer", "right semi",
+                     "right anti"):
+        raise ValueError(f"{join_type!r} is not per-batch decomposable; "
+                         "use shuffle_join")
+    on = [on] if isinstance(on, str) else list(on)
+    right_on = on if right_on is None else (
+        [right_on] if isinstance(right_on, str) else list(right_on))
+    small_t = _as_table(small).combine_chunks()
+    if small_t.nbytes > max_broadcast_bytes:
+        raise ValueError(
+            f"small side is {small_t.nbytes >> 20} MiB > broadcast cap "
+            f"{max_broadcast_bytes >> 20} MiB; use shuffle_join")
+    ref = ray.put(small_t)
+    return big.map_batches(
+        _BroadcastProbe(ref, on, right_on, join_type, right_suffix),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
+def broadcast_semi_join(big, small, on, right_on=None, **kw):
+    """Rows of `big` with a key match in `small` (no small-side columns
+    added) — the blocklist/keeplist filter shape."""
+    return broadcast_join(big, small, on, right_on,
+                          join_type="left semi", **kw)
+
+
+def broadcast_anti_join(big, small, on, right_on=None, **kw):
+    """Rows of `big` with NO key match in `small` — the drop-set shape
+    used by scale-safe dedup filtering."""
+    return broadcast_join(big, small, on, right_on,
+                          join_type="left anti", **kw)
+
+
+def shuffle_join(left, right, on, right_on=None,
+                 join_type: str = "inner", num_partitions: int = 32,
+                 right_suffix: str = "_r"):
+    """Large ⋈ large: Ray Data native hash join — both sides hash-
+    partitioned on the key (one all-to-all exchange each), partitions
+    joined independently.  num_partitions bounds per-partition memory:
+    size it so (left+right)/num_partitions fits a worker's heap."""
+    on = (on,) if isinstance(on, str) else tuple(on)
+    right_on = on if right_on is None else (
+        (right_on,) if isinstance(right_on, str) else tuple(right_on))
+    return left.join(right, join_type=join_type,
+                     num_partitions=num_partitions,
+                     on=on, right_on=right_on,
+                     right_suffix=right_suffix)

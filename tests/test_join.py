@@ -1,0 +1,94 @@
+"""Joins: broadcast probe vs pandas-merge ground truth, semi/anti
+filters, the native shuffle join wrapper, and the broadcast size guard."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from packcol.pipelines.join import (broadcast_anti_join, broadcast_join,
+                                    broadcast_semi_join, shuffle_join)
+
+
+@pytest.fixture()
+def sides():
+    rng = np.random.default_rng(7)
+    big = pd.DataFrame({
+        "k": rng.integers(0, 50, 2000),
+        "v": rng.normal(size=2000).round(3)})
+    small = pd.DataFrame({
+        "k": np.arange(0, 40),          # keys 40..49 unmatched in small
+        "name": [f"n{i}" for i in range(40)]})
+    return big, small
+
+
+def _ds(df, blocks=8):
+    import ray.data as rd
+    return rd.from_pandas(df).repartition(blocks)
+
+
+def test_broadcast_inner_matches_pandas(ray_session, sides):
+    big, small = sides
+    got = broadcast_join(_ds(big), pa.Table.from_pandas(small), on="k") \
+        .to_pandas().sort_values(["k", "v"]).reset_index(drop=True)
+    exp = big.merge(small, on="k").sort_values(["k", "v"]) \
+        .reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[exp.columns], exp,
+                                  check_dtype=False)
+
+
+def test_broadcast_left_outer_keeps_unmatched(ray_session, sides):
+    big, small = sides
+    got = broadcast_join(_ds(big), pa.Table.from_pandas(small), on="k",
+                         join_type="left outer").to_pandas()
+    assert len(got) == len(big)
+    assert got.loc[got["k"] >= 40, "name"].isna().all()
+    assert got.loc[got["k"] < 40, "name"].notna().all()
+
+
+def test_broadcast_semi_anti(ray_session, sides):
+    big, small = sides
+    semi = broadcast_semi_join(_ds(big), pa.Table.from_pandas(small),
+                               on="k").to_pandas()
+    anti = broadcast_anti_join(_ds(big), pa.Table.from_pandas(small),
+                               on="k").to_pandas()
+    assert (semi["k"] < 40).all() and (anti["k"] >= 40).all()
+    assert len(semi) + len(anti) == len(big)
+    assert list(semi.columns) == list(big.columns)  # no small-side cols
+
+
+def test_broadcast_small_side_as_dataset(ray_session, sides):
+    big, small = sides
+    got = broadcast_join(_ds(big), _ds(small, blocks=2), on="k") \
+        .to_pandas()
+    assert len(got) == len(big.merge(small, on="k"))
+
+
+def test_broadcast_guards(ray_session, sides):
+    big, small = sides
+    with pytest.raises(ValueError, match="broadcast cap"):
+        broadcast_join(_ds(big), pa.Table.from_pandas(small), on="k",
+                       max_broadcast_bytes=16)
+    with pytest.raises(ValueError, match="decomposable"):
+        broadcast_join(_ds(big), pa.Table.from_pandas(small), on="k",
+                       join_type="full outer")
+
+
+def test_shuffle_join_matches_pandas(ray_session, sides):
+    big, small = sides
+    got = shuffle_join(_ds(big), _ds(small, blocks=2), on="k",
+                       num_partitions=4).to_pandas() \
+        .sort_values(["k", "v"]).reset_index(drop=True)
+    exp = big.merge(small, on="k").sort_values(["k", "v"]) \
+        .reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[exp.columns], exp,
+                                  check_dtype=False)
+
+
+def test_broadcast_join_different_key_names(ray_session):
+    big = pd.DataFrame({"custkey": [1, 2, 3, 2], "x": [10, 20, 30, 40]})
+    dim = pa.table({"c_id": pa.array([1, 2], pa.int64()),
+                    "nation": ["a", "b"]})
+    got = broadcast_join(_ds(big, blocks=2), dim, on="custkey",
+                         right_on="c_id").to_pandas()
+    assert sorted(got["nation"]) == ["a", "b", "b"]
