@@ -623,6 +623,38 @@ def queries() -> dict[str, Callable[[str], Any]]:
                         descending=[True, False]).limit(10)
     q["top_orders_q3"] = top_orders_q3
 
+    # --- temporal ops: as-of join + running aggregate (pipelines/window) -
+    def asof_prev_purchase(sf):
+        import pyarrow.compute as pcc
+        from packcol.pipelines.window import asof_join
+        left = _read(sf, "events", ["event_id", "user_id", "ts"])
+        right = _read(sf, "events", ["event_id", "user_id", "ts",
+                                     "event_type"]) \
+            .filter(expr="event_type == 'purchase'") \
+            .select_columns(["event_id", "user_id", "ts"]) \
+            .rename_columns({"event_id": "prev_purchase_id"})
+        j = asof_join(left, right, by="user_id", on="ts", strict=True)
+        return j.select_columns(["event_id", "prev_purchase_id"])
+    q["asof_prev_purchase"] = asof_prev_purchase
+
+    def user_running_total(sf):
+        from packcol.pipelines.window import running_aggregate
+        ds = _read(sf, "events", ["user_id", "event_id", "ts", "value"])
+
+        def cents(batch: pa.Table) -> pa.Table:
+            v = batch.column("value").to_numpy(zero_copy_only=False)
+            return pa.table({
+                "user_id": batch.column("user_id"),
+                "event_id": batch.column("event_id"),
+                "ts": batch.column("ts"),
+                "cents": np.floor(v * 100 + 0.5).astype(np.int64)})
+        run = running_aggregate(ds.map_batches(cents,
+                                               batch_format="pyarrow"),
+                                "user_id", "ts", "cents", agg="sum",
+                                out_col="run_cents")
+        return run.select_columns(["user_id", "event_id", "run_cents"])
+    q["user_running_total"] = user_running_total
+
     # --- stream-shaped ops: sessionization + top-per-group ---------------
     # (Ray Data has no event-time windows; the documented pattern is
     # groupby(key).map_groups over ts-sorted groups — ordering assumption:
@@ -833,6 +865,17 @@ def oracle_sql() -> dict[str, str]:
             "AS BIGINT)) AS revenue_cents "
             "FROM lineitem JOIN part ON l_partkey = p_partkey "
             "GROUP BY p_brand"),
+        "asof_prev_purchase": (
+            "SELECT e.event_id, p.event_id AS prev_purchase_id "
+            "FROM events e ASOF LEFT JOIN "
+            "(SELECT event_id, user_id, ts FROM events "
+            "WHERE event_type = 'purchase') p "
+            "ON e.user_id = p.user_id AND e.ts > p.ts"),
+        "user_running_total": (
+            "SELECT user_id, event_id, "
+            "SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) OVER "
+            "(PARTITION BY user_id ORDER BY ts) AS run_cents "
+            "FROM events"),
         "top_orders_q3": (
             "SELECT l_orderkey, "
             "SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100, 0) "

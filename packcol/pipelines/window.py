@@ -1,0 +1,130 @@
+"""Temporal operators Ray Data lacks natively: as-of join and running
+(windowed) aggregates.
+
+Both follow the documented composition pattern for order-dependent
+semantics (SURVEY §2.8 / engine design): hash-partition by the entity
+key with ``groupby(by)`` and restore time order INSIDE each group —
+the partitioning assumption is that one key's rows fit one group
+(true for per-user/per-device streams; salt hot keys upstream if not).
+Only the key columns shuffle the data once; everything else is
+vectorized numpy inside ``map_groups``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _pad_union(left, right, by: list[str], on: str):
+    """Union two datasets for a co-partitioned groupby: each side keeps
+    (by, on, own columns), gains the other side's columns as nulls and
+    a __side tag.  Column name collisions outside (by, on) must be
+    resolved by the caller (rename beforehand)."""
+    ls = left.schema()
+    rs = right.schema()
+    lcols = dict(zip(ls.names, ls.types))
+    rcols = dict(zip(rs.names, rs.types))
+    shared = set(by) | {on}
+    clash = (set(lcols) & set(rcols)) - shared
+    if clash:
+        raise ValueError(f"column collision outside keys: {sorted(clash)}"
+                         " — rename before asof_join")
+    all_cols = {**lcols, **rcols}
+
+    def pad(side: int, have: dict):
+        def f(batch: pa.Table) -> pa.Table:
+            n = batch.num_rows
+            cols = {}
+            for name, typ in all_cols.items():
+                cols[name] = (batch.column(name) if name in have
+                              else pa.nulls(n, typ))
+            cols["__side"] = pa.array(np.full(n, side, dtype=np.int8))
+            return pa.table(cols)
+        return f
+
+    return left.map_batches(pad(0, lcols), batch_format="pyarrow").union(
+        right.map_batches(pad(1, rcols), batch_format="pyarrow"))
+
+
+def asof_join(left, right, by, on: str, strict: bool = True):
+    """For every left row, attach the single right row with the largest
+    ``on`` value that is < (strict) or <= (not strict) the left row's
+    ``on``, within the same ``by`` key — backward as-of, left outer
+    (unmatched left rows keep nulls in right columns).
+
+    Physical plan: tag + union + one hash shuffle on ``by``; inside
+    each group a sort and one vectorized ``np.searchsorted`` — O(n log
+    n) per key, no pairwise expansion."""
+    by = [by] if isinstance(by, str) else list(by)
+    rnames = [n for n in right.schema().names
+              if n not in set(by) | {on}]
+    both = _pad_union(left, right, by, on)
+    lnames = [n for n in left.schema().names]
+
+    def per_key(g: pa.Table) -> pa.Table:
+        side = g.column("__side").to_numpy(zero_copy_only=False)
+        t = g.column(on).combine_chunks() if isinstance(
+            g.column(on), pa.ChunkedArray) else g.column(on)
+        if pa.types.is_temporal(t.type):  # epoch int64, order-preserving
+            tv = t.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        else:
+            tv = t.to_numpy(zero_copy_only=False)
+        li = np.flatnonzero(side == 0)
+        ri = np.flatnonzero(side == 1)
+        lt, rt = tv[li], tv[ri]
+        order_r = np.argsort(rt, kind="stable")
+        rt_sorted = rt[order_r]
+        idx = np.searchsorted(rt_sorted,
+                              lt, side="left" if strict else "right") - 1
+        matched = idx >= 0
+        src = order_r[np.clip(idx, 0, None)]
+        cols = {}
+        gl = g.take(pa.array(li))
+        gr = g.take(pa.array(ri))
+        for name in lnames:
+            cols[name] = gl.column(name)
+        take_idx = pc.if_else(
+            pa.array(matched),
+            pa.array(np.where(matched, src, 0), pa.int64()),
+            pa.nulls(len(matched), pa.int64()))
+        for name in rnames:
+            cols[name] = gr.column(name).combine_chunks().take(take_idx) \
+                if isinstance(gr.column(name), pa.ChunkedArray) \
+                else gr.column(name).take(take_idx)
+        return pa.table(cols)
+
+    return both.groupby(by).map_groups(per_key, batch_format="pyarrow")
+
+
+_CUM_FUNCS = {
+    "sum": np.cumsum,
+    "max": np.maximum.accumulate,
+    "min": np.minimum.accumulate,
+    "count": lambda v: np.arange(1, len(v) + 1, dtype=np.int64),
+}
+
+
+def running_aggregate(ds, by, on, col: str, agg: str = "sum",
+                      out_col: str | None = None, tiebreak: str | None = None):
+    """Per-key running aggregate ordered by ``on`` (SQL:
+    ``agg(col) OVER (PARTITION BY by ORDER BY on)``).  agg: sum / max /
+    min / count.  ``tiebreak`` adds a secondary sort column for
+    deterministic order when ``on`` has duplicates."""
+    if agg not in _CUM_FUNCS:
+        raise ValueError(f"unsupported agg {agg!r}")
+    by = [by] if isinstance(by, str) else list(by)
+    out_col = out_col or f"run_{agg}"
+
+    def per_key(g: pa.Table) -> pa.Table:
+        keys = [g.column(on).to_numpy(zero_copy_only=False)]
+        if tiebreak:
+            keys.insert(0, g.column(tiebreak).to_numpy(
+                zero_copy_only=False))
+        order = np.lexsort(keys)
+        g = g.take(pa.array(order))
+        v = g.column(col).to_numpy(zero_copy_only=False)
+        return g.append_column(out_col, pa.array(_CUM_FUNCS[agg](v)))
+
+    return ds.groupby(by).map_groups(per_key, batch_format="pyarrow")

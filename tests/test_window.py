@@ -1,0 +1,102 @@
+"""As-of join and running aggregates vs pandas merge_asof / expanding
+ground truth."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from packcol.pipelines.window import asof_join, running_aggregate
+
+
+def _ds(df, blocks=6):
+    import ray.data as rd
+    return rd.from_pandas(df).repartition(blocks)
+
+
+@pytest.fixture()
+def quotes_trades():
+    rng = np.random.default_rng(11)
+    n_q, n_t = 400, 900
+    quotes = pd.DataFrame({
+        "sym": rng.integers(0, 8, n_q),
+        "qt": rng.choice(np.arange(0, 100000, 7), n_q, replace=False)
+        .astype("int64"),
+        "px": rng.normal(100, 5, n_q).round(2)})
+    trades = pd.DataFrame({
+        "sym": rng.integers(0, 8, n_t),
+        "qt": rng.choice(np.arange(3, 100003, 5), n_t, replace=False)
+        .astype("int64"),
+        "qty": rng.integers(1, 50, n_t)})
+    return quotes, trades
+
+
+def test_asof_join_matches_pandas(ray_session, quotes_trades):
+    quotes, trades = quotes_trades
+    got = asof_join(_ds(trades), _ds(quotes, blocks=3), by="sym",
+                    on="qt", strict=False).to_pandas() \
+        .sort_values(["sym", "qt"]).reset_index(drop=True)
+    exp = pd.merge_asof(
+        trades.sort_values("qt"), quotes.sort_values("qt"),
+        on="qt", by="sym", direction="backward", allow_exact_matches=True
+    ).sort_values(["sym", "qt"]).reset_index(drop=True)
+    assert len(got) == len(trades)
+    pd.testing.assert_frame_equal(got[exp.columns], exp,
+                                  check_dtype=False)
+
+
+def test_asof_join_strict_excludes_equal(ray_session):
+    left = pd.DataFrame({"k": [1, 1, 1], "t": [10, 20, 30],
+                         "x": [1, 2, 3]})
+    right = pd.DataFrame({"k": [1, 1], "t": [10, 25],
+                          "y": [100, 200]})
+    strict = asof_join(_ds(left, 2), _ds(right, 1), by="k", on="t",
+                       strict=True).to_pandas().sort_values("t")
+    assert pd.isna(strict["y"].iloc[0])  # t=10: no right row with t<10
+    assert strict["y"].tolist()[1:] == [100, 200]
+    loose = asof_join(_ds(left, 2), _ds(right, 1), by="k", on="t",
+                      strict=False).to_pandas().sort_values("t")
+    assert loose["y"].tolist() == [100, 100, 200]
+
+
+def test_asof_join_timestamp_on(ray_session):
+    ts = pd.to_datetime(["2024-01-01", "2024-01-05", "2024-01-09"])
+    left = pd.DataFrame({"k": [0, 0, 0], "t": ts, "x": [1, 2, 3]})
+    right = pd.DataFrame({"k": [0], "t": pd.to_datetime(["2024-01-03"]),
+                          "p": [7]})
+    got = asof_join(_ds(left, 1), _ds(right, 1), by="k", on="t") \
+        .to_pandas().sort_values("t")
+    assert got["p"].tolist()[1:] == [7, 7] and pd.isna(got["p"].iloc[0])
+
+
+def test_asof_join_column_clash_raises(ray_session):
+    df = pd.DataFrame({"k": [1], "t": [1], "v": [1]})
+    with pytest.raises(ValueError, match="collision"):
+        asof_join(_ds(df, 1), _ds(df, 1), by="k", on="t")
+
+
+def test_running_aggregate(ray_session):
+    rng = np.random.default_rng(3)
+    df = pd.DataFrame({
+        "u": rng.integers(0, 10, 500),
+        "t": rng.permutation(500).astype("int64"),
+        "v": rng.integers(-5, 50, 500).astype("int64")})
+    for agg, pdf_fn in [("sum", lambda s: s.cumsum()),
+                        ("max", lambda s: s.cummax()),
+                        ("count", lambda s: s.expanding().count()
+                         .astype("int64"))]:
+        got = running_aggregate(_ds(df), "u", "t", "v", agg=agg) \
+            .to_pandas().sort_values(["u", "t"]).reset_index(drop=True)
+        exp = df.sort_values(["u", "t"]).reset_index(drop=True)
+        exp[f"run_{agg}"] = exp.groupby("u")["v"].transform(pdf_fn)
+        pd.testing.assert_frame_equal(got, exp[got.columns],
+                                      check_dtype=False)
+
+
+def test_running_aggregate_tiebreak(ray_session):
+    df = pd.DataFrame({"u": [1, 1, 1], "t": [5, 5, 6],
+                       "id": [2, 1, 3], "v": [10, 20, 30]})
+    got = running_aggregate(_ds(df, 1), "u", "t", "v", agg="sum",
+                            tiebreak="id").to_pandas()
+    by_id = got.set_index("id")["run_sum"].to_dict()
+    assert by_id == {1: 20, 2: 30, 3: 60}
