@@ -623,6 +623,37 @@ def queries() -> dict[str, Callable[[str], Any]]:
                         descending=[True, False]).limit(10)
     q["top_orders_q3"] = top_orders_q3
 
+    # --- TPC-H Q1 shape: wide vectorized aggregate, partial combiner -----
+    def pricing_summary(sf):
+        from ray.data.aggregate import Count, Sum
+        ds = _read(sf, "lineitem",
+                   ["l_returnflag", "l_linestatus", "l_quantity",
+                    "l_extendedprice", "l_discount", "l_tax"])
+
+        def derive(batch: pa.Table) -> pa.Table:
+            q_ = batch.column("l_quantity").to_numpy(zero_copy_only=False)
+            e = batch.column("l_extendedprice") \
+                .to_numpy(zero_copy_only=False)
+            d = batch.column("l_discount").to_numpy(zero_copy_only=False)
+            t = batch.column("l_tax").to_numpy(zero_copy_only=False)
+            return pa.table({
+                "l_returnflag": batch.column("l_returnflag"),
+                "l_linestatus": batch.column("l_linestatus"),
+                "qty_c": np.floor(q_ * 100 + 0.5).astype(np.int64),
+                "base_c": np.floor(e * 100 + 0.5).astype(np.int64),
+                "disc_c": np.floor(e * (1 - d) * 100 + 0.5)
+                .astype(np.int64),
+                "charge_c": np.floor(e * (1 - d) * (1 + t) * 100 + 0.5)
+                .astype(np.int64)})
+        return ds.map_batches(derive, batch_format="pyarrow") \
+            .groupby(["l_returnflag", "l_linestatus"]).aggregate(
+                Sum("qty_c", alias_name="sum_qty_cents"),
+                Sum("base_c", alias_name="sum_base_cents"),
+                Sum("disc_c", alias_name="sum_disc_cents"),
+                Sum("charge_c", alias_name="sum_charge_cents"),
+                Count(alias_name="count_order"))
+    q["pricing_summary"] = pricing_summary
+
     # --- temporal ops: as-of join + running aggregate (pipelines/window) -
     def asof_prev_purchase(sf):
         import pyarrow.compute as pcc
@@ -865,6 +896,18 @@ def oracle_sql() -> dict[str, str]:
             "AS BIGINT)) AS revenue_cents "
             "FROM lineitem JOIN part ON l_partkey = p_partkey "
             "GROUP BY p_brand"),
+        "pricing_summary": (
+            "SELECT l_returnflag, l_linestatus, "
+            "SUM(CAST(ROUND(l_quantity * 100, 0) AS BIGINT)) "
+            "AS sum_qty_cents, "
+            "SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)) "
+            "AS sum_base_cents, "
+            "SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100, 0) "
+            "AS BIGINT)) AS sum_disc_cents, "
+            "SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * "
+            "(1 + l_tax) * 100, 0) AS BIGINT)) AS sum_charge_cents, "
+            "COUNT(*) AS count_order "
+            "FROM lineitem GROUP BY l_returnflag, l_linestatus"),
         "asof_prev_purchase": (
             "SELECT e.event_id, p.event_id AS prev_purchase_id "
             "FROM events e ASOF LEFT JOIN "
