@@ -763,6 +763,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return pdf.sort_values("column").reset_index(drop=True)
     q["column_profile"] = profile_events
 
+    # --- exact distributed quantiles (value-counts combiner) -------------
+    def quantiles_nchars(sf):
+        from packcol.stages.profile import exact_quantiles
+        ds = _read(sf, "documents", ["n_chars"])
+        return exact_quantiles(ds, "n_chars", [0.25, 0.5, 0.75, 0.9])
+    q["quantiles_nchars"] = quantiles_nchars
+
     # --- codec auto-selection decisions (deterministic) ------------------
     def codec_selection(sf):
         from packcol.stages.encode import encode_table
@@ -896,6 +903,10 @@ def oracle_sql() -> dict[str, str]:
             "AS BIGINT)) AS revenue_cents "
             "FROM lineitem JOIN part ON l_partkey = p_partkey "
             "GROUP BY p_brand"),
+        "quantiles_nchars": (" UNION ALL ".join(
+            f"SELECT CAST({qq} AS DOUBLE) AS q, "
+            f"quantile_disc(n_chars, {qq}) AS value FROM documents"
+            for qq in (0.25, 0.5, 0.75, 0.9))),
         "pricing_summary": (
             "SELECT l_returnflag, l_linestatus, "
             "SUM(CAST(ROUND(l_quantity * 100, 0) AS BIGINT)) "

@@ -44,3 +44,37 @@ def test_column_profile_pipeline(ray_session):
     assert pdf.loc["user_id", "n"] == 10000
     assert pdf.loc["user_id", "n_distinct"] == 150
     assert pdf.loc["event_type", "n_distinct"] == 5
+
+
+def test_exact_quantiles_matches_duckdb(ray_session):
+    import duckdb
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+    from packcol.stages.profile import exact_quantiles
+    rng = np.random.default_rng(5)
+    vals = rng.integers(0, 300, 5000).astype("int64")
+    vals[::7] = rng.integers(0, 5, len(vals[::7]))  # skew
+    df = pd.DataFrame({"v": vals})
+    df.loc[::11, "v"] = None
+    ds = rd.from_pandas(df).repartition(8)
+    qs = [0.01, 0.25, 0.5, 0.75, 0.9, 0.99, 1.0]
+    got = exact_quantiles(ds, "v", qs)
+    con = duckdb.connect()
+    con.register("t", df)
+    for q, v in zip(got["q"], got["value"]):
+        exp = con.execute(
+            f"SELECT quantile_disc(v, {q}) FROM t").fetchone()[0]
+        assert v == exp, (q, v, exp)
+
+
+def test_exact_quantiles_empty_and_tiny(ray_session):
+    import pandas as pd
+    import ray.data as rd
+    from packcol.stages.profile import exact_quantiles
+    empty = rd.from_pandas(pd.DataFrame({"v": pd.Series([], dtype="int64")}))
+    out = exact_quantiles(empty, "v", [0.5])
+    assert out["value"].isna().all()
+    one = rd.from_pandas(pd.DataFrame({"v": [42]}))
+    assert exact_quantiles(one, "v", [0.0, 0.5, 1.0])["value"].tolist() \
+        == [42, 42, 42]
