@@ -763,6 +763,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return pdf.sort_values("column").reset_index(drop=True)
     q["column_profile"] = profile_events
 
+    # --- regex redaction (PII-scrub shape, RE2 parity with SQL) ----------
+    def redact_digits(sf):
+        from packcol.functions.text import redact
+
+        def f(batch: pa.Table) -> pa.Table:
+            return pa.table({
+                "doc_id": batch.column("doc_id"),
+                "text": redact(batch.column("text"), r"[0-9]+", "#")})
+        return _read(sf, "documents", ["doc_id", "text"]).map_batches(
+            f, batch_format="pyarrow", zero_copy_batch=True)
+    q["redact_digits"] = redact_digits
+
     # --- exact distributed quantiles (value-counts combiner) -------------
     def quantiles_nchars(sf):
         from packcol.stages.profile import exact_quantiles
@@ -903,6 +915,9 @@ def oracle_sql() -> dict[str, str]:
             "AS BIGINT)) AS revenue_cents "
             "FROM lineitem JOIN part ON l_partkey = p_partkey "
             "GROUP BY p_brand"),
+        "redact_digits": (
+            "SELECT doc_id, regexp_replace(text, '[0-9]+', '#', 'g') "
+            "AS text FROM documents"),
         "quantiles_nchars": (" UNION ALL ".join(
             f"SELECT CAST({qq} AS DOUBLE) AS q, "
             f"quantile_disc(n_chars, {qq}) AS value FROM documents"

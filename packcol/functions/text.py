@@ -193,3 +193,12 @@ def fingerprints(text: pa.Array) -> np.ndarray:
     out = np.zeros(n, dtype=np.uint64)
     np.add.at(out, row_of, contrib)
     return _splitmix64(out + lens.astype(np.uint64))
+
+
+def redact(text: pa.Array, pattern: str, replacement: str) -> pa.Array:
+    """Vectorized regex redaction (PII scrub / normalization): RE2 via
+    pyarrow.compute.replace_substring_regex — identical match semantics
+    to DuckDB's regexp_replace(..., 'g'), so the transform is
+    SQL-oracle-checkable.  Nulls pass through."""
+    return pc.replace_substring_regex(text, pattern=pattern,
+                                      replacement=replacement)
