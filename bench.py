@@ -39,6 +39,11 @@ def timed(fn):
     return time.perf_counter() - t0, out
 
 
+def _materialize(res):
+    """Force execution of a query result (Dataset or DataFrame)."""
+    return res.materialize() if hasattr(res, "materialize") else res
+
+
 def main() -> None:
     os.environ.setdefault("ARROW_DEFAULT_MEMORY_POOL", "system")
     import ray
@@ -134,6 +139,16 @@ def main() -> None:
             rd.read_parquet(doc_path, columns=["doc_id", "text"])
         ).materialize())
         queries["minhash_pairs"] = round(t_q, 3)
+
+    # --- relational / temporal operators over the TPC-H-ish tables --------
+    li_path = os.path.join(SF_DIR, "lineitem.parquet")
+    if os.path.exists(li_path):
+        import __ray_entry__ as _entry
+        _qs = _entry.queries()
+        for name in ("pricing_summary", "revenue_by_brand",
+                     "asof_prev_purchase"):
+            t_q, _ = timed(lambda n=name: _materialize(_qs[n](SF_DIR)))
+            queries[name] = round(t_q, 3)
 
     emb_path = os.path.join(SF_DIR, "embeddings.parquet")
     if os.path.exists(emb_path):
