@@ -1,15 +1,22 @@
-"""Multimodal (image/audio) actor-pool stages.
+"""Multimodal (image/audio/video) actor-pool stages.
 
-Images/audio are opaque ``large_binary`` columns with typed metadata
-(the `html` column treatment generalized).  The decode/feature kernels
-would use PIL / torchaudio etc., which are NOT in this container — the
-codec step is stubbed (clearly marked), while the Ray-side plumbing is
-real and tested: actor-pool ``map_batches`` classes with one-time
-``__init__`` setup, fixed output schemas, and bounded batch sizes for
-large binary payloads.
+Images/audio/video are opaque ``large_binary`` columns with typed
+metadata (the `html` column treatment generalized).  Decode is REAL for
+library-free formats — NETPBM P5/P6 images, concatenated-PNM "video"
+streams, RIFF/WAVE PCM audio — via the pure-numpy codecs in
+``functions/media.py``.  Formats that need native libraries (JPEG/PNG/
+MP3/...; PIL/torchaudio are NOT in this container) remain stubbed:
+``fake=True`` substitutes a deterministic pseudo-decode so the pipeline
+shape stays exercised, ``fake=False`` raises ``NotImplementedError``
+with the format name.
+
+Stage shape (the 100 TB layout): callable CLASS per stage so one-time
+setup happens per actor in ``__init__``; SMALL ``batch_size`` because
+rows are megabyte-scale payloads; fixed output schemas so downstream
+operators can plan.
 
 Usage:
-    ds.map_batches(ImageFeatureStage(fake=True), batch_format="pyarrow",
+    ds.map_batches(ImageFeatureStage(), batch_format="pyarrow",
                    batch_size=64,          # small: rows are megabytes
                    concurrency=8, num_cpus=1)
 """
@@ -23,106 +30,182 @@ IMAGE_FEATURE_DIM = 64
 AUDIO_FRAME_FEATURES = 16
 
 
-def _try_import_pil():
-    try:
-        from PIL import Image  # noqa: F401
-        return Image
-    except Exception:
-        return None
-
-
 class ImageFeatureStage:
-    """Actor-pool stage: binary image column → fixed-dim feature vector +
-    (width, height) metadata.
-
-    With a real decoder (PIL), __init__ would load it once per actor.
-    In this container the decode is STUBBED: fake=True derives a
-    deterministic pseudo-decode from the bytes (stable across runs) so
-    the pipeline shape — schema, batching, actor lifecycle — is fully
-    exercised; fake=False raises NotImplementedError at the decode step.
-    """
+    """binary image column → (width, height, 64-d thumbnail feature,
+    64-bit perceptual hash).  P5/P6 payloads decode for real; other
+    formats follow the fake/raise policy above."""
 
     def __init__(self, image_col: str = "image", fake: bool = False):
         self.image_col = image_col
         self.fake = fake
-        self._pil = _try_import_pil()  # one-time per actor
+        # one-time per actor: projection for the fake-decode path
         self._proj = np.random.default_rng(0).standard_normal(
             (256, IMAGE_FEATURE_DIM)).astype(np.float32)
 
+    def _fake(self, chunk: np.ndarray):
+        hist = np.bincount(chunk, minlength=256).astype(np.float32)
+        return (64 + (len(chunk) % 1024), 64 + (len(chunk) // 7 % 1024),
+                hist @ self._proj, np.uint64(0))
+
     def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..codecs.fsst import buffer_view
+        from ..functions.media import (decode_pnm, image_phash,
+                                       image_thumb_features)
         col = batch.column(self.image_col)
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
-        if self._pil is None and not self.fake:
-            raise NotImplementedError(
-                "image decode requires PIL, which is not available in this "
-                "environment; pass fake=True for the deterministic stub")
-        feats = np.zeros((len(col), IMAGE_FEATURE_DIM), dtype=np.float32)
-        widths = np.zeros(len(col), dtype=np.int32)
-        heights = np.zeros(len(col), dtype=np.int32)
-        from ..codecs.fsst import buffer_view
+        n = len(col)
+        feats = np.zeros((n, IMAGE_FEATURE_DIM), dtype=np.float32)
+        widths = np.zeros(n, dtype=np.int32)
+        heights = np.zeros(n, dtype=np.int32)
+        phash = np.zeros(n, dtype=np.uint64)
         d, offs = buffer_view(col)
-        lens = np.diff(offs)
-        # deterministic fake decode: byte histogram → projected feature
-        for i in range(len(col)):  # rows are large; per-row numpy is fine
-            chunk = d[offs[i]:offs[i + 1]]
-            hist = np.bincount(chunk, minlength=256).astype(np.float32)
-            feats[i] = hist @ self._proj
-            widths[i] = 64 + (int(lens[i]) % 1024)
-            heights[i] = 64 + (int(lens[i] // 7) % 1024)
+        for i in range(n):  # rows are megabytes; numpy inside each row
+            raw = d[offs[i]:offs[i + 1]].tobytes()
+            if raw[:2] in (b"P5", b"P6"):
+                img = decode_pnm(raw)
+                heights[i], widths[i] = img.shape[0], img.shape[1]
+                feats[i] = image_thumb_features(img)
+                phash[i] = image_phash(img)
+            elif self.fake:
+                widths[i], heights[i], feats[i], phash[i] = self._fake(
+                    d[offs[i]:offs[i + 1]])
+            else:
+                raise NotImplementedError(
+                    f"image format {raw[:4]!r} needs a native decoder "
+                    "(PIL not in this environment); P5/P6 decode for "
+                    "real, or pass fake=True for the stub")
         return pa.table({
-            **{n: batch.column(n) for n in batch.column_names
-               if n != self.image_col},
+            **{c: batch.column(c) for c in batch.column_names
+               if c != self.image_col},
             "width": widths, "height": heights,
+            "phash": phash.view(np.int64),
             "feature": pa.FixedSizeListArray.from_arrays(
                 pa.array(feats.ravel(), type=pa.float32()),
                 IMAGE_FEATURE_DIM),
         })
 
 
-class AudioFrameSampleStage:
-    """Actor-pool stage: binary audio column → frame-sampled features
-    (n_frames × AUDIO_FRAME_FEATURES as a list column).  Decode STUBBED
-    the same way as ImageFeatureStage."""
+class ImageResizeStage:
+    """binary P5/P6 column → resized P5/P6 column (nearest-neighbor,
+    pure numpy) — the decode→transform→re-encode pattern for image
+    normalization pipelines."""
 
-    def __init__(self, audio_col: str = "audio", frame_bytes: int = 4096,
-                 max_frames: int = 16, fake: bool = False):
+    def __init__(self, out_h: int, out_w: int, image_col: str = "image"):
+        self.out_h, self.out_w = out_h, out_w
+        self.image_col = image_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..codecs.fsst import buffer_view
+        from ..functions.media import (decode_pnm, encode_pnm,
+                                       resize_nearest)
+        col = batch.column(self.image_col)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        d, offs = buffer_view(col)
+        out = [encode_pnm(resize_nearest(
+            decode_pnm(d[offs[i]:offs[i + 1]].tobytes()),
+            self.out_h, self.out_w)) for i in range(len(col))]
+        return batch.set_column(
+            batch.column_names.index(self.image_col), self.image_col,
+            pa.array(out, type=pa.large_binary()))
+
+
+class AudioFrameSampleStage:
+    """binary audio column → per-frame feature list column
+    (n_frames × AUDIO_FRAME_FEATURES) + sample_rate.  RIFF/WAVE PCM
+    decodes for real (8/16/32-bit + float32); other formats follow the
+    fake/raise policy."""
+
+    def __init__(self, audio_col: str = "audio", frame_len: int = 2048,
+                 max_frames: int = 64, fake: bool = False):
         self.audio_col = audio_col
-        self.frame_bytes = frame_bytes
+        self.frame_len = frame_len
         self.max_frames = max_frames
         self.fake = fake
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..codecs.fsst import buffer_view
+        from ..functions.media import audio_frame_features, decode_wav
         col = batch.column(self.audio_col)
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
-        if not self.fake:
-            raise NotImplementedError(
-                "audio decode requires an audio library not available in "
-                "this environment; pass fake=True for the stub")
-        from ..codecs.fsst import buffer_view
         d, offs = buffer_view(col)
-        all_feats, frame_offs = [], [0]
+        all_feats, frame_offs, rates = [], [0], []
         for i in range(len(col)):
-            chunk = d[offs[i]:offs[i + 1]]
-            n_frames = min(max(len(chunk) // self.frame_bytes, 1),
-                           self.max_frames)
-            for f in range(n_frames):
-                fr = chunk[f * self.frame_bytes:(f + 1) * self.frame_bytes]
-                m = float(fr.mean()) if len(fr) else 0.0
-                s = float(fr.std()) if len(fr) else 0.0
-                all_feats.append(
-                    np.linspace(m, m + s, AUDIO_FRAME_FEATURES,
-                                dtype=np.float32))
-            frame_offs.append(frame_offs[-1] + n_frames)
-        flat = (np.concatenate(all_feats) if all_feats
-                else np.zeros(0, dtype=np.float32))
+            raw = d[offs[i]:offs[i + 1]].tobytes()
+            if raw[:4] == b"RIFF":
+                samples, rate = decode_wav(raw)
+                f = audio_frame_features(samples, rate, self.frame_len,
+                                         AUDIO_FRAME_FEATURES)
+                f = f[:self.max_frames]
+            elif self.fake:
+                chunk = d[offs[i]:offs[i + 1]]
+                m = float(chunk.mean()) if len(chunk) else 0.0
+                s = float(chunk.std()) if len(chunk) else 0.0
+                nf = min(max(len(chunk) // self.frame_len, 1),
+                         self.max_frames)
+                f = np.tile(np.linspace(m, m + s, AUDIO_FRAME_FEATURES,
+                                        dtype=np.float32), (nf, 1))
+                rate = 0
+            else:
+                raise NotImplementedError(
+                    f"audio format {raw[:4]!r} needs a native decoder; "
+                    "RIFF/WAVE decodes for real, or pass fake=True")
+            all_feats.append(f)
+            rates.append(rate)
+            frame_offs.append(frame_offs[-1] + len(f))
+        flat = (np.concatenate([f.ravel() for f in all_feats])
+                if all_feats else np.zeros(0, dtype=np.float32))
         frames = pa.FixedSizeListArray.from_arrays(
             pa.array(flat, type=pa.float32()), AUDIO_FRAME_FEATURES)
         nested = pa.ListArray.from_arrays(
             pa.array(frame_offs, type=pa.int32()), frames)
         return pa.table({
-            **{n: batch.column(n) for n in batch.column_names
-               if n != self.audio_col},
+            **{c: batch.column(c) for c in batch.column_names
+               if c != self.audio_col},
+            "sample_rate": pa.array(rates, type=pa.int32()),
             "frames": nested,
+        })
+
+
+class VideoFrameSampleStage:
+    """binary "video" column (concatenated P5/P6 frames) → every k-th
+    frame's thumbnail feature as a list column + frame count — the
+    frame-sampling shape for video curation (real containers would
+    swap in a real demuxer behind the same schema)."""
+
+    def __init__(self, video_col: str = "video", every: int = 2,
+                 max_frames: int = 8):
+        self.video_col = video_col
+        self.every = every
+        self.max_frames = max_frames
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..codecs.fsst import buffer_view
+        from ..functions.media import (decode_pnm_stream,
+                                       image_thumb_features)
+        col = batch.column(self.video_col)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        d, offs = buffer_view(col)
+        feats, f_offs, counts = [], [0], []
+        for i in range(len(col)):
+            frames = decode_pnm_stream(d[offs[i]:offs[i + 1]].tobytes())
+            counts.append(len(frames))
+            picked = frames[::self.every][:self.max_frames]
+            for fr in picked:
+                feats.append(image_thumb_features(fr))
+            f_offs.append(f_offs[-1] + len(picked))
+        flat = (np.concatenate([f.ravel() for f in feats])
+                if feats else np.zeros(0, dtype=np.float32))
+        thumb = pa.FixedSizeListArray.from_arrays(
+            pa.array(flat, type=pa.float32()), IMAGE_FEATURE_DIM)
+        nested = pa.ListArray.from_arrays(
+            pa.array(f_offs, type=pa.int32()), thumb)
+        return pa.table({
+            **{c: batch.column(c) for c in batch.column_names
+               if c != self.video_col},
+            "n_frames": pa.array(counts, type=pa.int32()),
+            "frame_features": nested,
         })

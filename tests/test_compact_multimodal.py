@@ -68,7 +68,7 @@ def test_image_stage_plumbing(ray_session):
                          concurrency=2, num_cpus=1)
     t = out.to_pandas()
     assert len(t) == 20
-    assert set(t.columns) == {"id", "width", "height", "feature"}
+    assert set(t.columns) == {"id", "width", "height", "phash", "feature"}
     assert all(len(f) == IMAGE_FEATURE_DIM for f in t["feature"])
     # deterministic across runs
     t2 = ds.map_batches(ImageFeatureStage(fake=True),
@@ -79,11 +79,11 @@ def test_image_stage_plumbing(ray_session):
 
 
 def test_image_stage_without_decoder_raises():
+    # non-PNM payloads need a native decoder; fake=False must raise
     from packcol.stages.multimodal import ImageFeatureStage
     stage = ImageFeatureStage(fake=False)
-    if stage._pil is None:
-        with pytest.raises(NotImplementedError):
-            stage(_image_table(2))
+    with pytest.raises(NotImplementedError):
+        stage(_image_table(2))
 
 
 def test_audio_stage_plumbing(ray_session):
@@ -101,6 +101,7 @@ def test_audio_stage_plumbing(ray_session):
                          batch_format="pyarrow", batch_size=4,
                          concurrency=2).to_pandas()
     assert len(out) == 10
+    assert (out["sample_rate"] == 0).all()  # fake path: no real rate
     for frames in out["frames"]:
         assert len(frames) >= 1
         assert all(len(fr) == AUDIO_FRAME_FEATURES for fr in frames)

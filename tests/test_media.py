@@ -1,0 +1,178 @@
+"""Pure-numpy media codecs (functions/media.py) and the real-decode
+paths of the multimodal stages."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from packcol.functions.media import (audio_frame_features, decode_pnm,
+                                     decode_pnm_stream, decode_wav,
+                                     encode_pnm, encode_wav, image_phash,
+                                     image_thumb_features, resize_nearest,
+                                     rgb_to_gray)
+
+
+def _img(h=32, w=48, seed=0, gray=False):
+    rng = np.random.default_rng(seed)
+    shape = (h, w) if gray else (h, w, 3)
+    return rng.integers(0, 256, shape, dtype=np.uint8)
+
+
+class TestPnm:
+    def test_roundtrip_rgb_and_gray(self):
+        for gray in (False, True):
+            img = _img(gray=gray)
+            np.testing.assert_array_equal(decode_pnm(encode_pnm(img)),
+                                          img)
+
+    def test_header_with_comment_and_multiline(self):
+        img = _img(4, 5)
+        raw = b"P6\n# a comment\n5 4\n# more\n255\n" + img.tobytes()
+        np.testing.assert_array_equal(decode_pnm(raw), img)
+
+    def test_rejects_non_pnm(self):
+        with pytest.raises(ValueError):
+            decode_pnm(b"\x89PNG\r\n\x1a\n....")
+
+    def test_stream_decode(self):
+        frames = [_img(8, 8, seed=i) for i in range(5)]
+        buf = b"".join(encode_pnm(f) for f in frames)
+        got = decode_pnm_stream(buf)
+        assert len(got) == 5
+        for a, b in zip(got, frames):
+            np.testing.assert_array_equal(a, b)
+
+
+class TestImageKernels:
+    def test_resize_nearest_identity_and_shape(self):
+        img = _img(16, 16)
+        np.testing.assert_array_equal(resize_nearest(img, 16, 16), img)
+        assert resize_nearest(img, 7, 31).shape == (7, 31, 3)
+        # upscale repeats pixels exactly
+        up = resize_nearest(img, 32, 32)
+        np.testing.assert_array_equal(up[::2, ::2], img)
+
+    def test_gray_weights(self):
+        white = np.full((2, 2, 3), 255, np.uint8)
+        np.testing.assert_allclose(rgb_to_gray(white), 255.0, atol=0.1)
+
+    def test_thumb_features_dim_and_determinism(self):
+        img = _img()
+        f = image_thumb_features(img)
+        assert f.shape == (64,) and f.dtype == np.float32
+        np.testing.assert_array_equal(f, image_thumb_features(img))
+
+    def test_phash_near_dup_property(self):
+        img = _img(64, 64)
+        h0 = image_phash(img)
+        # tiny noise → small Hamming distance; unrelated image → large
+        noisy = img.astype(np.int16) + np.random.default_rng(1) \
+            .integers(-4, 5, img.shape)
+        h1 = image_phash(noisy.clip(0, 255).astype(np.uint8))
+        other = image_phash(_img(64, 64, seed=9))
+        d_near = bin(int(h0) ^ int(h1)).count("1")
+        d_far = bin(int(h0) ^ int(other)).count("1")
+        assert d_near < 12 < d_far
+
+
+class TestWav:
+    def test_roundtrip_pcm16(self):
+        rng = np.random.default_rng(0)
+        s = rng.uniform(-0.9, 0.9, (4000, 2)).astype(np.float32)
+        dec, rate = decode_wav(encode_wav(s, 16000))
+        assert rate == 16000 and dec.shape == (4000, 2)
+        np.testing.assert_allclose(dec, s, atol=1 / 32768)
+
+    def test_extra_chunks_skipped(self):
+        s = np.zeros(100, dtype=np.float32)
+        raw = encode_wav(s, 8000)
+        # splice a LIST chunk between fmt and data
+        head, rest = raw[:36], raw[36:]
+        spliced = head + b"LIST\x04\x00\x00\x00INFO" + rest
+        spliced = spliced[:4] + \
+            (len(spliced) - 8).to_bytes(4, "little") + spliced[8:]
+        dec, rate = decode_wav(spliced)
+        assert rate == 8000 and len(dec) == 100
+
+    def test_rejects_non_wav(self):
+        with pytest.raises(ValueError):
+            decode_wav(b"OggS" + b"\0" * 64)
+
+    def test_frame_features_shape_and_tone(self):
+        rate, n = 8000, 8192
+        t = np.arange(n) / rate
+        low = np.sin(2 * np.pi * 200 * t).astype(np.float32)
+        high = np.sin(2 * np.pi * 3000 * t).astype(np.float32)
+        fl = audio_frame_features(low, rate, frame_len=2048)
+        fh = audio_frame_features(high, rate, frame_len=2048)
+        assert fl.shape == (4, 16)
+        # spectral centroid separates the tones; rms comparable
+        assert (fh[:, 2] > fl[:, 2]).all()
+        np.testing.assert_allclose(fl[:, 0], fh[:, 0], atol=0.05)
+
+
+class TestStagesRealDecode:
+    def test_image_stage_decodes_pnm(self, ray_session):
+        import ray.data as rd
+        from packcol.stages.multimodal import ImageFeatureStage
+        imgs = [_img(h, w, seed=i) for i, (h, w) in
+                enumerate([(16, 20), (32, 8), (9, 9)])]
+        t = pa.table({
+            "id": pa.array(range(3), pa.int64()),
+            "image": pa.array([encode_pnm(im) for im in imgs],
+                              pa.large_binary())})
+        out = rd.from_arrow(t).map_batches(
+            ImageFeatureStage(), batch_format="pyarrow",
+            batch_size=2).to_pandas().sort_values("id")
+        assert out["width"].tolist() == [20, 8, 9]
+        assert out["height"].tolist() == [16, 32, 9]
+        # identical image content ⇒ identical phash (dedup key)
+        assert out["phash"].iloc[0] == int(np.int64(np.uint64(
+            image_phash(imgs[0])).view(np.int64)))
+
+    def test_image_resize_stage(self, ray_session):
+        import ray.data as rd
+        from packcol.stages.multimodal import ImageResizeStage
+        img = _img(40, 60)
+        t = pa.table({"id": [1], "image": pa.array([encode_pnm(img)],
+                                                   pa.large_binary())})
+        out = rd.from_arrow(t).map_batches(
+            ImageResizeStage(10, 15), batch_format="pyarrow",
+            batch_size=1).to_pandas()
+        dec = decode_pnm(out["image"].iloc[0])
+        assert dec.shape == (10, 15, 3)
+        np.testing.assert_array_equal(dec, resize_nearest(img, 10, 15))
+
+    def test_audio_stage_decodes_wav(self, ray_session):
+        import ray.data as rd
+        from packcol.stages.multimodal import (AUDIO_FRAME_FEATURES,
+                                               AudioFrameSampleStage)
+        rng = np.random.default_rng(4)
+        clips = [rng.uniform(-0.5, 0.5, rng.integers(3000, 9000))
+                 .astype(np.float32) for _ in range(4)]
+        t = pa.table({
+            "id": pa.array(range(4), pa.int64()),
+            "audio": pa.array([encode_wav(c, 16000) for c in clips],
+                              pa.large_binary())})
+        out = rd.from_arrow(t).map_batches(
+            AudioFrameSampleStage(frame_len=2048), batch_format="pyarrow",
+            batch_size=2).to_pandas().sort_values("id")
+        assert (out["sample_rate"] == 16000).all()
+        for clip, frames in zip(clips, out["frames"]):
+            assert len(frames) == max(len(clip) // 2048, 1)
+            assert all(len(f) == AUDIO_FRAME_FEATURES for f in frames)
+
+    def test_video_stage_samples_frames(self, ray_session):
+        import ray.data as rd
+        from packcol.stages.multimodal import VideoFrameSampleStage
+        vids = []
+        for n in (6, 3):
+            vids.append(b"".join(encode_pnm(_img(8, 8, seed=j))
+                                 for j in range(n)))
+        t = pa.table({"id": pa.array(range(2), pa.int64()),
+                      "video": pa.array(vids, pa.large_binary())})
+        out = rd.from_arrow(t).map_batches(
+            VideoFrameSampleStage(every=2), batch_format="pyarrow",
+            batch_size=1).to_pandas().sort_values("id")
+        assert out["n_frames"].tolist() == [6, 3]
+        assert [len(f) for f in out["frame_features"]] == [3, 2]
