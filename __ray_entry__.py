@@ -763,6 +763,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return pdf.sort_values("column").reset_index(drop=True)
     q["column_profile"] = profile_events
 
+    # --- skew-safe aggregation: hot keys salted into subkeys -------------
+    def events_by_type_salted(sf):
+        from packcol.stages.skew import salted_aggregate
+        ds = _read(sf, "events", ["event_type", "value"])
+
+        def cents(batch: pa.Table) -> pa.Table:
+            v = batch.column("value").to_numpy(zero_copy_only=False)
+            return pa.table({
+                "event_type": batch.column("event_type"),
+                "cents": np.floor(v * 100 + 0.5).astype(np.int64)})
+        return salted_aggregate(
+            ds.map_batches(cents, batch_format="pyarrow"), "event_type",
+            [("cents", "sum", "sum_cents"), ("cents", "min", "min_cents"),
+             ("cents", "max", "max_cents"), ("cents", "count", "n")],
+            n_salt=16)
+    q["events_by_type_salted"] = events_by_type_salted
+
     # --- regex redaction (PII-scrub shape, RE2 parity with SQL) ----------
     def redact_digits(sf):
         from packcol.functions.text import redact
@@ -915,6 +932,12 @@ def oracle_sql() -> dict[str, str]:
             "AS BIGINT)) AS revenue_cents "
             "FROM lineitem JOIN part ON l_partkey = p_partkey "
             "GROUP BY p_brand"),
+        "events_by_type_salted": (
+            "SELECT event_type, "
+            "SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS sum_cents, "
+            "MIN(CAST(ROUND(value * 100, 0) AS BIGINT)) AS min_cents, "
+            "MAX(CAST(ROUND(value * 100, 0) AS BIGINT)) AS max_cents, "
+            "COUNT(*) AS n FROM events GROUP BY event_type"),
         "redact_digits": (
             "SELECT doc_id, regexp_replace(text, '[0-9]+', '#', 'g') "
             "AS text FROM documents"),

@@ -409,35 +409,45 @@ def pairs_to_clusters(pairs, id_a: str = "id_a", id_b: str = "id_b",
     return pd.DataFrame({"id": nodes, "cluster": lbls})
 
 
-def simhash_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
-                  max_dist: int = 3, collapse_exact: bool = False,
-                  max_bucket: int = _DEFAULT_MAX_BUCKET):
-    """Near-dup pairs via 64-bit SimHash, banded into 4×16-bit blocks:
-    any pair within Hamming distance 3 shares at least one exact block
-    (pigeonhole), so groupby(block) finds all candidates; exact Hamming
-    check inside the group.  collapse_exact / max_bucket bound in-bucket
-    pairing exactly as in minhash_lsh_pairs."""
-    if collapse_exact:
-        from .curation import drop_exact_dups
-        ds = drop_exact_dups(ds, text_col=text_col, id_col=id_col)
+def hamming_banded_pairs(hashed, id_col: str, hash_col: str,
+                         max_dist: int, n_bands: int = 4,
+                         max_bucket: int = _DEFAULT_MAX_BUCKET,
+                         kind: str = "hamming64"):
+    """Generic 64-bit-sketch near-dup: band each hash into ``n_bands``
+    equal bit blocks — any pair within Hamming distance ``n_bands - 1``
+    shares at least one exact block (pigeonhole) — groupby(block) to
+    find candidates, exact Hamming check inside the group.  Input rows:
+    (id_col, hash_col) with the hash as an int64 view of a uint64.
+    Works for any 64-bit locality hash (text SimHash, image phash)."""
+    assert 64 % n_bands == 0
+    width = 64 // n_bands
+    band_mask = np.uint64((1 << width) - 1)
+    if max_dist > n_bands - 1:
+        import logging
+        logging.getLogger(__name__).warning(
+            "%s: max_dist %d > n_bands-1 (%d): pigeonhole no longer "
+            "guarantees recall — pairs farther than %d may be missed "
+            "unless they share a band", kind, max_dist, n_bands - 1,
+            n_bands - 1)
 
     def stage(batch: pa.Table) -> pa.Table:
-        sh = simhash(_col(batch, text_col))
         ids = _col(batch, id_col).to_numpy(zero_copy_only=False)
+        h = _col(batch, hash_col).to_numpy(zero_copy_only=False) \
+            .view(np.uint64)
         n = len(ids)
-        blocks = np.empty((n, 4), dtype=np.int64)
-        for q in range(4):
-            blocks[:, q] = ((sh >> np.uint64(16 * q)) &
-                            np.uint64(0xFFFF)).astype(np.int64)
+        blocks = np.empty((n, n_bands), dtype=np.int64)
+        for q in range(n_bands):
+            blocks[:, q] = ((h >> np.uint64(width * q)) &
+                            band_mask).astype(np.int64)
         return pa.table({
-            "q": np.tile(np.arange(4, dtype=np.int64), n),
+            "q": np.tile(np.arange(n_bands, dtype=np.int64), n),
             "block": blocks.ravel(),
-            id_col: np.repeat(ids, 4),
-            "sh": np.repeat(sh.view(np.int64), 4),
+            id_col: np.repeat(ids, n_bands),
+            "sh": np.repeat(h.view(np.int64), n_bands),
         })
 
     def pairs(group: pa.Table) -> pa.Table:
-        group = _cap_group(group, id_col, max_bucket, "simhash")
+        group = _cap_group(group, id_col, max_bucket, kind)
         m = group.num_rows
         empty = pa.table({"id_a": pa.array([], pa.int64()),
                           "id_b": pa.array([], pa.int64()),
@@ -455,10 +465,59 @@ def simhash_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
         lo, hi = np.minimum(a, b), np.maximum(a, b)
         return pa.table({"id_a": lo, "id_b": hi, "hamming": hd[keep]})
 
-    exploded = ds.map_batches(stage, batch_format="pyarrow",
-                              zero_copy_batch=True)
+    exploded = hashed.map_batches(stage, batch_format="pyarrow",
+                                  zero_copy_batch=True)
     cand = exploded.groupby(["q", "block"]).map_groups(
         pairs, batch_format="pyarrow")
     from ray.data.aggregate import Min
     return cand.groupby(["id_a", "id_b"]).aggregate(
         Min("hamming", alias_name="hamming"))
+
+
+def simhash_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
+                  max_dist: int = 3, collapse_exact: bool = False,
+                  max_bucket: int = _DEFAULT_MAX_BUCKET):
+    """Near-dup pairs via 64-bit SimHash, banded into 4×16-bit blocks
+    (hamming_banded_pairs).  collapse_exact / max_bucket bound
+    in-bucket pairing exactly as in minhash_lsh_pairs."""
+    if collapse_exact:
+        from .curation import drop_exact_dups
+        ds = drop_exact_dups(ds, text_col=text_col, id_col=id_col)
+
+    def stage(batch: pa.Table) -> pa.Table:
+        sh = simhash(_col(batch, text_col))
+        return pa.table({
+            id_col: _col(batch, id_col),
+            "h64": sh.view(np.int64)})
+
+    hashed = ds.map_batches(stage, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    return hamming_banded_pairs(hashed, id_col, "h64", max_dist,
+                                max_bucket=max_bucket, kind="simhash")
+
+
+def image_near_dup_pairs(ds, image_col: str = "image",
+                         id_col: str = "id", max_dist: int = 3,
+                         max_bucket: int = _DEFAULT_MAX_BUCKET):
+    """Near-duplicate IMAGE pairs: per-row 64-bit perceptual hash
+    (functions/media.py::image_phash — real P5/P6 decode, 8×8 mean
+    thumbnail, mean-threshold bits) → the same banded Hamming machinery
+    as SimHash.  Only (id, phash) rows shuffle — never image bytes."""
+    def stage(batch: pa.Table) -> pa.Table:
+        from ..codecs.fsst import buffer_view
+        from ..functions.media import decode_pnm, image_phash
+        col = batch.column(image_col)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        d, offs = buffer_view(col)
+        ph = np.empty(len(col), dtype=np.uint64)
+        for i in range(len(col)):
+            ph[i] = image_phash(decode_pnm(d[offs[i]:offs[i + 1]]
+                                           .tobytes()))
+        return pa.table({id_col: _col(batch, id_col),
+                         "h64": ph.view(np.int64)})
+
+    hashed = ds.map_batches(stage, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    return hamming_banded_pairs(hashed, id_col, "h64", max_dist,
+                                max_bucket=max_bucket, kind="phash")

@@ -143,3 +143,46 @@ class RowChunker:
         from ..stages.encode import content_part_id
         base = content_part_id(batch) + ":"
         return chunk_rows(batch, self.column, self.max_cell_bytes, base)
+
+
+# ---------------------------------------------------------------------------
+# Hot-key salting for skewed aggregations
+# ---------------------------------------------------------------------------
+
+_SALT_COL = "__salt"
+
+
+def salted_aggregate(ds, key, aggs: list[tuple[str, str, str]],
+                     n_salt: int = 16):
+    """Two-round aggregation for skewed keys: ``groupby(key)`` sends
+    EVERY row of a hot key to one reducer; salting splits each key into
+    ``n_salt`` subkeys (round 1: ``groupby(key, salt)`` partials, load
+    spread across reducers), then merges the tiny partials (round 2:
+    ``groupby(key)``, at most n_salt rows per key).
+
+    aggs: list of (in_col, op, out_col) with op in sum/count/min/max —
+    the decomposable aggregates (count re-aggregates as sum).
+    The salt is derived from row position (cheap, uniform); correctness
+    never depends on its distribution."""
+    from ray.data.aggregate import Count, Max, Min, Sum
+    key = [key] if isinstance(key, str) else list(key)
+    _OPS = {"sum": Sum, "min": Min, "max": Max}
+
+    def add_salt(batch: pa.Table) -> pa.Table:
+        salt = np.arange(batch.num_rows, dtype=np.int64) % n_salt
+        return batch.append_column(_SALT_COL, pa.array(salt))
+
+    round1 = [(Count(alias_name=out) if op == "count"
+               else _OPS[op](col, alias_name=out))
+              for col, op, out in aggs]
+    partial = ds.map_batches(add_salt, batch_format="pyarrow",
+                             zero_copy_batch=True) \
+        .groupby(key + [_SALT_COL]).aggregate(*round1)
+    # merge partials: count partials re-aggregate as sums, min/max as
+    # themselves
+    round2 = [(Sum(out, alias_name=out) if op in ("count", "sum")
+               else _OPS[op](out, alias_name=out))
+              for _, op, out in aggs]
+    merged = partial.groupby(key).aggregate(*round2)
+    return merged.drop_columns([_SALT_COL]) \
+        if _SALT_COL in merged.schema().names else merged

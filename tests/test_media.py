@@ -176,3 +176,30 @@ class TestStagesRealDecode:
             batch_size=1).to_pandas().sort_values("id")
         assert out["n_frames"].tolist() == [6, 3]
         assert [len(f) for f in out["frame_features"]] == [3, 2]
+
+
+def test_image_near_dup_pipeline(ray_session):
+    """Planted image near-dups: identical + lightly-noised copies pair
+    up; unrelated images don't.  Only (id, phash) rows shuffle."""
+    import ray.data as rd
+    from packcol.pipelines.dedup import image_near_dup_pairs
+    rng = np.random.default_rng(21)
+    base = _img(32, 32, seed=1)
+    noisy = (base.astype(np.int16)
+             + rng.integers(-3, 4, base.shape)).clip(0, 255) \
+        .astype(np.uint8)
+    imgs = [base, noisy, base.copy(), _img(32, 32, seed=5),
+            _img(32, 32, seed=6)]
+    t = pa.table({
+        "id": pa.array(range(5), pa.int64()),
+        "image": pa.array([encode_pnm(im) for im in imgs],
+                          pa.large_binary())})
+    pairs = image_near_dup_pairs(
+        rd.from_arrow(t).repartition(3), id_col="id",
+        max_dist=3).to_pandas()
+    got = {tuple(p) for p in pairs[["id_a", "id_b"]].to_numpy()}
+    assert (0, 2) in got          # exact copy
+    assert (0, 1) in got and (1, 2) in got  # noised copy
+    assert not any(3 in p or 4 in p for p in got)  # unrelated
+    exact = pairs.set_index(["id_a", "id_b"])["hamming"]
+    assert exact[(0, 2)] == 0

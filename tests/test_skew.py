@@ -75,3 +75,29 @@ def test_chunked_rows_through_encode_decode():
     exp = dict(zip(t.column("id").to_pylist(),
                    t.column("html").to_pylist()))
     assert got == exp
+
+
+def test_salted_aggregate_matches_plain_groupby(ray_session):
+    """Salted two-round aggregation == direct groupby, including on a
+    pathologically hot key (90% of rows)."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+    from ray.data.aggregate import Count, Max, Min, Sum
+    from packcol.stages.skew import salted_aggregate
+    rng = np.random.default_rng(13)
+    n = 20000
+    keys = np.where(rng.random(n) < 0.9, 7, rng.integers(0, 50, n))
+    df = pd.DataFrame({"k": keys.astype("int64"),
+                       "v": rng.integers(-100, 100, n).astype("int64")})
+    ds = rd.from_pandas(df).repartition(8)
+    got = salted_aggregate(
+        ds, "k", [("v", "sum", "s"), ("v", "min", "lo"),
+                  ("v", "max", "hi"), ("v", "count", "n")],
+        n_salt=8).to_pandas().sort_values("k").reset_index(drop=True)
+    exp = ds.groupby("k").aggregate(
+        Sum("v", alias_name="s"), Min("v", alias_name="lo"),
+        Max("v", alias_name="hi"), Count(alias_name="n")) \
+        .to_pandas().sort_values("k").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[exp.columns], exp,
+                                  check_dtype=False)
