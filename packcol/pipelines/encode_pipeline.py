@@ -311,6 +311,9 @@ class EncodedFilterPart:
                     enc_of[name] = EncodedColumn.from_row(
                         {k: enc_rows.column(k)[i].as_py() for k in
                          ("codec", "n_values", "params", "payload")})
+            if self.column not in enc_of or \
+                    any(n not in enc_of for n in self.out_columns):
+                continue  # heterogeneous store: part holds another table
             for name in self.out_columns:  # remember types for empty blocks
                 dt = enc_of[name].params.get("dtype")
                 if dt is not None:

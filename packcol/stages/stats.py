@@ -60,6 +60,12 @@ def column_stats(arr: pa.Array) -> dict:
     if n == 0:
         s.update(n_distinct=0, n_runs=0)
         return s
+    if pa.types.is_nested(arr.type):
+        # list/struct/map: no distinct/run kernels and no lightweight
+        # codec applies — report worst-case stats so selection falls
+        # through to the store codec (lossless IPC for any type)
+        s.update(n_distinct=n, n_runs=n, nested=True)
+        return s
     # large string columns: exact count_distinct / run detection hash or
     # compare every byte — sample a row slice instead (codec choice only
     # needs the order of magnitude; the size guard catches misestimates)

@@ -62,6 +62,22 @@ def main() -> None:
     c.add_argument("--dest", required=True)
     c.add_argument("--merge-factor", type=int, default=4)
 
+    f = sub.add_parser("filter", help="predicate pushdown over an "
+                       "encoded store (zone-map part pruning + "
+                       "encoded-domain filter)")
+    f.add_argument("--encoded", required=True)
+    f.add_argument("--column", required=True)
+    f.add_argument("--eq", help="equality value")
+    f.add_argument("--range", nargs=2, metavar=("LO", "HI"),
+                   help="inclusive range bounds")
+    f.add_argument("--out-columns", required=True,
+                   help="comma-separated output columns")
+    f.add_argument("--output", help="write matches to this parquet dir "
+                   "(default: print row count only)")
+    f.add_argument("--type", default="str",
+                   choices=["str", "int", "float"],
+                   help="predicate value type")
+
     g = sub.add_parser("gen", help="generate synthetic webtext")
     g.add_argument("--output", required=True)
     g.add_argument("--rows", type=int, default=100_000)
@@ -89,6 +105,25 @@ def main() -> None:
         from packcol.pipelines.compact import recompact
         print(json.dumps(recompact(args.encoded, args.dest,
                                    merge_factor=args.merge_factor)))
+    elif args.cmd == "filter":
+        from packcol.pipelines.encode_pipeline import (
+            filter_encoded, filter_encoded_range)
+        cast = {"str": str, "int": int, "float": float}[args.type]
+        cols = args.out_columns.split(",")
+        if (args.eq is None) == (args.range is None):
+            sys.exit("exactly one of --eq / --range is required")
+        if args.eq is not None:
+            ds = filter_encoded(args.encoded, args.column, cast(args.eq),
+                                cols)
+        else:
+            ds = filter_encoded_range(args.encoded, args.column,
+                                      cast(args.range[0]),
+                                      cast(args.range[1]), cols)
+        if args.output:
+            ds.write_parquet(args.output)
+            print(json.dumps({"rows": ds.count(), "output": args.output}))
+        else:
+            print(json.dumps({"rows": ds.count()}))
     elif args.cmd == "gen":
         from packcol.sources.webtext import write_webtext
         parts = args.parts or max(args.rows // 7500, 1)

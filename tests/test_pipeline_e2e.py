@@ -321,3 +321,33 @@ def test_decode_survives_mid_partition_resplit(ray_session):
     # …and raises loudly on re-split blocks instead of mis-decoding
     with pytest.raises(Exception, match="incomplete partition"):
         decode_dataset(resplit, whole_blocks=True).to_pandas()
+
+
+def test_encode_nested_list_column(ray_session, tmp_path):
+    """Tables with nested (list) columns must encode via the store
+    codec, not crash stats — regression for the embeddings table."""
+    import numpy as np
+    from packcol.stages.encode import decode_rows, encode_table
+    rng = np.random.default_rng(3)
+    t = pa.table({
+        "vec_id": pa.array(range(50), pa.int64()),
+        "embedding": pa.array([rng.normal(size=8).tolist()
+                               for _ in range(50)],
+                              pa.list_(pa.float32())),
+        "label": pa.array(rng.integers(0, 4, 50), pa.int32())})
+    enc = encode_table(t, part_id="p0")
+    codecs = dict(zip(enc.column("column").to_pylist(),
+                      enc.column("codec").to_pylist()))
+    assert codecs["embedding"] == "store"
+    dec = decode_rows(enc)
+    for name in t.column_names:
+        assert dec.column(name).combine_chunks().equals(
+            t.column(name).combine_chunks()), name
+    # end-to-end through the file pipeline
+    from packcol.pipelines.encode_pipeline import encode_files, verify_files
+    src = str(tmp_path / "emb.parquet")
+    pq.write_table(t, src)
+    out = str(tmp_path / "enc_emb")
+    m = encode_files([src], out)
+    assert m["rows"] == 50
+    assert verify_files(out)["mismatches"] == 0
