@@ -97,6 +97,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         sf, "events", ["event_id", "value"], "decfloat")
     q["auto_roundtrip_documents"] = lambda sf: _roundtrip(
         sf, "documents", None, None)
+    # nested list<float> column roundtrips via the store codec; the
+    # oracle compares the scalar projection (list equality is proven in
+    # tests/test_pipeline_e2e.py::test_encode_nested_list_column)
+    q["auto_roundtrip_embeddings"] = lambda sf: _roundtrip(
+        sf, "embeddings", None, None).select_columns(["vec_id", "label"])
 
     # --- stats / cardinality (SURVEY §2.6) -------------------------------
     def stats_documents(sf):
@@ -828,6 +833,8 @@ def oracle_sql() -> dict[str, str]:
         "store_roundtrip_props": "SELECT event_id, props FROM events",
         "decfloat_roundtrip_value": "SELECT event_id, value FROM events",
         "auto_roundtrip_documents": "SELECT * FROM documents",
+        "auto_roundtrip_embeddings": (
+            "SELECT vec_id, label FROM embeddings"),
         "stats_documents": (
             "SELECT COUNT(*) AS n, MIN(n_chars) AS min_chars, "
             "MAX(n_chars) AS max_chars, COUNT(DISTINCT lang) AS n_lang, "

@@ -350,3 +350,28 @@ class TestBitpackCodec:
                        type=pa.timestamp("us"))
         enc = get_codec("bitpack").encode(arr)
         assert get_codec("bitpack").decode(enc).equals(arr)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    vals=st.lists(st.one_of(st.integers(-10**12, 10**12), st.none()),
+                  min_size=1, max_size=200),
+    codec=st.sampled_from(["for", "bitpack", "delta", "rle", "dict",
+                           "store"]),
+    bounds=st.tuples(st.integers(-10**12, 10**12),
+                     st.integers(-10**12, 10**12)),
+)
+def test_filter_range_matches_plaintext_property(vals, codec, bounds):
+    """For every codec (pushed or decode-fallback) and any int column,
+    filter_range == the plaintext mask; nulls never match."""
+    from packcol.codecs import get_codec
+    from packcol.codecs.access import filter_range
+    arr = pa.array(vals, type=pa.int64())
+    try:
+        enc = get_codec(codec).encode(arr)
+    except ValueError:
+        return  # codec's own guard rejected the column (e.g. rle gain)
+    lo, hi = min(bounds), max(bounds)
+    got = filter_range(enc, lo, hi)
+    exp = [v is not None and lo <= v <= hi for v in vals]
+    assert got.tolist() == exp
