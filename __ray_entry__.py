@@ -785,6 +785,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
             n_salt=16)
     q["events_by_type_salted"] = events_by_type_salted
 
+    # --- pivot: categorical → per-category count columns -----------------
+    def user_event_pivot(sf):
+        from packcol.stages.skew import pivot_count
+        ds = _read(sf, "events", ["user_id", "event_type"])
+        return pivot_count(ds, "user_id", "event_type",
+                           ["click", "view", "purchase"], out_prefix="n_")
+    q["user_event_pivot"] = user_event_pivot
+
+    # --- per-group exact quantiles ---------------------------------------
+    def quantiles_nchars_by_lang(sf):
+        from packcol.stages.profile import exact_quantiles_by
+        ds = _read(sf, "documents", ["lang", "n_chars"])
+        return exact_quantiles_by(ds, "lang", "n_chars", [0.5, 0.9])
+    q["quantiles_nchars_by_lang"] = quantiles_nchars_by_lang
+
     # --- regex redaction (PII-scrub shape, RE2 parity with SQL) ----------
     def redact_digits(sf):
         from packcol.functions.text import redact
@@ -945,6 +960,19 @@ def oracle_sql() -> dict[str, str]:
             "MIN(CAST(ROUND(value * 100, 0) AS BIGINT)) AS min_cents, "
             "MAX(CAST(ROUND(value * 100, 0) AS BIGINT)) AS max_cents, "
             "COUNT(*) AS n FROM events GROUP BY event_type"),
+        "user_event_pivot": (
+            "SELECT user_id, "
+            "SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) "
+            "AS n_click, "
+            "SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) "
+            "AS n_view, "
+            "SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) "
+            "AS n_purchase FROM events GROUP BY user_id"),
+        "quantiles_nchars_by_lang": (" UNION ALL ".join(
+            f"SELECT lang, CAST({qq} AS DOUBLE) AS q, "
+            f"quantile_disc(n_chars, {qq}) AS value "
+            "FROM documents GROUP BY lang"
+            for qq in (0.5, 0.9))),
         "redact_digits": (
             "SELECT doc_id, regexp_replace(text, '[0-9]+', '#', 'g') "
             "AS text FROM documents"),

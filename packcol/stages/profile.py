@@ -163,3 +163,38 @@ def exact_quantiles(ds, col: str, qs: list[float]):
                        .astype(np.int64), 1)
     pos = np.searchsorted(cum, ranks, side="left")
     return pd.DataFrame({"q": qs, "value": vc[col].to_numpy()[pos]})
+
+
+def exact_quantiles_by(ds, by: str, col: str, qs: list[float]):
+    """Per-group exact_quantiles: value counts keyed (by, value) — one
+    combiner pass + one shuffle of (group, value, count) rows — then
+    quantiles per group from the tiny count table.  Driver memory is
+    O(groups × distinct values), same bound as a grouped histogram.
+    Returns pandas (by, q, value)."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pandas as _pd
+        df = _pd.DataFrame({by: batch.column(by).to_pandas(),
+                            col: batch.column(col).to_pandas()})
+        vc = df.dropna().groupby([by, col], sort=False).size() \
+            .reset_index(name="c")
+        return pa.Table.from_pandas(vc, preserve_index=False)
+
+    vc = ds.map_batches(partial, batch_format="pyarrow",
+                        zero_copy_batch=True) \
+        .groupby([by, col]).aggregate(Sum("c", alias_name="c")) \
+        .to_pandas()
+    if len(vc) == 0 or col not in vc.columns:
+        return pd.DataFrame({by: [], "q": [], "value": []})
+    out = []
+    for g, sub in vc.groupby(by, sort=True):
+        sub = sub.sort_values(col)
+        cum = sub["c"].to_numpy().cumsum()
+        n = int(cum[-1])
+        ranks = np.maximum(np.ceil(np.asarray(qs) * n).astype(np.int64), 1)
+        pos = np.searchsorted(cum, ranks, side="left")
+        vals = sub[col].to_numpy()[pos]
+        out.append(pd.DataFrame({by: g, "q": qs, "value": vals}))
+    return pd.concat(out, ignore_index=True)

@@ -186,3 +186,29 @@ def salted_aggregate(ds, key, aggs: list[tuple[str, str, str]],
     merged = partial.groupby(key).aggregate(*round2)
     return merged.drop_columns([_SALT_COL]) \
         if _SALT_COL in merged.schema().names else merged
+
+
+def pivot_count(ds, index, cat_col: str, categories: list[str],
+                out_prefix: str = ""):
+    """Pivot a categorical column into per-category COUNT columns:
+    one vectorized map_batches derives 0/1 indicator columns (known
+    category list — at 100 TB the category set must be bounded/known,
+    exactly like a SQL CASE pivot), then one groupby(index) Sum.
+    No extra shuffle beyond the final aggregate."""
+    from ray.data.aggregate import Sum
+    index = [index] if isinstance(index, str) else list(index)
+    outs = [f"{out_prefix}{c}" for c in categories]
+
+    def indicators(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        cols = {k: batch.column(k) for k in index}
+        cat = batch.column(cat_col)
+        for c, out in zip(categories, outs):
+            cols[out] = pc.cast(pc.equal(cat, c), pa.int64()) \
+                .fill_null(0)
+        return pa.table(cols)
+
+    return ds.map_batches(indicators, batch_format="pyarrow",
+                          zero_copy_batch=True) \
+        .groupby(index).aggregate(
+            *[Sum(out, alias_name=out) for out in outs])

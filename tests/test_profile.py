@@ -78,3 +78,24 @@ def test_exact_quantiles_empty_and_tiny(ray_session):
     one = rd.from_pandas(pd.DataFrame({"v": [42]}))
     assert exact_quantiles(one, "v", [0.0, 0.5, 1.0])["value"].tolist() \
         == [42, 42, 42]
+
+
+def test_exact_quantiles_by_group(ray_session):
+    import duckdb
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+    from packcol.stages.profile import exact_quantiles_by
+    rng = np.random.default_rng(23)
+    df = pd.DataFrame({
+        "g": rng.choice(["x", "y", "z"], 4000),
+        "v": rng.integers(0, 500, 4000).astype("int64")})
+    got = exact_quantiles_by(rd.from_pandas(df).repartition(7),
+                             "g", "v", [0.25, 0.5, 0.95])
+    con = duckdb.connect()
+    con.register("t", df)
+    for _, row in got.iterrows():
+        exp = con.execute(
+            f"SELECT quantile_disc(v, {row['q']}) FROM t "
+            f"WHERE g = '{row['g']}'").fetchone()[0]
+        assert row["value"] == exp, (row["g"], row["q"])

@@ -101,3 +101,23 @@ def test_salted_aggregate_matches_plain_groupby(ray_session):
         .to_pandas().sort_values("k").reset_index(drop=True)
     pd.testing.assert_frame_equal(got[exp.columns], exp,
                                   check_dtype=False)
+
+
+def test_pivot_count_matches_pandas(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+    from packcol.stages.skew import pivot_count
+    rng = np.random.default_rng(17)
+    df = pd.DataFrame({
+        "u": rng.integers(0, 30, 3000).astype("int64"),
+        "t": rng.choice(["a", "b", "c", "other"], 3000)})
+    got = pivot_count(rd.from_pandas(df).repartition(6), "u", "t",
+                      ["a", "b"], out_prefix="n_").to_pandas() \
+        .sort_values("u").reset_index(drop=True)
+    exp = df.assign(n_a=(df["t"] == "a").astype(int),
+                    n_b=(df["t"] == "b").astype(int)) \
+        .groupby("u", as_index=False)[["n_a", "n_b"]].sum() \
+        .sort_values("u").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[exp.columns], exp,
+                                  check_dtype=False)
