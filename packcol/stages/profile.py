@@ -198,3 +198,50 @@ def exact_quantiles_by(ds, by: str, col: str, qs: list[float]):
         vals = sub[col].to_numpy()[pos]
         out.append(pd.DataFrame({by: g, "q": qs, "value": vals}))
     return pd.concat(out, ignore_index=True)
+
+
+def approx_quantiles(ds, col: str, qs: list[float], k: int = 16384):
+    """Approximate quantiles for OPEN/continuous domains where
+    exact_quantiles' O(distinct) driver bound doesn't hold: a
+    bottom-k uniform row sample (each row gets a deterministic
+    pseudo-random 64-bit key from splitmix64(row-content hash ⊕
+    in-batch position); the k smallest keys across the dataset are a
+    uniform sample, mergeable by union+truncate — same principle as
+    the KMV sketch above).  Error is O(1/sqrt(k)) in rank; k=16384
+    gives ~1% rank error.  Deterministic for a fixed dataset
+    partitioning.  Returns pandas (q, value)."""
+    import pandas as pd
+    from ..functions.text import _splitmix64
+
+    def partial(batch: pa.Table) -> pa.Table:
+        arr = batch.column(col)
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        if arr.null_count:
+            arr = arr.drop_null()
+        v = arr.to_numpy(zero_copy_only=False).astype(np.float64)
+        if len(v) == 0:
+            return pa.table({"key": pa.array([], pa.int64()),
+                             "value": pa.array([], pa.float64())})
+        pos = np.arange(len(v), dtype=np.uint64)
+        key = _splitmix64(_splitmix64(v.view(np.uint64)) ^
+                          _splitmix64(pos + np.uint64(0x9E37)))
+        if len(key) > k:  # per-batch pre-truncate: only k rows leave
+            idx = np.argpartition(key, k)[:k]
+            key, v = key[idx], v[idx]
+        return pa.table({"key": key.view(np.int64),
+                         "value": v})
+
+    sample = ds.map_batches(partial, batch_format="pyarrow",
+                            zero_copy_batch=True).to_pandas()
+    if len(sample) == 0 or "value" not in sample.columns:
+        return pd.DataFrame({"q": qs, "value": [None] * len(qs)})
+    keys = sample["key"].to_numpy().view(np.uint64)
+    vals = sample["value"].to_numpy()
+    if len(keys) > k:  # final truncate to the k globally-smallest keys
+        idx = np.argpartition(keys, k)[:k]
+        vals = vals[idx]
+    vals = np.sort(vals)
+    ranks = np.clip((np.ceil(np.asarray(qs) * len(vals)) - 1)
+                    .astype(np.int64), 0, len(vals) - 1)
+    return pd.DataFrame({"q": qs, "value": vals[ranks]})

@@ -99,3 +99,23 @@ def test_exact_quantiles_by_group(ray_session):
             f"SELECT quantile_disc(v, {row['q']}) FROM t "
             f"WHERE g = '{row['g']}'").fetchone()[0]
         assert row["value"] == exp, (row["g"], row["q"])
+
+
+def test_approx_quantiles_within_rank_tolerance(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+    from packcol.stages.profile import approx_quantiles
+    rng = np.random.default_rng(31)
+    v = rng.lognormal(0, 1.0, 200_000)  # continuous, heavy-tailed
+    ds = rd.from_pandas(pd.DataFrame({"v": v})).repartition(16)
+    qs = [0.1, 0.5, 0.9, 0.99]
+    got = approx_quantiles(ds, "v", qs, k=16384)
+    vs = np.sort(v)
+    for q, est in zip(got["q"], got["value"]):
+        # rank of the estimate must be within 2% of the target rank
+        rank = np.searchsorted(vs, est) / len(vs)
+        assert abs(rank - q) < 0.02, (q, rank)
+    # deterministic for a fixed partitioning
+    got2 = approx_quantiles(ds, "v", qs, k=16384)
+    pd.testing.assert_frame_equal(got, got2)
