@@ -591,6 +591,86 @@ def queries() -> dict[str, Callable[[str], Any]]:
             Sum("rev_cents", alias_name="revenue_cents"))
     q["revenue_by_brand"] = revenue_by_brand
 
+    def forecast_revenue_q6(sf):
+        """TPC-H Q6 shape: pure filter + global aggregate, with the
+        predicate pushed to the parquet read (row-group pruning)."""
+        import pyarrow.compute as pcc
+        import ray.data as rd
+        from datetime import datetime
+        from ray.data.aggregate import Count, Sum
+        flt = ((pcc.field("l_shipdate") >= datetime(1996, 1, 1))
+               & (pcc.field("l_shipdate") < datetime(1997, 1, 1))
+               & (pcc.field("l_discount") >= 0.05)
+               & (pcc.field("l_discount") <= 0.07)
+               & (pcc.field("l_quantity") < 24))
+        ds = rd.read_parquet(
+            os.path.join(sf, "lineitem.parquet"),
+            columns=["l_extendedprice", "l_discount"], filter=flt)
+
+        def cents(batch: pa.Table) -> pa.Table:
+            e = batch.column("l_extendedprice") \
+                .to_numpy(zero_copy_only=False)
+            d = batch.column("l_discount").to_numpy(zero_copy_only=False)
+            return pa.table({"rev": np.floor(e * d * 100 + 0.5)
+                             .astype(np.int64)})
+        import pandas as pd
+        agg = ds.map_batches(cents, batch_format="pyarrow").aggregate(
+            Sum("rev", alias_name="revenue_cents"),
+            Count(alias_name="n_items"))
+        return pd.DataFrame([agg])
+    q["forecast_revenue_q6"] = forecast_revenue_q6
+
+    def local_supplier_volume_q5(sf):
+        """TPC-H Q5 shape: region-filtered dim chain (driver-side tiny
+        joins, broadcast), fact-fact lineitem⋈orders via the native
+        shuffle hash join, supplier broadcast, same-nation filter,
+        grouped revenue."""
+        import pyarrow.compute as pcc
+        import pyarrow.parquet as pq
+        from ray.data.aggregate import Sum
+        from packcol.pipelines.join import broadcast_join, shuffle_join
+        nat = pq.read_table(os.path.join(sf, "nation.parquet"))
+        reg = pq.read_table(os.path.join(sf, "region.parquet"))
+        cust = pq.read_table(os.path.join(sf, "customer.parquet"),
+                             columns=["c_custkey", "c_nationkey"])
+        dim = cust.join(nat, keys=["c_nationkey"],
+                        right_keys=["n_nationkey"]) \
+            .join(reg, keys=["n_regionkey"], right_keys=["r_regionkey"])
+        dim = dim.filter(pcc.equal(dim.column("r_name"), "ASIA")) \
+            .select(["c_custkey", "c_nationkey", "n_name"])
+        sup = pq.read_table(os.path.join(sf, "supplier.parquet"),
+                            columns=["s_suppkey", "s_nationkey"])
+        orders = _read(sf, "orders", ["o_orderkey", "o_custkey"])
+        o_dim = broadcast_join(orders, dim, on="o_custkey",
+                               right_on="c_custkey") \
+            .select_columns(["o_orderkey", "c_nationkey", "n_name"])
+        li = _read(sf, "lineitem",
+                   ["l_orderkey", "l_suppkey", "l_extendedprice",
+                    "l_discount"])
+
+        def cents(batch: pa.Table) -> pa.Table:
+            e = batch.column("l_extendedprice") \
+                .to_numpy(zero_copy_only=False)
+            d = batch.column("l_discount").to_numpy(zero_copy_only=False)
+            return pa.table({
+                "l_orderkey": batch.column("l_orderkey"),
+                "l_suppkey": batch.column("l_suppkey"),
+                "rev": np.floor(e * (1 - d) * 100 + 0.5)
+                .astype(np.int64)})
+        j = shuffle_join(li.map_batches(cents, batch_format="pyarrow"),
+                         o_dim, on="l_orderkey", right_on="o_orderkey",
+                         num_partitions=8)
+        j = broadcast_join(j, sup, on="l_suppkey", right_on="s_suppkey")
+
+        def same_nation(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc2
+            return batch.filter(pc2.equal(batch.column("c_nationkey"),
+                                          batch.column("s_nationkey")))
+        return j.map_batches(same_nation, batch_format="pyarrow") \
+            .groupby("n_name").aggregate(
+                Sum("rev", alias_name="revenue_cents"))
+    q["local_supplier_volume_q5"] = local_supplier_volume_q5
+
     def top_orders_q3(sf):
         """TPC-H Q3 shape: filter + broadcast join + groupby + distributed
         sort + limit (deterministic tie-break on o_orderkey)."""
@@ -1003,6 +1083,23 @@ def oracle_sql() -> dict[str, str]:
             "SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) OVER "
             "(PARTITION BY user_id ORDER BY ts) AS run_cents "
             "FROM events"),
+        "forecast_revenue_q6": (
+            "SELECT SUM(CAST(ROUND(l_extendedprice * l_discount * 100, 0)"
+            " AS BIGINT)) AS revenue_cents, COUNT(*) AS n_items "
+            "FROM lineitem WHERE l_shipdate >= TIMESTAMP '1996-01-01' "
+            "AND l_shipdate < TIMESTAMP '1997-01-01' "
+            "AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24"),
+        "local_supplier_volume_q5": (
+            "SELECT n_name, "
+            "SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100, 0) "
+            "AS BIGINT)) AS revenue_cents "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "JOIN customer ON o_custkey = c_custkey "
+            "JOIN supplier ON l_suppkey = s_suppkey "
+            "JOIN nation ON c_nationkey = n_nationkey "
+            "JOIN region ON n_regionkey = r_regionkey "
+            "WHERE r_name = 'ASIA' AND c_nationkey = s_nationkey "
+            "GROUP BY n_name"),
         "top_orders_q3": (
             "SELECT l_orderkey, "
             "SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100, 0) "
