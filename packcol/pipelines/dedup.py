@@ -82,13 +82,18 @@ def minhash_lsh_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
     within-group pair generation → distinct pairs with estimated
     Jaccard ≥ threshold.  Only sketch rows shuffle, never documents.
 
-    carry_signatures=True replicates the full signature on every band
-    row (num_perm*8 B × n_bands per doc) and estimates Jaccard from
-    component agreement — exact-est mode for bounded corpora.  False is
-    the 100 TB mode: band rows carry only (band, hash, id) (24 B), and
-    Jaccard is estimated from the band-hit fraction
-    (est = (hits/n_bands)^(1/rows_per_band), the LSH collision model);
-    downstream exact verification (ngram_jaccard) refines if needed.
+    Band rows carry ONLY (band, hash, id) — 24 B/row — in both modes.
+    carry_signatures=True estimates Jaccard from full-signature
+    component agreement: after the collision prefilter, signatures are
+    recomputed for the COLLIDING docs only (usually a tiny fraction)
+    and attached to the surviving band rows with one distributed hash
+    join — no per-band replication, no corpus-sized signature
+    materialization.  Above _MAX_CARRY_IDS colliding docs the exact-est
+    path degrades gracefully (logged) to the band-hit estimate.
+    False skips signatures entirely: Jaccard is estimated from the
+    band-hit fraction (est = (hits/n_bands)^(1/rows_per_band), the LSH
+    collision model); downstream exact verification (ngram_jaccard)
+    refines if needed.
 
     collapse_exact=True removes exact duplicates first (duplicate-
     bounded broadcast, curation.drop_exact_dups) so mass-duplicated
@@ -105,19 +110,15 @@ def minhash_lsh_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
         n = len(ids)
         sig = minhash_signatures(text, num_perm=num_perm)
         bh = band_hashes(sig, n_bands)
-        cols = {
+        return pa.table({
             "band": np.tile(np.arange(n_bands, dtype=np.int64), n),
             "bh": bh.ravel().view(np.int64),
             id_col: np.repeat(ids, n_bands),
-        }
-        if carry_signatures:
-            # signature blob per row, replicated across its n_bands rows
-            flat = sig.tobytes()
-            row_sz = num_perm * 8
-            offs = np.repeat(np.arange(n, dtype=np.int64), n_bands) * row_sz
-            cols["sig"] = pa.array([flat[o:o + row_sz] for o in offs],
-                                   type=pa.large_binary())
-        return pa.table(cols)
+        })
+
+    # mutable so the exact-est path can degrade to the band-hit
+    # estimate when the colliding-doc cap trips (pairs() closes over it)
+    flags = {"use_sigs": carry_signatures}
 
     def pairs(group: pa.Table) -> pa.Table:
         group = _cap_group(group, id_col, max_bucket, "minhash")
@@ -128,7 +129,7 @@ def minhash_lsh_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
                              "est_jaccard": pa.array([], pa.float64())})
         ids = group.column(id_col).to_numpy(zero_copy_only=False)
         ia, ib = np.triu_indices(m, k=1)
-        if carry_signatures:
+        if flags["use_sigs"]:
             sigs = np.stack([np.frombuffer(s, dtype=np.uint64)
                              for s in group.column("sig").to_pylist()])
             est = (sigs[ia] == sigs[ib]).mean(axis=1)
@@ -215,10 +216,58 @@ def minhash_lsh_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
 
         exploded = exploded.map_batches(only_collisions,
                                         batch_format="pyarrow")
+    if carry_signatures:
+        # exact-est mode: attach full signatures to the SURVIVING band
+        # rows only — recompute minhash for the colliding docs (a tiny
+        # fraction after the prefilter) and hash-join them in.  No
+        # per-band replication, no corpus-sized signature storage.
+        _MAX_CARRY_IDS = 5_000_000
+        exploded = exploded.materialize()  # collisions-only, bounded
+        if exploded.count() > _MAX_CARRY_IDS * n_bands:
+            import logging
+            logging.getLogger(__name__).warning(
+                "minhash exact-est: > %d colliding docs; degrading to "
+                "the band-hit Jaccard estimate", _MAX_CARRY_IDS)
+            flags["use_sigs"] = False
+        else:
+            import ray.data as _rd
+            ids_pdf = exploded.select_columns([id_col]).to_pandas()
+            if len(ids_pdf) == 0:
+                return _rd.from_arrow(pa.table({
+                    "id_a": pa.array([], pa.int64()),
+                    "id_b": pa.array([], pa.int64()),
+                    "est_jaccard": pa.array([], pa.float64())}))
+            surv = np.unique(ids_pdf[id_col].to_numpy())
+            idref = _ray.put(surv)  # sorted (np.unique)
+
+            def sigs_of(batch: pa.Table) -> pa.Table:
+                ids = _col(batch, id_col).to_numpy(zero_copy_only=False)
+                sv = _ray.get(idref)
+                pos = np.searchsorted(sv, ids)
+                safe = np.minimum(pos, len(sv) - 1)
+                keep = sv[safe] == ids
+                if not keep.any():
+                    return pa.table({
+                        id_col: pa.array([], pa.int64()),
+                        "sig": pa.array([], pa.large_binary())})
+                sel = pa.array(keep)
+                sig = minhash_signatures(
+                    _col(batch.filter(sel), text_col), num_perm=num_perm)
+                return pa.table({
+                    id_col: ids[keep],
+                    "sig": pa.array([sig[i].tobytes()
+                                     for i in range(len(sig))],
+                                    type=pa.large_binary())})
+
+            sig_ds = ds.map_batches(sigs_of, batch_format="pyarrow",
+                                    zero_copy_batch=True)
+            from .join import shuffle_join
+            exploded = shuffle_join(exploded, sig_ds, on=id_col,
+                                    num_partitions=8)
     cand = exploded.groupby(["band", "bh"]).map_groups(
         pairs, batch_format="pyarrow")
     from ray.data.aggregate import Count, Max
-    if carry_signatures:
+    if flags["use_sigs"]:
         # distinct pairs (a pair can surface from several bands)
         return cand.groupby(["id_a", "id_b"]).aggregate(
             Max("est_jaccard", alias_name="est_jaccard"))
