@@ -865,6 +865,45 @@ def queries() -> dict[str, Callable[[str], Any]]:
             n_salt=16)
     q["events_by_type_salted"] = events_by_type_salted
 
+    # --- per-label embedding centroids (vector aggregate, distributed) ---
+    def label_centroids(sf):
+        from ray.data.aggregate import Sum
+        from packcol.pipelines.ann import embedding_matrix
+        ds = _read(sf, "embeddings", ["embedding", "label"])
+
+        def partial(batch: pa.Table) -> pa.Table:
+            X = embedding_matrix(batch, "embedding")
+            lab = batch.column("label").to_numpy(zero_copy_only=False)
+            dim = X.shape[1] if len(X) else 0
+            labs = np.unique(lab)
+            rows = {"label": [], "dim": [], "s": [], "c": []}
+            for lv in labs:
+                m = lab == lv
+                s = X[m].sum(axis=0)
+                rows["label"].extend([int(lv)] * dim)
+                rows["dim"].extend(range(1, dim + 1))
+                rows["s"].extend(s.tolist())
+                rows["c"].extend([int(m.sum())] * dim)
+            return pa.table({
+                "label": pa.array(rows["label"], pa.int64()),
+                "dim": pa.array(rows["dim"], pa.int64()),
+                "s": pa.array(rows["s"], pa.float64()),
+                "c": pa.array(rows["c"], pa.int64())})
+
+        agg = ds.map_batches(partial, batch_format="pyarrow",
+                             zero_copy_batch=True) \
+            .groupby(["label", "dim"]).aggregate(
+                Sum("s", alias_name="s"), Sum("c", alias_name="c"))
+
+        def finish(batch: pa.Table) -> pa.Table:
+            s = batch.column("s").to_numpy(zero_copy_only=False)
+            c = batch.column("c").to_numpy(zero_copy_only=False)
+            return pa.table({"label": batch.column("label"),
+                             "dim": batch.column("dim"),
+                             "v": np.round(s / c, 6)})
+        return agg.map_batches(finish, batch_format="pyarrow")
+    q["label_centroids"] = label_centroids
+
     # --- pivot: categorical → per-category count columns -----------------
     def user_event_pivot(sf):
         from packcol.stages.skew import pivot_count
@@ -1040,6 +1079,10 @@ def oracle_sql() -> dict[str, str]:
             "MIN(CAST(ROUND(value * 100, 0) AS BIGINT)) AS min_cents, "
             "MAX(CAST(ROUND(value * 100, 0) AS BIGINT)) AS max_cents, "
             "COUNT(*) AS n FROM events GROUP BY event_type"),
+        "label_centroids": (
+            "SELECT label, gs AS dim, ROUND(AVG(embedding[gs]), 6) AS v "
+            "FROM embeddings CROSS JOIN generate_series(1, 64) t(gs) "
+            "GROUP BY label, gs"),
         "user_event_pivot": (
             "SELECT user_id, "
             "SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) "

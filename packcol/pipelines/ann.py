@@ -22,10 +22,16 @@ def embedding_matrix(batch: pa.Table, vec_col: str = "embedding"
     emb = batch.column(vec_col)
     if isinstance(emb, pa.ChunkedArray):
         emb = emb.combine_chunks()
-    flat = emb.flatten().to_numpy(zero_copy_only=False)
     n = len(emb)
     if n == 0:
         return np.empty((0, 0))
+    t = emb.type
+    if not (pa.types.is_list(t) or pa.types.is_large_list(t)
+            or pa.types.is_fixed_size_list(t)):
+        # Ray's Arrow tensor extension (from_pandas of ndarray cells)
+        return np.asarray(emb.to_numpy(zero_copy_only=False),
+                          dtype=np.float64).reshape(n, -1)
+    flat = emb.flatten().to_numpy(zero_copy_only=False)
     dim = len(flat) // n
     return flat.reshape(n, dim).astype(np.float64)
 
@@ -237,17 +243,23 @@ def _kmeans(X: np.ndarray, n_lists: int, iters: int = 8,
 def ann_ivf_topk(ds, query: np.ndarray, k: int = 10, n_lists: int = 16,
                  n_probe: int = 4, sample_rows: int = 2000,
                  vec_col: str = "embedding", id_col: str = "vec_id",
-                 seed: int = 13):
-    """IVF approximate top-k: k-means centroids from a bounded sample
-    (one driver-side pass), then each batch scores only vectors whose
-    nearest centroid is among the query's n_probe closest lists.
+                 seed: int = 13, train: str = "sample"):
+    """IVF approximate top-k: k-means centroids (train="sample": one
+    bounded driver-side pass; train="full": distributed Lloyd over the
+    whole corpus via kmeans_fit), then each batch scores only vectors
+    whose nearest centroid is among the query's n_probe closest lists.
 
     Scale shape: centroids broadcast once; candidate fraction ≈
     n_probe / n_lists of the corpus; no shuffle."""
     q = np.atleast_2d(np.asarray(query, dtype=np.float64))
-    sample = ds.limit(sample_rows).to_pandas()
-    Xs = np.stack([np.asarray(v, dtype=np.float64) for v in sample[vec_col]])
-    C = _kmeans(Xs, n_lists, seed=seed)
+    if train == "full":
+        C = kmeans_fit(ds, n_lists, vec_col=vec_col,
+                       sample_rows=sample_rows, seed=seed)
+    else:
+        sample = ds.limit(sample_rows).to_pandas()
+        Xs = np.stack([np.asarray(v, dtype=np.float64)
+                       for v in sample[vec_col]])
+        C = _kmeans(Xs, n_lists, seed=seed)
     qd = ((q[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
     probe = np.argsort(qd, axis=1)[:, :n_probe]           # (n_q, n_probe)
     qn = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-30)
@@ -354,3 +366,59 @@ def ann_lsh_topk(ds, query: np.ndarray, k: int = 10, n_planes: int = 12,
     pdf = pdf.sort_values(["qid", "cos", id_col],
                           ascending=[True, False, True])
     return pdf.groupby("qid", as_index=False).head(k).reset_index(drop=True)
+
+
+def kmeans_fit(ds, n_clusters: int, iters: int = 8,
+               vec_col: str = "embedding", sample_rows: int = 2000,
+               seed: int = 13) -> np.ndarray:
+    """DISTRIBUTED Lloyd k-means over the full corpus: each iteration
+    broadcasts the centroids, every batch emits per-cluster partial
+    (sum, count) rows — k × n_batches tiny rows, never vectors — and
+    the driver merges k × dim floats.  Init from a bounded sample
+    (deterministic).  The honest full-data path behind IVF list
+    training (vs the sample-only _kmeans)."""
+    sample = ds.limit(sample_rows).to_pandas()
+    Xs = np.stack([np.asarray(v, dtype=np.float64)
+                   for v in sample[vec_col]])
+    C = _kmeans(Xs, n_clusters, iters=2, seed=seed)  # cheap warm start
+    k, dim = C.shape
+    for _ in range(iters):
+        cref = ray.put(C)
+
+        def partial(batch: pa.Table) -> pa.Table:
+            cents = ray.get(cref)
+            X = embedding_matrix(batch, vec_col)
+            if len(X) == 0:
+                return pa.table({"cid": pa.array([], pa.int64()),
+                                 "s": pa.array([], pa.large_binary()),
+                                 "n": pa.array([], pa.int64())})
+            d = ((X[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            a = d.argmin(axis=1)
+            cids = np.unique(a)
+            sums = np.stack([X[a == j].sum(axis=0) for j in cids])
+            cnts = np.array([(a == j).sum() for j in cids],
+                            dtype=np.int64)
+            return pa.table({
+                "cid": cids.astype(np.int64),
+                "s": pa.array([sums[i].tobytes()
+                               for i in range(len(cids))],
+                              type=pa.large_binary()),
+                "n": cnts})
+
+        parts = ds.map_batches(partial, batch_format="pyarrow",
+                               zero_copy_batch=True).to_pandas()
+        if len(parts) == 0:
+            break
+        newC = C.copy()
+        for j in range(k):
+            sub = parts[parts["cid"] == j]
+            if len(sub) == 0:
+                continue
+            tot = np.sum([np.frombuffer(b, dtype=np.float64)
+                          for b in sub["s"]], axis=0)
+            newC[j] = tot / sub["n"].sum()
+        if np.allclose(newC, C, atol=1e-12):
+            C = newC
+            break
+        C = newC
+    return C

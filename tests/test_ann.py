@@ -85,3 +85,45 @@ def test_lsh_near_dup_pairs_recall(ray_session):
     exact_pairs = {tuple(sorted(p))
                    for p in zip(exact["id_a"], exact["id_b"])}
     assert got <= exact_pairs  # LSH never invents pairs (exact verify)
+
+
+def test_kmeans_fit_recovers_planted_clusters(ray_session):
+    """Distributed Lloyd over the full corpus finds planted cluster
+    centers; per-iteration traffic is (k x n_batches) partial rows."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+    from packcol.pipelines.ann import kmeans_fit
+    rng = np.random.default_rng(7)
+    centers = np.array([[5.0, 0, 0, 0], [0, 5.0, 0, 0], [0, 0, 5.0, 0]])
+    X = np.concatenate([c + rng.normal(0, 0.1, (400, 4))
+                        for c in centers])
+    order = rng.permutation(len(X))
+    df = pd.DataFrame({"embedding": list(X[order]),
+                       "vec_id": np.arange(len(X))})
+    ds = rd.from_pandas(df).repartition(8)
+    C = kmeans_fit(ds, 3, iters=10, sample_rows=50)
+    # every planted center has a learned centroid within 3 sigma
+    for c in centers:
+        d = np.linalg.norm(C - c, axis=1).min()
+        assert d < 0.3, (c, C)
+
+
+def test_ann_ivf_full_training_recall(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+    from packcol.pipelines.ann import ann_brute_topk, ann_ivf_topk
+    rng = np.random.default_rng(9)
+    X = rng.normal(size=(2000, 16))
+    df = pd.DataFrame({"embedding": list(X),
+                       "vec_id": np.arange(2000, dtype=np.int64)})
+    ds = rd.from_pandas(df).repartition(8)
+    q = X[:4] + rng.normal(0, 0.01, (4, 16))
+    exact = ann_brute_topk(ds, q, k=5)
+    approx = ann_ivf_topk(ds, q, k=5, n_lists=8, n_probe=4,
+                          train="full")
+    ex = exact.groupby("qid")["vec_id"].apply(set)
+    ap = approx.groupby("qid")["vec_id"].apply(set)
+    recall = np.mean([len(ex[i] & ap[i]) / 5 for i in ex.index])
+    assert recall >= 0.6, recall
