@@ -351,3 +351,24 @@ def test_encode_nested_list_column(ray_session, tmp_path):
     m = encode_files([src], out)
     assert m["rows"] == 50
     assert verify_files(out)["mismatches"] == 0
+
+
+def test_decode_to_hive_partitioned_sink(ray_session, webtext_dir,
+                                         tmp_path):
+    """Decoded store → Hive-partitioned parquet sink (partition_cols):
+    one directory per lang, readable back with partition pruning."""
+    import ray.data as rd
+    from packcol.pipelines.encode_pipeline import decode_files, encode_files
+    out = str(tmp_path / "enc_sink")
+    paths = [os.path.join(webtext_dir, f) for f in os.listdir(webtext_dir)
+             if f.endswith(".parquet")]
+    encode_files(paths, out, target_bytes=1 << 20)
+    sink = str(tmp_path / "by_lang")
+    decode_files(out).write_parquet(sink, partition_cols=["lang"])
+    langs = sorted(d.split("=")[1] for d in os.listdir(sink)
+                   if d.startswith("lang="))
+    exp = rd.read_parquet(webtext_dir).to_pandas()
+    assert langs == sorted(exp["lang"].unique())
+    # partition-pruned read returns exactly that partition's rows
+    sub = rd.read_parquet(os.path.join(sink, f"lang={langs[0]}"))
+    assert sub.count() == int((exp["lang"] == langs[0]).sum())
