@@ -74,12 +74,17 @@ def asof_join(left, right, by, on: str, strict: bool = True):
         li = np.flatnonzero(side == 0)
         ri = np.flatnonzero(side == 1)
         lt, rt = tv[li], tv[ri]
-        order_r = np.argsort(rt, kind="stable")
-        rt_sorted = rt[order_r]
-        idx = np.searchsorted(rt_sorted,
-                              lt, side="left" if strict else "right") - 1
-        matched = idx >= 0
-        src = order_r[np.clip(idx, 0, None)]
+        if len(ri) == 0:  # key exists only on the left: all unmatched
+            matched = np.zeros(len(li), dtype=bool)
+            src = np.zeros(len(li), dtype=np.int64)
+            order_r = np.empty(0, dtype=np.int64)
+        else:
+            order_r = np.argsort(rt, kind="stable")
+            rt_sorted = rt[order_r]
+            idx = np.searchsorted(
+                rt_sorted, lt, side="left" if strict else "right") - 1
+            matched = idx >= 0
+            src = order_r[np.clip(idx, 0, None)]
         cols = {}
         gl = g.take(pa.array(li))
         gr = g.take(pa.array(ri))

@@ -100,3 +100,30 @@ def test_running_aggregate_tiebreak(ray_session):
                             tiebreak="id").to_pandas()
     by_id = got.set_index("id")["run_sum"].to_dict()
     assert by_id == {1: 20, 2: 30, 3: 60}
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    left_rows=st.lists(st.tuples(st.integers(0, 3), st.integers(0, 1000)),
+                       min_size=1, max_size=60, unique=True),
+    right_rows=st.lists(st.tuples(st.integers(0, 3), st.integers(0, 1000)),
+                        min_size=1, max_size=60, unique=True),
+)
+def test_asof_join_property_vs_merge_asof(ray_session, left_rows,
+                                          right_rows):
+    left = pd.DataFrame(left_rows, columns=["k", "t"])
+    left["x"] = np.arange(len(left))
+    right = pd.DataFrame(right_rows, columns=["k", "t"])
+    right["y"] = np.arange(len(right)) * 10
+    got = asof_join(_ds(left, 3), _ds(right, 2), by="k", on="t",
+                    strict=False).to_pandas() \
+        .sort_values(["k", "t"]).reset_index(drop=True)
+    exp = pd.merge_asof(left.sort_values("t"), right.sort_values("t"),
+                        on="t", by="k", direction="backward") \
+        .sort_values(["k", "t"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[exp.columns], exp,
+                                  check_dtype=False)
