@@ -49,18 +49,26 @@ def plan_partitions(paths: list[str],
     partition is ≈ target_bytes regardless of row-size skew; an oversized
     single row group becomes its own partition (can't split finer without
     reading it)."""
+    import hashlib
     parts: list[dict] = []
     for path in sorted(paths):
         md = pq.ParquetFile(path).metadata
         sizes = [md.row_group(i).total_byte_size
                  for i in range(md.num_row_groups)]
+        # the id must identify the SOURCE uniquely: basename alone
+        # collides across directories (dir1/part-0 vs dir2/part-0) and a
+        # manifest hit would silently skip the second file — so include
+        # a short hash of the absolute path
+        tag = hashlib.sha1(os.path.abspath(path).encode()) \
+            .hexdigest()[:8]
         start, acc = 0, 0
         for i, sz in enumerate(sizes):
             acc += sz
             last = i == len(sizes) - 1
             if acc >= target_bytes or last:
                 parts.append({
-                    "part_id": f"{os.path.basename(path)}-rg{start}-{i}",
+                    "part_id": f"{os.path.basename(path)}-{tag}"
+                               f"-rg{start}-{i}",
                     "path": path, "rg_start": start, "rg_end": i,
                     "bytes": acc})
                 start, acc = i + 1, 0

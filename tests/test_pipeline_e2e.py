@@ -372,3 +372,25 @@ def test_decode_to_hive_partitioned_sink(ray_session, webtext_dir,
     # partition-pruned read returns exactly that partition's rows
     sub = rd.read_parquet(os.path.join(sink, f"lang={langs[0]}"))
     assert sub.count() == int((exp["lang"] == langs[0]).sum())
+
+
+def test_incremental_ingest_new_files(ray_session, tmp_path):
+    """Appending input files to an existing store encodes ONLY the new
+    partitions (manifest diff) — the streaming-ingest shape."""
+    import time
+    from packcol.pipelines.encode_pipeline import encode_files, verify_files
+    wt = str(tmp_path / "wt")
+    paths = write_webtext(wt, n_rows=2000, n_parts=2, seed=1)
+    out = str(tmp_path / "enc")
+    m1 = encode_files(paths, out, target_bytes=1 << 20)
+    done_mtimes = {f: os.path.getmtime(os.path.join(out, f))
+                   for f in os.listdir(out) if f.endswith(".parquet")}
+    # a third file arrives
+    extra_dir = str(tmp_path / "wt2")
+    extra = write_webtext(extra_dir, n_rows=1000, n_parts=1, seed=2)
+    m2 = encode_files(paths + extra, out, target_bytes=1 << 20)
+    assert m2["rows"] == 3000
+    assert m2["skipped_parts"] == m1["parts"]  # old parts untouched
+    for f, mt in done_mtimes.items():
+        assert os.path.getmtime(os.path.join(out, f)) == mt
+    assert verify_files(out)["mismatches"] == 0
