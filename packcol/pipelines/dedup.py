@@ -261,9 +261,33 @@ def minhash_lsh_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
 
             sig_ds = ds.map_batches(sigs_of, batch_format="pyarrow",
                                     zero_copy_batch=True)
-            from .join import shuffle_join
-            exploded = shuffle_join(exploded, sig_ds, on=id_col,
-                                    num_partitions=8)
+            # attach: small survivor sets (the common case) broadcast
+            # the (id -> sig) table and attach in-place — one object-
+            # store put, no join operator overhead; large sets use the
+            # distributed hash join.
+            _BCAST_SIG_IDS = 200_000  # ~100 MB of signatures
+            if len(surv) <= _BCAST_SIG_IDS:
+                sig_pdf = sig_ds.to_pandas()
+                order = np.argsort(sig_pdf[id_col].to_numpy())
+                sref = _ray.put((
+                    sig_pdf[id_col].to_numpy()[order],
+                    sig_pdf["sig"].to_numpy()[order]))
+
+                def attach(batch: pa.Table) -> pa.Table:
+                    sids, sblobs = _ray.get(sref)
+                    ids = _col(batch, id_col) \
+                        .to_numpy(zero_copy_only=False)
+                    pos = np.searchsorted(sids, ids)
+                    return batch.append_column(
+                        "sig", pa.array(list(sblobs[pos]),
+                                        type=pa.large_binary()))
+
+                exploded = exploded.map_batches(
+                    attach, batch_format="pyarrow")
+            else:
+                from .join import shuffle_join
+                exploded = shuffle_join(exploded, sig_ds, on=id_col,
+                                        num_partitions=8)
     cand = exploded.groupby(["band", "bh"]).map_groups(
         pairs, batch_format="pyarrow")
     from ray.data.aggregate import Count, Max
