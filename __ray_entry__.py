@@ -904,6 +904,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return agg.map_batches(finish, batch_format="pyarrow")
     q["label_centroids"] = label_centroids
 
+    # --- stratified head: first-n rows per group (ROW_NUMBER parity) -----
+    def sample_docs_per_lang(sf):
+        from packcol.pipelines.window import top_n_per_group
+        ds = _read(sf, "documents", ["lang", "doc_id", "n_chars"])
+        return top_n_per_group(ds, "lang", "doc_id", 5)
+    q["sample_docs_per_lang"] = sample_docs_per_lang
+
     # --- pivot: categorical → per-category count columns -----------------
     def user_event_pivot(sf):
         from packcol.stages.skew import pivot_count
@@ -1083,6 +1090,11 @@ def oracle_sql() -> dict[str, str]:
             "SELECT label, gs AS dim, ROUND(AVG(embedding[gs]), 6) AS v "
             "FROM embeddings CROSS JOIN generate_series(1, 64) t(gs) "
             "GROUP BY label, gs"),
+        "sample_docs_per_lang": (
+            "SELECT lang, doc_id, n_chars FROM ("
+            "SELECT lang, doc_id, n_chars, ROW_NUMBER() OVER "
+            "(PARTITION BY lang ORDER BY doc_id) AS rn FROM documents) "
+            "WHERE rn <= 5"),
         "user_event_pivot": (
             "SELECT user_id, "
             "SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) "

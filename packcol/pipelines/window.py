@@ -133,3 +133,19 @@ def running_aggregate(ds, by, on, col: str, agg: str = "sum",
         return g.append_column(out_col, pa.array(_CUM_FUNCS[agg](v)))
 
     return ds.groupby(by).map_groups(per_key, batch_format="pyarrow")
+
+
+def top_n_per_group(ds, by, order_col: str, n: int,
+                    descending: bool = False):
+    """First n rows of each group under a total order — the
+    stratified-sample / per-key-top-k shape (SQL ROW_NUMBER() OVER
+    (PARTITION BY by ORDER BY order_col) <= n).  One hash shuffle on
+    the group key; sort + head inside each group."""
+    by = [by] if isinstance(by, str) else list(by)
+
+    def per_group(g: pa.Table) -> pa.Table:
+        v = g.column(order_col).to_numpy(zero_copy_only=False)
+        order = np.argsort(-v if descending else v, kind="stable")
+        return g.take(pa.array(order[:n]))
+
+    return ds.groupby(by).map_groups(per_group, batch_format="pyarrow")

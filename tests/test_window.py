@@ -127,3 +127,21 @@ def test_asof_join_property_vs_merge_asof(ray_session, left_rows,
         .sort_values(["k", "t"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(got[exp.columns], exp,
                                   check_dtype=False)
+
+
+def test_top_n_per_group(ray_session):
+    rng = np.random.default_rng(5)
+    df = pd.DataFrame({"g": rng.integers(0, 6, 300),
+                       "v": rng.permutation(300).astype("int64")})
+    from packcol.pipelines.window import top_n_per_group
+    got = top_n_per_group(_ds(df), "g", "v", 3).to_pandas()
+    exp = df.sort_values("v").groupby("g").head(3)
+    assert len(got) == len(exp)
+    for g, sub in got.groupby("g"):
+        assert sorted(sub["v"]) == sorted(
+            exp[exp["g"] == g]["v"].tolist())
+    desc = top_n_per_group(_ds(df), "g", "v", 2, descending=True) \
+        .to_pandas()
+    for g, sub in desc.groupby("g"):
+        assert set(sub["v"]) == set(
+            df[df["g"] == g]["v"].nlargest(2))
