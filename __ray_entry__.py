@@ -497,8 +497,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def _encoded_store(sf, table):
         import hashlib
         from packcol.pipelines.encode_pipeline import encode_files
+        # the store path embeds the part-id SCHEME version: resuming a
+        # store written under a different scheme would re-encode the
+        # same rows beside the old parts (duplicates)
         tag = hashlib.sha1(os.path.abspath(sf).encode()).hexdigest()[:10]
-        out = os.path.join("/tmp", f"packcol_store_{table}_{tag}")
+        out = os.path.join("/tmp", f"packcol_store_v2_{table}_{tag}")
         encode_files([os.path.join(sf, f"{table}.parquet")], out,
                      resume=True)  # manifest-resumable: re-calls skip
         return out

@@ -7,6 +7,12 @@ diffs the manifest against the input descriptors and skips completed
 partitions; the codec decision is a deterministic function of partition
 stats (stages/select.py), so re-encoding a partition reproduces
 byte-identical output (`params_hash` pins this).
+
+CAVEAT: resume identity is the part_id string.  If the id scheme
+changes between engine versions, resuming an old store re-encodes
+everything under the new ids BESIDE the old parts — duplicated rows.
+Don't resume a store written by a different scheme version; start a
+fresh output dir (or wipe) on upgrade.
 """
 
 from __future__ import annotations
