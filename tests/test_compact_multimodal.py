@@ -114,3 +114,20 @@ def test_read_single_column(enc_dir, ray_session, tmp_path):
     langs = read_column(dest, "lang").to_pandas()
     assert len(langs) == 3000
     assert set(langs.columns) == {"lang"}
+
+
+def test_filter_encoded_on_recompacted_store(enc_dir, ray_session,
+                                             tmp_path):
+    """Predicate pushdown still works after recompaction: the merged
+    store has no zone manifests (conservative: every part read), but
+    the encoded-domain filter stays exact."""
+    import ray.data as rd
+    from packcol.pipelines.compact import recompact
+    from packcol.pipelines.encode_pipeline import (decode_files,
+                                                   filter_encoded)
+    dest = str(tmp_path / "merged_flt")
+    recompact(enc_dir, dest, merge_factor=4)
+    got = filter_encoded(dest, "lang", "de", ["url", "lang"]).to_pandas()
+    exp = decode_files(enc_dir).to_pandas()
+    exp = exp[exp["lang"] == "de"]
+    assert sorted(got["url"]) == sorted(exp["url"])
