@@ -907,6 +907,31 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return agg.map_batches(finish, batch_format="pyarrow")
     q["label_centroids"] = label_centroids
 
+    # --- set intersection via tagged union + per-key aggregate -----------
+    def users_click_and_purchase(sf):
+        from ray.data.aggregate import Max
+        ds = _read(sf, "events", ["user_id", "event_type"])
+
+        def tags(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pcc
+            et = batch.column("event_type")
+            return pa.table({
+                "user_id": batch.column("user_id"),
+                "is_c": pcc.cast(pcc.equal(et, "click"), pa.int64()),
+                "is_p": pcc.cast(pcc.equal(et, "purchase"), pa.int64())})
+        agg = ds.map_batches(tags, batch_format="pyarrow",
+                             zero_copy_batch=True) \
+            .groupby("user_id").aggregate(Max("is_c", alias_name="c"),
+                                          Max("is_p", alias_name="p"))
+
+        def both(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pcc
+            m = pcc.and_(pcc.equal(batch.column("c"), 1),
+                         pcc.equal(batch.column("p"), 1))
+            return batch.filter(m).select(["user_id"])
+        return agg.map_batches(both, batch_format="pyarrow")
+    q["users_click_and_purchase"] = users_click_and_purchase
+
     # --- stratified head: first-n rows per group (ROW_NUMBER parity) -----
     def sample_docs_per_lang(sf):
         from packcol.pipelines.window import top_n_per_group
@@ -1093,6 +1118,10 @@ def oracle_sql() -> dict[str, str]:
             "SELECT label, gs AS dim, ROUND(AVG(embedding[gs]), 6) AS v "
             "FROM embeddings CROSS JOIN generate_series(1, 64) t(gs) "
             "GROUP BY label, gs"),
+        "users_click_and_purchase": (
+            "SELECT user_id FROM events WHERE event_type = 'click' "
+            "INTERSECT "
+            "SELECT user_id FROM events WHERE event_type = 'purchase'"),
         "sample_docs_per_lang": (
             "SELECT lang, doc_id, n_chars FROM ("
             "SELECT lang, doc_id, n_chars, ROW_NUMBER() OVER "
