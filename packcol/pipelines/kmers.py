@@ -55,7 +55,7 @@ def _merge_counts(a: "pa.Table", b: "pa.Table") -> "pa.Table":
 
 def count_canonical_kmers(ds, seq_col: str = "text", k: int = 31,
                           strategy: str = "tree",
-                          partial_batch_size: int = 131072):
+                          partial_batch_size: int = 49152):
     """Dataset of (kmer:string, n:int64): counts of canonical k-mers over
     all ACGT-alphabet windows of `seq_col` (invalid symbols skipped,
     case-insensitive — reference iterator semantics).
@@ -157,7 +157,19 @@ def count_canonical_kmers(ds, seq_col: str = "text", k: int = 31,
     merged = refs[0]
     if not isinstance(merged, pa.Table):
         merged = ray.get(merged)
-    return rd.from_arrow(to_strings(merged))
+    # decode packed words → k-mer strings DISTRIBUTED: a 5M-row result
+    # is ~15 s of string building on one core — slice the merged table
+    # and fan the decode out instead of running it on the driver
+    n_rows = merged.num_rows
+    if n_rows < 65536:
+        return rd.from_arrow(to_strings(merged))
+    n_slices = 32
+    step = -(-n_rows // n_slices)
+    slices = [merged.slice(i * step, step)
+              for i in range(n_slices) if i * step < n_rows]
+    return rd.from_arrow_refs([ray.put(s) for s in slices]) \
+        .map_batches(to_strings, batch_format="pyarrow",
+                     zero_copy_batch=True)
 
 
 def _count_via_minimizer_buckets(ds, seq_col: str, k: int,

@@ -66,13 +66,16 @@ def main() -> None:
     import ray
     ray.init(address="local", num_cpus=args.num_cpus,
              include_dashboard=False, logging_level="ERROR",
-             object_store_memory=4 << 30)
+             object_store_memory=4 << 30,
+             runtime_env={"env_vars": {
+                 "ARROW_DEFAULT_MEMORY_POOL": "system"}})
     import ray.data as rd
     from ray.data import DataContext
     DataContext.get_current().enable_progress_bars = False
 
     from packcol.pipelines.kmers import count_canonical_kmers
-    paths = make_reads_parquet("/tmp/packcol_genomics", args.reads)
+    paths = make_reads_parquet(f"/tmp/packcol_genomics_{args.reads}",
+                               args.reads)
     raw = sum(os.path.getsize(p) for p in paths)
 
     distinct = {}
