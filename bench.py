@@ -150,6 +150,24 @@ def main() -> None:
             t_q, _ = timed(lambda n=name: _materialize(_qs[n](SF_DIR)))
             queries[name] = round(t_q, 3)
 
+    # --- genomics: canonical k-mer counting, minimizer buckets ------------
+    # (bounded corpus so the whole bench stays minutes; the full 1.36M-
+    # read record lives in BASELINE.md via scripts/bench_genomics.py)
+    try:
+        import sys as _sys
+        _sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        from scripts.bench_genomics import make_reads_parquet
+        from packcol.pipelines.kmers import count_canonical_kmers
+        gpaths = make_reads_parquet("/tmp/packcol_bench/genomics_100k",
+                                    100_000, n_parts=16)
+        gds = rd.read_parquet(gpaths)
+        t_q, n_distinct = timed(lambda: count_canonical_kmers(
+            gds, "seq", 31, strategy="minimizer").count())
+        queries["kmer_minimizer_100k"] = round(t_q, 3)
+        extras["kmer_distinct_100k"] = n_distinct
+    except Exception as ex:  # keep the headline robust
+        extras["kmer_bench_error"] = str(ex)[:200]
+
     emb_path = os.path.join(SF_DIR, "embeddings.parquet")
     if os.path.exists(emb_path):
         import numpy as np
