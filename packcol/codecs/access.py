@@ -47,17 +47,21 @@ def get_value(enc: EncodedColumn, i: int):
         return dictionary[code].as_py()
     if enc.codec in ("for", "bitpack"):
         delta = _unpack_one(enc.buffers["payload"], p["width"], i)
-        v = np.int64(np.uint64(np.int64(p["base"]).astype(np.uint64)
-                               + np.uint64(delta)))
-        arr = pa.array(np.array([v], dtype=np.int64))
+        # mod-2^64 add in a uint64 array, then reinterpret — wrapping
+        # via scalar np.int64(np.uint64(...)) raises on numpy >= 2.0
+        u = np.array([p["base"]], dtype=np.int64).view(np.uint64)
+        with np.errstate(over="ignore"):
+            u = u + np.uint64(delta)
+        v64 = u.view(np.int64)
         from .forpack import from_int64_numpy
-        return from_int64_numpy(np.array([v], dtype=np.int64),
-                                str_to_type(p["dtype"]))[0].as_py()
+        return from_int64_numpy(v64, str_to_type(p["dtype"]))[0].as_py()
     if enc.codec == "rle":
-        # O(log n_runs): binary search the cumulative run lengths
+        # vectorized unpack of the run lengths (one pass over the small
+        # lens buffer), then binary search the cumulative lengths
+        from .bitpack import unpack
         nr = p["n_runs"]
-        lens = np.array([_unpack_one(enc.buffers["lens"], p["len_width"], j)
-                         for j in range(nr)], dtype=np.int64)
+        words = np.frombuffer(enc.buffers["lens"], dtype=np.uint64)
+        lens = unpack(words, p["len_width"], nr).astype(np.int64)
         ends = np.cumsum(lens)
         run = int(np.searchsorted(ends, i, side="right"))
         code = _unpack_one(enc.buffers["payload"], p["val_width"], run) - 1

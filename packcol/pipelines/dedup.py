@@ -161,13 +161,16 @@ def minhash_lsh_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
             return bands.astype(np.uint64) * _MIX ^ \
                 bhs.astype(np.int64).view(np.uint64)
 
-    approx_keys = ds.count() * n_bands
+    # pin the sketch rows unconditionally: they are consumed at least
+    # twice (key/count scan + collision filter) and re-running the
+    # signature stage would re-shingle the whole corpus.  Rows are 24 B
+    # — far smaller than the documents — and the object store spills
+    # rather than holding them in heap.  (Sizing the branch with
+    # ds.count() instead would itself execute the full upstream
+    # pipeline once, tripling signature work for lazy inputs.)
+    exploded = exploded.materialize()
+    approx_keys = exploded.count()  # metadata on a materialized dataset
     if approx_keys <= 50_000_000:  # driver-merge path (≤ ~400 MB of keys)
-        # pin the sketch rows: they are consumed twice (key scan + filter)
-        # and re-running the signature stage would double the compute.
-        # Bounded by the key cap (~1.2 GB).  The at-scale branch instead
-        # recomputes — streaming-friendly, no full materialization.
-        exploded = exploded.materialize()
         key_tables = exploded.map_batches(
             lambda t: pa.table({"k": _keys_of(t).view(np.int64)}),
             batch_format="pyarrow")
@@ -349,12 +352,26 @@ def verify_pairs_identical(ds, pairs, text_col: str = "text",
 
     fps = ds.map_batches(fp_of_candidates,
                          batch_format="pyarrow").to_pandas()
-    fps = fps.drop_duplicates(id_col).set_index(id_col)["fp"]
+    fps = fps.drop_duplicates(id_col)
+    if len(fps) == 0:  # no candidate id present in the corpus
+        return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                             "id_b": pd.Series([], dtype="int64")})
+    # int64-exact lookup: Series.map would coerce fp to float64 when any
+    # id is missing, making the equality test lossy above 53 bits
+    ids_sorted = np.sort(fps[id_col].to_numpy())
+    fp_sorted = fps["fp"].to_numpy()[np.argsort(fps[id_col].to_numpy())]
+
+    def lookup(ids: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        pos = np.searchsorted(ids_sorted, ids)
+        safe = np.minimum(pos, len(ids_sorted) - 1)
+        found = ids_sorted[safe] == ids
+        return fp_sorted[safe], found
+
     a = cand["id_a"].to_numpy()
     b = cand["id_b"].to_numpy()
-    fa = pd.Series(a).map(fps)
-    fb = pd.Series(b).map(fps)
-    keep = (fa.notna() & fb.notna() & (fa == fb)).to_numpy()
+    fa, oka = lookup(a)
+    fb, okb = lookup(b)
+    keep = oka & okb & (fa == fb)
     out = pd.DataFrame({"id_a": a[keep], "id_b": b[keep]})
     return out.drop_duplicates().sort_values(["id_a", "id_b"]) \
         .reset_index(drop=True)

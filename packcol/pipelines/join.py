@@ -26,20 +26,29 @@ import pyarrow as pa
 _DEFAULT_BROADCAST_CAP = 256 << 20  # bytes; dims beyond this → shuffle_join
 
 
-def _as_table(small) -> pa.Table:
+def _as_table(small, max_bytes: int | None = None) -> pa.Table:
     import pandas as pd
     if isinstance(small, pa.Table):
         return small
     if isinstance(small, pd.DataFrame):
         return pa.Table.from_pandas(small, preserve_index=False)
-    # ray Dataset — caller asserts it is the SMALL side
-    tbls = [b for b in small.iter_batches(batch_format="pyarrow")]
+    # ray Dataset — caller asserts it is the SMALL side.  Enforce the
+    # byte cap WHILE streaming so an oversized "small" side raises the
+    # clean error instead of OOMing the driver during collection.
+    tbls, acc = [], 0
+    for b in small.iter_batches(batch_format="pyarrow"):
+        t = b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
+        acc += t.nbytes
+        if max_bytes is not None and acc > max_bytes:
+            raise ValueError(
+                f"small side exceeds broadcast cap "
+                f"({max_bytes >> 20} MiB) during collection; "
+                "use shuffle_join")
+        tbls.append(t)
     if not tbls:
         raise ValueError("empty small side: schema unknown; pass a "
                          "pyarrow Table instead")
-    return pa.concat_tables(
-        [t if isinstance(t, pa.Table) else pa.Table.from_batches([t])
-         for t in tbls])
+    return pa.concat_tables(tbls)
 
 
 class _BroadcastProbe:
@@ -84,7 +93,8 @@ def broadcast_join(big, small, on, right_on=None,
     on = [on] if isinstance(on, str) else list(on)
     right_on = on if right_on is None else (
         [right_on] if isinstance(right_on, str) else list(right_on))
-    small_t = _as_table(small).combine_chunks()
+    small_t = _as_table(small, max_bytes=max_broadcast_bytes) \
+        .combine_chunks()
     if small_t.nbytes > max_broadcast_bytes:
         raise ValueError(
             f"small side is {small_t.nbytes >> 20} MiB > broadcast cap "

@@ -67,12 +67,21 @@ def asof_join(left, right, by, on: str, strict: bool = True):
         side = g.column("__side").to_numpy(zero_copy_only=False)
         t = g.column(on).combine_chunks() if isinstance(
             g.column(on), pa.ChunkedArray) else g.column(on)
+        # null 'on' values would become NaN and searchsorted-match the
+        # LATEST right row; they must not participate at all — null-on
+        # right rows are dropped, null-on left rows emit unmatched
+        valid = np.ones(len(t), dtype=bool) if t.null_count == 0 else \
+            t.is_valid().to_numpy(zero_copy_only=False)
         if pa.types.is_temporal(t.type):  # epoch int64, order-preserving
-            tv = t.cast(pa.int64()).to_numpy(zero_copy_only=False)
+            ti = t.cast(pa.int64())
+            tv = (pc.fill_null(ti, 0) if t.null_count else ti) \
+                .to_numpy(zero_copy_only=False)
         else:
-            tv = t.to_numpy(zero_copy_only=False)
+            tv = (pc.fill_null(t, 0) if t.null_count else t) \
+                .to_numpy(zero_copy_only=False)
         li = np.flatnonzero(side == 0)
-        ri = np.flatnonzero(side == 1)
+        ri = np.flatnonzero((side == 1) & valid)
+        null_left = ~valid[li]
         lt, rt = tv[li], tv[ri]
         if len(ri) == 0:  # key exists only on the left: all unmatched
             matched = np.zeros(len(li), dtype=bool)
@@ -83,7 +92,7 @@ def asof_join(left, right, by, on: str, strict: bool = True):
             rt_sorted = rt[order_r]
             idx = np.searchsorted(
                 rt_sorted, lt, side="left" if strict else "right") - 1
-            matched = idx >= 0
+            matched = (idx >= 0) & ~null_left
             src = order_r[np.clip(idx, 0, None)]
         cols = {}
         gl = g.take(pa.array(li))
@@ -145,7 +154,9 @@ def top_n_per_group(ds, by, order_col: str, n: int,
 
     def per_group(g: pa.Table) -> pa.Table:
         v = g.column(order_col).to_numpy(zero_copy_only=False)
-        order = np.argsort(-v if descending else v, kind="stable")
-        return g.take(pa.array(order[:n]))
+        order = np.argsort(v, kind="stable")
+        if descending:  # reverse AFTER the sort: negating the values
+            order = order[::-1]  # mis-sorts unsigned ints, breaks strings
+        return g.take(pa.array(np.ascontiguousarray(order[:n])))
 
     return ds.groupby(by).map_groups(per_group, batch_format="pyarrow")

@@ -36,8 +36,19 @@ def value_hashes(arr: pa.Array) -> np.ndarray:
     if pa.types.is_floating(arr.type):
         v = arr.to_numpy(zero_copy_only=False).astype(np.float64)
         return _splitmix64(v.view(np.uint64))
-    # string-ish: rolling-hash fingerprint per row
-    return fingerprints(arr)
+    if pa.types.is_string(arr.type) or pa.types.is_large_string(arr.type) \
+            or pa.types.is_binary(arr.type) \
+            or pa.types.is_large_binary(arr.type):
+        # string-ish: rolling-hash fingerprint per row
+        return fingerprints(arr)
+    # decimal / nested / other: no vectorized kernel — hash the string
+    # form per row (slow path, correct; previously nested columns got
+    # silently identical all-zero hashes and decimals crashed)
+    try:
+        s = arr.cast(pa.string())
+    except (pa.ArrowNotImplementedError, pa.ArrowInvalid):
+        s = pa.array([str(x) for x in arr.to_pylist()], pa.string())
+    return fingerprints(s)
 
 
 def kmv_sketch(hashes: np.ndarray, k: int = KMV_K) -> np.ndarray:

@@ -51,8 +51,6 @@ def chunk_rows(batch: pa.Table, column: str, max_cell_bytes: int,
         np.repeat(np.cumsum(n_segs) - n_segs, n_segs)
     seg_start = offs[:-1][row_of_seg] + seg_no * max_cell_bytes
     seg_end = np.minimum(seg_start + max_cell_bytes, offs[1:][row_of_seg])
-    new_offs = np.zeros(total_segs + 1, dtype=np.int64)
-    np.cumsum(seg_end - seg_start, out=new_offs[1:])
     # data buffer is unchanged — only offsets change — when each row's
     # segments are contiguous (they are); so the segment column reuses d
     large = (pa.types.is_large_string(col.type)
@@ -82,6 +80,14 @@ def chunk_rows(batch: pa.Table, column: str, max_cell_bytes: int,
         [f"{row_id_base}{i}" for i in row_of_seg], type=pa.string())
     cols["__seg_no"] = pa.array(seg_no)
     cols["__n_segs"] = pa.array(n_segs[row_of_seg])
+    # preserve null vs empty: fill_null above erased the distinction,
+    # so carry the original validity for exact reassembly
+    if col.null_count:
+        was_null = ~col.is_valid().to_numpy(zero_copy_only=False)
+        cols["__was_null"] = pa.array(was_null[row_of_seg])
+    else:
+        cols["__was_null"] = pa.array(
+            np.zeros(total_segs, dtype=bool))
     return pa.table(cols)
 
 
@@ -103,9 +109,16 @@ def reassemble_rows(batch: pa.Table, column: str) -> pa.Table:
     firsts = np.flatnonzero(first)
     n_rows = len(firsts)
     counts = n_segs[firsts]
-    # new offsets: sum of segment lengths per row
+    # completeness check: a repartition that split a row's segments
+    # across partitions would silently merge/truncate cells otherwise
     seg_lens = np.diff(offs)
     row_ids = np.cumsum(first) - 1
+    if len(t) and (row_ids[0] < 0 or not np.array_equal(
+            np.bincount(row_ids[row_ids >= 0], minlength=n_rows),
+            counts)):
+        raise ValueError(
+            "reassemble_rows: missing segments — all segments of a row "
+            "must be in one partition (documented assumption)")
     row_lens = np.bincount(row_ids, weights=seg_lens,
                            minlength=n_rows).astype(np.int64)
     new_offs = np.zeros(n_rows + 1, dtype=np.int64)
@@ -116,10 +129,20 @@ def reassemble_rows(batch: pa.Table, column: str) -> pa.Table:
     joined = pa.Array.from_buffers(
         col.type, n_rows,
         [None, pa.py_buffer(off_arr.tobytes()), pa.py_buffer(d.tobytes())])
+    if "__was_null" in t.column_names:  # restore null vs empty exactly
+        wn = t.column("__was_null").to_numpy(zero_copy_only=False)[firsts]
+        if wn.any():
+            validity = np.packbits(~wn, bitorder="little")
+            joined = pa.Array.from_buffers(
+                col.type, n_rows,
+                [pa.py_buffer(validity.tobytes()),
+                 pa.py_buffer(off_arr.tobytes()),
+                 pa.py_buffer(d.tobytes())],
+                null_count=int(wn.sum()))
     take = pa.array(firsts)
     cols = {}
     for name in t.column_names:
-        if name in ("__row_id", "__seg_no", "__n_segs"):
+        if name in ("__row_id", "__seg_no", "__n_segs", "__was_null"):
             continue
         if name == column:
             cols[name] = joined

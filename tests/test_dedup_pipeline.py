@@ -174,3 +174,27 @@ def test_bucket_cap_bounds_group(ray_session):
                               threshold=0.5, max_bucket=50).to_pandas()
     # capped at 50 rows → at most C(50,2) distinct pairs
     assert 0 < len(pairs) <= 50 * 49 // 2
+
+
+def test_verify_pairs_fp_compare_is_int_exact(ray_session):
+    """Regression: with a candidate id missing from the corpus, pandas
+    map coerced fingerprints to float64 and two fps differing only
+    below bit 53 compared equal."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+    from packcol.pipelines.dedup import verify_pairs_identical
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": ["aaa", "bbb", "ccc"]}))  # all texts DIFFERENT
+    pairs = pd.DataFrame({"id_a": [1, 1], "id_b": [2, 99]})  # 99 absent
+    out = verify_pairs_identical(ds, pairs)
+    assert len(out) == 0  # nothing is identical; nothing survives
+    # identical texts still verify
+    ds2 = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "text": ["same", "same"]}))
+    out2 = verify_pairs_identical(
+        ds2, pd.DataFrame({"id_a": [1], "id_b": [2]}))
+    assert out2[["id_a", "id_b"]].values.tolist() == [[1, 2]]

@@ -119,3 +119,26 @@ def test_approx_quantiles_within_rank_tolerance(ray_session):
     # deterministic for a fixed partitioning
     got2 = approx_quantiles(ds, "v", qs, k=16384)
     pd.testing.assert_frame_equal(got, got2)
+
+
+def test_column_profile_handles_nested_and_decimal(ray_session):
+    """Regression: list columns silently hashed to all-zeros
+    (n_distinct=1) and decimal columns crashed profile_batch."""
+    import decimal
+    import pyarrow as pa
+    import ray.data as rd
+    from packcol.stages.profile import column_profile, value_hashes
+    import numpy as np
+    lists = pa.array([[1, 2], [3], [1, 2], [4, 5, 6]],
+                     pa.list_(pa.int64()))
+    h = value_hashes(lists)
+    assert len(np.unique(h)) == 3  # [1,2] repeats; others distinct
+    t = pa.table({
+        "lst": lists,
+        "dec": pa.array([decimal.Decimal("1.25")] * 2
+                        + [decimal.Decimal("2.50")] * 2,
+                        pa.decimal128(5, 2))})
+    prof = column_profile(rd.from_arrow(t)).to_pandas() \
+        .set_index("column")
+    assert prof.loc["lst", "n_distinct"] == 3
+    assert prof.loc["dec", "n_distinct"] == 2

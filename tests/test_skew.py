@@ -121,3 +121,36 @@ def test_pivot_count_matches_pandas(ray_session):
         .sort_values("u").reset_index(drop=True)
     pd.testing.assert_frame_equal(got[exp.columns], exp,
                                   check_dtype=False)
+
+
+def test_chunk_reassemble_preserves_nulls(ray_session):
+    """Regression: nulls came back as empty strings after a
+    chunk/reassemble cycle."""
+    import pyarrow as pa
+    from packcol.stages.skew import chunk_rows, reassemble_rows
+    t = pa.table({
+        "id": pa.array([0, 1, 2, 3], pa.int64()),
+        "html": pa.array([None, "x" * 5000, "", "small"],
+                         pa.large_string())})
+    chunked = chunk_rows(t, "html", max_cell_bytes=1024)
+    back = reassemble_rows(chunked, "html")
+    back = back.sort_by("id")
+    assert back.column("html").null_count == 1
+    assert back.column("html")[0].as_py() is None
+    assert back.column("html")[2].as_py() == ""
+    assert back.column("html")[1].as_py() == "x" * 5000
+
+
+def test_reassemble_missing_segments_raises(ray_session):
+    import pyarrow as pa
+    import pytest as _pt
+    from packcol.stages.skew import chunk_rows, reassemble_rows
+    t = pa.table({"id": pa.array([0], pa.int64()),
+                  "html": pa.array(["y" * 5000], pa.large_string())})
+    chunked = chunk_rows(t, "html", max_cell_bytes=1024)
+    broken = chunked.slice(1)  # drop segment 0
+    with _pt.raises(ValueError, match="missing segments"):
+        reassemble_rows(broken, "html")
+    broken2 = chunked.slice(0, chunked.num_rows - 1)  # drop last seg
+    with _pt.raises(ValueError, match="missing segments"):
+        reassemble_rows(broken2, "html")

@@ -145,3 +145,36 @@ def test_top_n_per_group(ray_session):
     for g, sub in desc.groupby("g"):
         assert set(sub["v"]) == set(
             df[df["g"] == g]["v"].nlargest(2))
+
+
+def test_top_n_per_group_unsigned_and_string_order(ray_session):
+    """Regression: descending once negated the order column, which
+    wrap-mis-sorted unsigned ints and crashed on strings."""
+    from packcol.pipelines.window import top_n_per_group
+    df = pd.DataFrame({"g": [1, 1, 1], "v": pd.array(
+        [0, 5, 3], dtype="UInt64").astype("uint64")})
+    got = top_n_per_group(_ds(df, 1), "g", "v", 1, descending=True) \
+        .to_pandas()
+    assert got["v"].tolist() == [5]
+    sdf = pd.DataFrame({"g": [0, 0, 0], "s": ["b", "z", "a"],
+                        "x": [1, 2, 3]})
+    top = top_n_per_group(_ds(sdf, 1), "g", "s", 1, descending=True) \
+        .to_pandas()
+    assert top["s"].tolist() == ["z"]
+
+
+def test_asof_join_null_on_values(ray_session):
+    """Regression: null 'on' values matched the LATEST right row via
+    NaN ordering; they must stay unmatched / be excluded."""
+    left = pd.DataFrame({"k": [1, 1, 1],
+                         "t": pd.array([10, None, 30], dtype="Int64"),
+                         "x": [1, 2, 3]})
+    right = pd.DataFrame({"k": [1, 1],
+                          "t": pd.array([5, None], dtype="Int64"),
+                          "y": [100, 999]})
+    got = asof_join(_ds(left, 1), _ds(right, 1), by="k", on="t",
+                    strict=False).to_pandas().sort_values(
+        "x").reset_index(drop=True)
+    assert got["y"].tolist()[0] == 100        # t=10 matches t=5
+    assert pd.isna(got["y"].iloc[1])          # null-on left: unmatched
+    assert got["y"].tolist()[2] == 100        # null-on right excluded
