@@ -939,6 +939,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return top_n_per_group(ds, "lang", "doc_id", 5)
     q["sample_docs_per_lang"] = sample_docs_per_lang
 
+    # --- unnest/explode: list column → one row per element ---------------
+    def unnest_embeddings(sf):
+        ds = _read(sf, "embeddings", ["vec_id", "embedding"])
+
+        def explode(batch: pa.Table) -> pa.Table:
+            emb = batch.column("embedding")
+            if isinstance(emb, pa.ChunkedArray):
+                emb = emb.combine_chunks()
+            flat = emb.flatten()
+            lens = np.diff(emb.offsets.to_numpy(zero_copy_only=False))
+            ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+            return pa.table({"vec_id": np.repeat(ids, lens), "v": flat})
+        return ds.map_batches(explode, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    q["unnest_embeddings"] = unnest_embeddings
+
     # --- pivot: categorical → per-category count columns -----------------
     def user_event_pivot(sf):
         from packcol.stages.skew import pivot_count
@@ -1127,6 +1143,8 @@ def oracle_sql() -> dict[str, str]:
             "SELECT lang, doc_id, n_chars, ROW_NUMBER() OVER "
             "(PARTITION BY lang ORDER BY doc_id) AS rn FROM documents) "
             "WHERE rn <= 5"),
+        "unnest_embeddings": (
+            "SELECT vec_id, UNNEST(embedding) AS v FROM embeddings"),
         "user_event_pivot": (
             "SELECT user_id, "
             "SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) "
