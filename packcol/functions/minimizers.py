@@ -148,6 +148,24 @@ def _sliding_argmin(keys: np.ndarray, L: int) -> np.ndarray:
     return (win & np.uint64((1 << pos_bits) - 1)).astype(np.int64)
 
 
+def _sliding_min(keys: np.ndarray, L: int) -> np.ndarray:
+    """Exact min VALUE of every length-L window (no position packing,
+    full 64-bit precision) — same O(n) block prefix/suffix scheme as
+    _sliding_argmin.  Used for bucket keys: the min value is invariant
+    to which tied position gets picked, so a canonical k-mer maps to
+    the same bucket from either strand even when _sliding_argmin's
+    truncated tie-break chooses different positions."""
+    n = len(keys)
+    nw = n - L + 1
+    nb = -(-n // L)
+    padded = np.full(nb * L, _U64_MAX, dtype=np.uint64)
+    padded[:n] = keys
+    a = padded.reshape(nb, L)
+    pre = np.minimum.accumulate(a, axis=1).ravel()
+    suf = np.minimum.accumulate(a[:, ::-1], axis=1)[:, ::-1].ravel()
+    return np.minimum(suf[:nw], pre[L - 1:L - 1 + nw])
+
+
 def minimizer_scan(seq: str | bytes, k: int, w: int,
                    hasher=lex_hash) -> tuple[np.ndarray, np.ndarray]:
     """Vectorized equivalent of :func:`minimizer_scan_deque` (same
@@ -253,16 +271,19 @@ def canonical_superkmer_spans_batch(seqs, k: int, w: int
     vals = _wmer_words_from_codes(safe, w)
     canon_vals = np.minimum(lex_hash(vals, w),
                             lex_hash(revcomp_words(vals, w), w))
-    pos = _sliding_argmin(canon_vals, k - w + 1)
     win = np.flatnonzero(ok)
     if len(win) == 0:
         return np.empty(0, np.uint64), z, z, z
-    mpos = pos[win]
-    key = canon_vals[mpos]
+    # bucket key = exact windowed MIN VALUE, not canon_vals[argmin]:
+    # under _sliding_argmin's truncated tie-break (large w, long joined
+    # batches) the chosen POSITION can differ between a read and its
+    # reverse complement, but the min value cannot — and spans break on
+    # KEY change so every k-mer's bucket is its own window min
+    key = _sliding_min(canon_vals, k - w + 1)[win]
     row = np.searchsorted(new_starts, win, side="right") - 1
-    # break runs on: minimizer position change, row change, or a gap in
+    # break runs on: minimizer value change, row change, or a gap in
     # consecutive kmer indices (invalid window in between)
-    brk = (mpos[1:] != mpos[:-1]) | (row[1:] != row[:-1]) | \
+    brk = (key[1:] != key[:-1]) | (row[1:] != row[:-1]) | \
         (win[1:] != win[:-1] + 1)
     starts_i = np.concatenate([[0], np.flatnonzero(brk) + 1])
     ends_i = np.concatenate([np.flatnonzero(brk), [len(win) - 1]])
@@ -287,10 +308,11 @@ def canonical_superkmers(seq: str | bytes, k: int, w: int
         return np.empty(0, np.uint64), e, e
     rc = revcomp_words(vals, w)
     canon_vals = np.minimum(lex_hash(vals, w), lex_hash(rc, w))
-    pos = _sliding_argmin(canon_vals, k - w + 1)
-    key = canon_vals[pos]
-    # runs of identical (minimizer pos) → super-k-mer spans
-    brk = np.flatnonzero(pos[1:] != pos[:-1]) + 1
+    # key = exact window MIN VALUE; spans break on key change (see
+    # canonical_superkmer_spans_batch for why argmin-position keying
+    # is strand-dependent under truncated tie-breaks)
+    key = _sliding_min(canon_vals, k - w + 1)
+    brk = np.flatnonzero(key[1:] != key[:-1]) + 1
     starts = np.concatenate([[0], brk])
     ends_k = np.concatenate([brk, [n_kmers]])  # exclusive kmer index
     return key[starts], starts.astype(np.int64), \

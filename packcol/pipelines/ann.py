@@ -25,6 +25,12 @@ def embedding_matrix(batch: pa.Table, vec_col: str = "embedding"
     n = len(emb)
     if n == 0:
         return np.empty((0, 0))
+    if emb.null_count:
+        # flatten() would drop the null rows' values and silently
+        # misalign every vector against its id — refuse instead
+        raise ValueError(
+            f"{vec_col} contains {emb.null_count} null vectors; filter "
+            "null embeddings before ANN/centroid stages")
     t = emb.type
     if not (pa.types.is_list(t) or pa.types.is_large_list(t)
             or pa.types.is_fixed_size_list(t)):
@@ -109,12 +115,14 @@ def embedding_near_dup_pairs(ds, threshold: float = 0.9,
         np.empty(0, np.int64)
     import ray
     if len(ids_all) == 0:
-        ref = ray.put((ids_all, np.empty((0, 0), np.float64)))
+        ref = ray.put((ids_all, np.empty((0, 0), np.float32)))
     else:
-        X = np.concatenate(vec_parts).reshape(
-            len(ids_all), -1).astype(np.float64)
-        Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True),
-                            1e-30)
+        # broadcast stays float32 — the documented ~0.5 GB/1M×128 bound;
+        # upcasting to float64 here would silently double it
+        X = np.concatenate(vec_parts).reshape(len(ids_all), -1)
+        Xn = (X / np.maximum(
+            np.linalg.norm(X.astype(np.float64), axis=1,
+                           keepdims=True), 1e-30)).astype(np.float32)
         ref = ray.put((ids_all, Xn))
 
     def stage(batch: pa.Table) -> pa.Table:
@@ -161,10 +169,12 @@ def embedding_near_dup_pairs_lsh(ds, threshold: float = 0.9,
 
     first = ds.take(1)
     if not first:
-        import pandas as pd
-        return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
-                             "id_b": pd.Series([], dtype="int64"),
-                             "cos": pd.Series([], dtype="float64")})
+        import ray.data as rd
+        # same shape as the non-empty path (a Dataset), not a DataFrame
+        return rd.from_arrow(pa.table({
+            "id_a": pa.array([], pa.int64()),
+            "id_b": pa.array([], pa.int64()),
+            "cos": pa.array([], pa.float64())}))
     dim = len(first[0][vec_col])
     rng = np.random.default_rng(seed)
     planes = rng.standard_normal((n_tables, n_planes, dim))
@@ -225,14 +235,22 @@ def embedding_near_dup_pairs_lsh(ds, threshold: float = 0.9,
         Max("cos", alias_name="cos"))
 
 
+def _sq_dists(X: np.ndarray, C: np.ndarray) -> np.ndarray:
+    """(n, k) squared distances via ||x||^2 + ||c||^2 - 2 x·c — O(n*k)
+    memory; the broadcast (n, k, dim) tensor form is ~dim× larger and
+    OOMs workers on wide embeddings."""
+    return (np.einsum("ij,ij->i", X, X)[:, None]
+            + np.einsum("ij,ij->i", C, C)[None, :]
+            - 2.0 * (X @ C.T))
+
+
 def _kmeans(X: np.ndarray, n_lists: int, iters: int = 8,
             seed: int = 13) -> np.ndarray:
     """Small deterministic k-means on a sample (driver-side, numpy)."""
     rng = np.random.default_rng(seed)
     C = X[rng.choice(len(X), size=min(n_lists, len(X)), replace=False)]
     for _ in range(iters):
-        d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
-        a = d.argmin(axis=1)
+        a = _sq_dists(X, C).argmin(axis=1)
         for j in range(len(C)):
             m = a == j
             if m.any():
@@ -260,7 +278,7 @@ def ann_ivf_topk(ds, query: np.ndarray, k: int = 10, n_lists: int = 16,
         Xs = np.stack([np.asarray(v, dtype=np.float64)
                        for v in sample[vec_col]])
         C = _kmeans(Xs, n_lists, seed=seed)
-    qd = ((q[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+    qd = _sq_dists(q, C)
     probe = np.argsort(qd, axis=1)[:, :n_probe]           # (n_q, n_probe)
     qn = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-30)
     ctx = ray.put((qn, C, probe))
@@ -274,8 +292,7 @@ def ann_ivf_topk(ds, query: np.ndarray, k: int = 10, n_lists: int = 16,
                           "cos": pa.array([], pa.float64())})
         if len(ids) == 0:
             return empty
-        d = ((X[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
-        assign = d.argmin(axis=1)
+        assign = _sq_dists(X, cents).argmin(axis=1)
         out_q, out_v, out_c = [], [], []
         for qi in range(qm.shape[0]):
             m = np.isin(assign, pr[qi])
@@ -392,8 +409,7 @@ def kmeans_fit(ds, n_clusters: int, iters: int = 8,
                 return pa.table({"cid": pa.array([], pa.int64()),
                                  "s": pa.array([], pa.large_binary()),
                                  "n": pa.array([], pa.int64())})
-            d = ((X[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
-            a = d.argmin(axis=1)
+            a = _sq_dists(X, cents).argmin(axis=1)
             cids = np.unique(a)
             sums = np.stack([X[a == j].sum(axis=0) for j in cids])
             cnts = np.array([(a == j).sum() for j in cids],

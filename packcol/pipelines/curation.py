@@ -59,15 +59,27 @@ def drop_exact_dups(ds, text_col: str = "text", id_col: str = "url",
     from ray.data.aggregate import Count, Min
     from ..stages.profile import value_hashes
 
-    def _idh(col) -> np.ndarray:
+    def _idh(col) -> tuple[np.ndarray, np.ndarray | None]:
+        """Row-aligned id hashes + validity mask (None when no nulls).
+        value_hashes drops nulls, so its output must be re-expanded or
+        every downstream filter mask has the wrong length."""
         c = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
-        return value_hashes(c).view(np.int64)
+        if c.null_count == 0:
+            return value_hashes(c).view(np.int64), None
+        valid = c.is_valid().to_numpy(zero_copy_only=False)
+        h = np.zeros(len(c), dtype=np.int64)
+        h[valid] = value_hashes(c).view(np.int64)
+        return h, valid
 
     def partial(batch: pa.Table) -> pa.Table:
         fp = fingerprints(batch.column(text_col)).view(np.int64)
         ids = batch.column(id_col)
         if isinstance(ids, pa.ChunkedArray):
             ids = ids.combine_chunks()
+        if ids.null_count:  # null-id rows never join dup sketches
+            valid = ids.is_valid().to_numpy(zero_copy_only=False)
+            fp = fp[valid]
+            ids = ids.drop_null()
         order = np.lexsort((np.asarray(ids.to_pandas()), fp))
         f_sorted = fp[order]
         first = np.ones(len(fp), dtype=bool)
@@ -140,10 +152,13 @@ def drop_exact_dups(ds, text_col: str = "text", id_col: str = "url",
         dh = _ray.get(dref)
         if len(dh) == 0:
             return batch
-        idh = _idh(batch.column(id_col))
+        idh, valid = _idh(batch.column(id_col))
         pos = np.searchsorted(dh, idh)
         safe = np.minimum(pos, len(dh) - 1)
-        return batch.filter(pa.array(dh[safe] != idh))
+        keep = dh[safe] != idh
+        if valid is not None:
+            keep |= ~valid  # null-id rows are never dropped
+        return batch.filter(pa.array(keep))
 
     return ds.map_batches(filt, batch_format="pyarrow")
 
@@ -155,13 +170,23 @@ def drop_near_dups(ds, text_col: str = "text", id_col: str = "url",
     from .dedup import minhash_lsh_pairs, pairs_to_clusters
     from ..stages.profile import value_hashes
 
-    def _nid(col):
+    def _nid(col) -> tuple[np.ndarray, np.ndarray | None]:
         c = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
-        return value_hashes(c).view(np.int64)
+        if c.null_count == 0:
+            return value_hashes(c).view(np.int64), None
+        valid = c.is_valid().to_numpy(zero_copy_only=False)
+        h = np.zeros(len(c), dtype=np.int64)
+        h[valid] = value_hashes(c).view(np.int64)
+        return h, valid
 
-    with_ids = ds.map_batches(
-        lambda t: t.append_column("__nid", pa.array(_nid(t.column(id_col)))),
-        batch_format="pyarrow")
+    def add_nid(t: pa.Table) -> pa.Table:
+        h, valid = _nid(t.column(id_col))
+        t = t.append_column("__nid", pa.array(h))
+        if valid is not None:  # null-id rows can't join near-dup pairs
+            t = t.filter(pa.array(valid))
+        return t
+
+    with_ids = ds.map_batches(add_nid, batch_format="pyarrow")
     pairs = minhash_lsh_pairs(with_ids, text_col=text_col, id_col="__nid",
                               threshold=threshold)
     clusters = pairs_to_clusters(pairs)
@@ -171,10 +196,12 @@ def drop_near_dups(ds, text_col: str = "text", id_col: str = "url",
     def filt(batch: pa.Table) -> pa.Table:
         import ray as _ray
         dd = _ray.get(ref)
-        nid = _nid(batch.column(id_col))
+        nid, valid = _nid(batch.column(id_col))
         keep = ~np.isin(nid, np.fromiter(dd, dtype=np.int64,
                                          count=len(dd))) if dd else \
             np.ones(len(nid), dtype=bool)
+        if valid is not None:
+            keep |= ~valid  # null-id rows are never dropped
         return batch.filter(pa.array(keep))
 
     return ds.map_batches(filt, batch_format="pyarrow")

@@ -346,16 +346,26 @@ class EncodedFilterPart:
         return pa.concat_tables(outs)
 
 
-def _zone_bounds(column: str, lo, hi, zone_kind: str):
+def _zone_bounds(column: str, lo, hi, zone: dict):
     """Predicate bounds in a zone's physical domain, or None if the
     value type doesn't map onto the zone kind (→ cannot prune)."""
     import datetime
+    zone_kind = zone["kind"]
     if zone_kind == "i64":
         if isinstance(lo, (datetime.datetime, datetime.date)):
+            # convert in the COLUMN's recorded logical type — guessing a
+            # unit (us) against e.g. a timestamp[ns] zone would compare
+            # microseconds to nanoseconds and prune matching parts.
+            # Zones from older stores lack "dt": don't prune.
+            dt = zone.get("dt")
+            if dt is None:
+                return None
             from ..codecs.access import _predicate_int
-            t = ("timestamp[us]" if isinstance(lo, datetime.datetime)
-                 else "date32[day]")
-            return (_predicate_int(lo, t), _predicate_int(hi, t))
+            try:
+                return (_predicate_int(lo, dt), _predicate_int(hi, dt))
+            except (pa.ArrowInvalid, pa.ArrowNotImplementedError,
+                    ValueError):
+                return None
         if isinstance(lo, (int, np.integer)):
             return (int(lo), int(hi))
         return None
@@ -386,11 +396,37 @@ def _surviving_parts(out_dir: str, column: str, lo, hi) -> list[dict]:
             if f.startswith("part-") else None
         zone = zones.get(part_id)
         if zone is not None:
-            bounds = _zone_bounds(column, lo, hi, zone["kind"])
+            bounds = _zone_bounds(column, lo, hi, zone)
             if bounds is not None and not zone_may_match(zone, *bounds):
                 continue  # provably no rows in range → never read
         files.append({"path": os.path.join(out_dir, f)})
     return files
+
+
+def _typed_empty(out_dir: str, out_columns: list[str]) -> pa.Table:
+    """Empty result with the SAME schema the unpruned path would
+    produce: column dtypes come from any part's stored params (one
+    small metadata read), falling back to string only when the store
+    has no parts at all."""
+    from ..codecs.base import str_to_type
+    types: dict = {}
+    for f in sorted(os.listdir(out_dir)):
+        if not f.endswith(".parquet"):
+            continue
+        enc_rows = pq.read_table(os.path.join(out_dir, f),
+                                 columns=["column", "params"])
+        import json as _json
+        for name, params in zip(enc_rows.column("column").to_pylist(),
+                                enc_rows.column("params").to_pylist()):
+            if name in out_columns and name not in types:
+                dt = _json.loads(params).get("dtype") \
+                    if isinstance(params, (str, bytes)) else None
+                if dt is not None:
+                    types[name] = str_to_type(dt)
+        if len(types) == len(out_columns):
+            break
+    return pa.table({n: pa.array([], types.get(n, pa.string()))
+                     for n in out_columns})
 
 
 def filter_encoded(out_dir: str, column: str, value,
@@ -401,8 +437,7 @@ def filter_encoded(out_dir: str, column: str, value,
     `out_columns` are decoded."""
     files = _surviving_parts(out_dir, column, value, value)
     if not files:  # every part pruned — provably empty result
-        return rd.from_arrow(pa.table(
-            {n: pa.array([], pa.string()) for n in out_columns}))
+        return rd.from_arrow(_typed_empty(out_dir, out_columns))
     ds = rd.from_items(files, override_num_blocks=len(files))
     return ds.map_batches(EncodedFilterPart(column, value, out_columns),
                           batch_size=1, batch_format="pyarrow")
@@ -416,8 +451,7 @@ def filter_encoded_range(out_dir: str, column: str, lo, hi,
     (codecs/access.py::filter_range) — only matching rows decode."""
     files = _surviving_parts(out_dir, column, lo, hi)
     if not files:  # every part pruned — provably empty result
-        return rd.from_arrow(pa.table(
-            {n: pa.array([], pa.string()) for n in out_columns}))
+        return rd.from_arrow(_typed_empty(out_dir, out_columns))
     ds = rd.from_items(files, override_num_blocks=len(files))
     return ds.map_batches(
         EncodedFilterPart(column, lo, out_columns, op="range", value2=hi),
@@ -447,7 +481,15 @@ class SpotCheckPart:
                 list(range(meta["rg_start"], meta["rg_end"] + 1)))
             enc_rows = pq.read_table(
                 os.path.join(self.out_dir, f"part-{part_id}.parquet"))
-            rng = np.random.default_rng(abs(hash(part_id)) % (2**32))
+            if orig.num_rows == 0:
+                continue  # nothing to sample in an empty partition
+            # stable digest seed: hash(str) is salted per process
+            # (PYTHONHASHSEED), which would sample different rows on
+            # every worker/run — not reproducible verification
+            import hashlib as _hl
+            seed = int.from_bytes(
+                _hl.sha1(part_id.encode()).digest()[:4], "little")
+            rng = np.random.default_rng(seed)
             rows = rng.integers(0, orig.num_rows,
                                 size=min(self.k, orig.num_rows))
             for i in range(enc_rows.num_rows):

@@ -154,9 +154,15 @@ def count_canonical_kmers(ds, seq_col: str = "text", k: int = 31,
         if len(refs) % 2:
             nxt.append(refs[-1])
         refs = nxt
+    single_leaf = len(refs) == 1  # merge loop never ran
     merged = refs[0]
     if not isinstance(merged, pa.Table):
         merged = ray.get(merged)
+    if single_leaf:
+        # one block can still hold duplicate keys: Ray may coalesce
+        # several per-batch unique tables into a single output block —
+        # self-collapse so counts aren't split across duplicate rows
+        merged = _merge_counts(merged, _empty())
     # decode packed words → k-mer strings DISTRIBUTED: a 5M-row result
     # is ~15 s of string building on one core — slice the merged table
     # and fan the decode out instead of running it on the driver

@@ -77,8 +77,12 @@ def compute_zones(t) -> dict:
                 v = to_int64_numpy(phys.combine_chunks()
                                    if isinstance(phys, pa.ChunkedArray)
                                    else phys)
+                # "dt" records the logical type so predicate bounds are
+                # converted in the COLUMN's physical unit (a timestamp
+                # predicate against a timestamp[ns] zone must scale to
+                # ns, not a guessed us)
                 zones[name] = {"kind": "i64", "min": int(v[0]),
-                               "max": int(v[1])}
+                               "max": int(v[1]), "dt": str(typ)}
             elif pa.types.is_floating(typ):
                 mm = pc.min_max(col)
                 lo, hi = mm["min"].as_py(), mm["max"].as_py()

@@ -127,3 +127,13 @@ def test_ann_ivf_full_training_recall(ray_session):
     ap = approx.groupby("qid")["vec_id"].apply(set)
     recall = np.mean([len(ex[i] & ap[i]) / 5 for i in ex.index])
     assert recall >= 0.6, recall
+
+
+def test_embedding_matrix_rejects_nulls(ray_session):
+    import pyarrow as pa
+    from packcol.pipelines.ann import embedding_matrix
+    t = pa.table({"embedding": pa.array([[1.0, 2.0], None, [3.0, 4.0]],
+                                        pa.list_(pa.float32()))})
+    import pytest as _pt
+    with _pt.raises(ValueError, match="null vectors"):
+        embedding_matrix(t)

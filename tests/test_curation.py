@@ -76,3 +76,20 @@ def test_drop_exact_dups_broadcast_is_dup_bounded(ray_session):
         assert f"https://u/{g:04d}" in urls
         assert not any(f"https://zdup/{g}/" in u for u in urls)
     assert len(out) == n_unique
+
+
+def test_curation_handles_null_ids(ray_session):
+    """Regression: one null id crashed drop_exact_dups (lexsort on
+    None) and broke filter-mask lengths; null-id rows pass through."""
+    import pyarrow as pa
+    import ray.data as rd
+    from packcol.pipelines.curation import drop_exact_dups
+    t = pa.table({
+        "url": pa.array(["a", None, "b", "c", None], pa.string()),
+        "text": ["dup", "x", "dup", "unique", "y"]})
+    out = drop_exact_dups(rd.from_arrow(t).repartition(2),
+                          text_col="text", id_col="url").to_pandas()
+    # exactly one of the "dup" rows dropped; both null-id rows kept
+    assert len(out) == 4
+    assert out["url"].isna().sum() == 2
+    assert (out["text"] == "dup").sum() == 1

@@ -75,3 +75,20 @@ def test_minimizer_strategy_matches_tree(ray_session):
         mini = count_canonical_kmers(ds, "seq", k, strategy="minimizer") \
             .to_pandas().set_index("kmer")["n"].to_dict()
         assert mini == tree, k
+
+
+def test_tree_single_block_collapses_duplicates(ray_session):
+    """Regression: with one leaf block holding several per-batch unique
+    tables, tree strategy emitted duplicate kmer rows with split
+    counts."""
+    import pyarrow as pa
+    import ray.data as rd
+    from packcol.pipelines.kmers import count_canonical_kmers
+    seqs = ["ACGTACGTACG"] * 300  # same kmers in every row
+    ds = rd.from_arrow(pa.table({"seq": pa.array(seqs)}))  # ONE block
+    out = count_canonical_kmers(ds, "seq", 5, strategy="tree",
+                                partial_batch_size=64).to_pandas()
+    assert out["kmer"].is_unique
+    gb = count_canonical_kmers(ds, "seq", 5, strategy="groupby") \
+        .to_pandas().set_index("kmer")["n"]
+    assert out.set_index("kmer")["n"].sort_index().equals(gb.sort_index())

@@ -216,10 +216,11 @@ def test_zone_map_computation():
         "allnull": pa.array([None] * 4, pa.int64()),
     })
     z = compute_zones(t)
-    assert z["i"] == {"kind": "i64", "min": 1, "max": 9}
+    assert z["i"] == {"kind": "i64", "min": 1, "max": 9, "dt": "int64"}
     assert z["f"] == {"kind": "f64", "min": -2.0, "max": 3.25}
     assert z["s"] == {"kind": "str", "min": "aa", "max": "zz"}
     assert z["ts"]["kind"] == "i64"
+    assert z["ts"]["dt"] == "timestamp[us]"  # predicate-unit conversion
     # long strings, binary, all-null: no zone → never pruned
     assert "long" not in z and "bin" not in z and "allnull" not in z
     assert zone_may_match(z["i"], 9, 20) and zone_may_match(z["i"], -5, 1)
@@ -394,3 +395,43 @@ def test_incremental_ingest_new_files(ray_session, tmp_path):
     for f, mt in done_mtimes.items():
         assert os.path.getmtime(os.path.join(out, f)) == mt
     assert verify_files(out)["mismatches"] == 0
+
+
+def test_zone_pruning_timestamp_ns_unit(ray_session, tmp_path):
+    """Regression: datetime predicate bounds were converted at a
+    guessed us unit; against a timestamp[ns] column's zones everything
+    was pruned and matching rows silently vanished."""
+    import numpy as np
+    from datetime import datetime
+    from packcol.pipelines.encode_pipeline import (encode_files,
+                                                   filter_encoded_range)
+    ts = pa.array(np.datetime64("2024-01-01", "ns")
+                  + np.arange(100) * np.timedelta64(1, "D"),
+                  type=pa.timestamp("ns"))
+    src = str(tmp_path / "ns.parquet")
+    pq.write_table(pa.table({"id": pa.array(range(100), pa.int64()),
+                             "ts": ts}), src)
+    out = str(tmp_path / "enc_ns")
+    encode_files([src], out, target_bytes=1 << 20)
+    got = filter_encoded_range(out, "ts", datetime(2024, 1, 10),
+                               datetime(2024, 1, 20),
+                               ["id"]).to_pandas()
+    assert len(got) == 11  # days 10..20 inclusive
+
+
+def test_pruned_empty_result_keeps_types(ray_session, tmp_path):
+    """Regression: the all-parts-pruned branch typed every column
+    string; it must match the unpruned schema."""
+    import numpy as np
+    from packcol.pipelines.encode_pipeline import (encode_files,
+                                                   filter_encoded_range)
+    src = str(tmp_path / "t.parquet")
+    pq.write_table(pa.table({"id": pa.array(range(50), pa.int64()),
+                             "v": pa.array(np.arange(50) * 1.5)}), src)
+    out = str(tmp_path / "enc_typed")
+    encode_files([src], out, target_bytes=1 << 20)
+    empty = filter_encoded_range(out, "id", 10_000, 20_000,
+                                 ["id", "v"])
+    sch = empty.schema()
+    assert dict(zip(sch.names, [str(t) for t in sch.types])) == {
+        "id": "int64", "v": "double"}
