@@ -112,7 +112,10 @@ def filter_eq(enc: EncodedColumn, value) -> np.ndarray:
         if idx is None:
             return np.zeros(enc.n_values, dtype=bool)
         mask = _dict_codes(enc) == np.uint64(idx)
-    elif enc.codec in ("for", "bitpack"):
+    elif enc.codec in ("for", "bitpack") and \
+            enc.params.get("dtype") != "uint64":
+        # (uint64 is stored as a mod-2^64 reinterpret whose int64 order
+        # differs from value order — decode fallback below stays exact)
         p = enc.params
         from .bitpack import unpack
         base = int(p["base"])
@@ -151,7 +154,8 @@ def filter_range(enc: EncodedColumn, lo, hi) -> np.ndarray:
             return np.zeros(enc.n_values, dtype=bool)
         codes = _dict_codes(enc)
         mask = (codes >= np.uint64(lo_code)) & (codes <= np.uint64(hi_code))
-    elif enc.codec in ("for", "bitpack"):
+    elif enc.codec in ("for", "bitpack") and \
+            enc.params.get("dtype") != "uint64":
         from .bitpack import unpack
         p = enc.params
         base = int(p["base"])

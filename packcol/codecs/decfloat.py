@@ -27,6 +27,10 @@ def detect_scale(v: np.ndarray) -> int | None:
         return 0
     if not np.isfinite(v).all():
         return None
+    if (np.signbit(v) & (v == 0)).any():
+        # -0.0 survives the float-path bit check below but the integer
+        # encode maps it to +0.0 — not bit-exact, so refuse the codec
+        return None
     for k in range(_MAX_DECIMALS + 1):
         s = 10.0 ** k
         scaled = np.round(v * s)

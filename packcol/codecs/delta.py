@@ -82,6 +82,9 @@ class DeltaCodec(Codec):
                 return arr.cast(pa.int32()).cast(dtype)
             if pa.types.is_boolean(dtype):
                 return arr.cast(pa.int8()).cast(dtype)
+            if pa.types.is_uint64(dtype):  # mod-2^64 reinterpret back
+                import pyarrow.compute as pc
+                return pc.cast(arr, dtype, safe=False)
             return arr.cast(dtype)
         return from_int64_numpy(vi, dtype)
 

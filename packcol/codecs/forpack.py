@@ -40,6 +40,11 @@ def to_int64_numpy(arr: pa.Array) -> np.ndarray:
         phys = arr.cast(pa.int64())
     elif pa.types.is_boolean(t):
         phys = arr.cast(pa.int8()).cast(pa.int64())
+    elif pa.types.is_uint64(t):
+        # values >= 2^63 don't fit int64: reinterpret mod 2^64 (safe
+        # cast would raise) — FOR/delta arithmetic is mod-2^64 anyway
+        import pyarrow.compute as pc
+        phys = pc.cast(arr, pa.int64(), safe=False)
     else:
         phys = arr.cast(pa.int64())
     if phys.null_count:
@@ -55,6 +60,9 @@ def from_int64_numpy(v: np.ndarray, dtype: pa.DataType) -> pa.Array:
         return arr.cast(pa.int32()).cast(t)
     if pa.types.is_boolean(t):
         return arr.cast(pa.int8()).cast(t)
+    if pa.types.is_uint64(t):  # inverse of the mod-2^64 reinterpret
+        import pyarrow.compute as pc
+        return pc.cast(arr, t, safe=False)
     return arr.cast(t)
 
 

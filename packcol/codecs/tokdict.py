@@ -80,23 +80,11 @@ class TokenDictCodec(Codec):
         # "" splits to [""]: record true token count 0 for empty rows
         lens_bytes = np.diff(buffer_view(filled)[1])
         counts = np.where(lens_bytes == 0, 0, counts)
-        denc = pc.dictionary_encode(flat)
-        if isinstance(denc, pa.ChunkedArray):
-            denc = denc.combine_chunks()
-        dictionary = denc.dictionary
-        idx = np.asarray(denc.indices.to_numpy(zero_copy_only=False))
-        idx = np.nan_to_num(idx, nan=0.0).astype(np.int64)
-        # sorted dictionary → order-preserving codes
-        if len(dictionary) > 1:
-            order = pc.array_sort_indices(dictionary) \
-                .to_numpy(zero_copy_only=False).astype(np.int64)
-            rank = np.empty(len(order), dtype=np.int64)
-            rank[order] = np.arange(len(order), dtype=np.int64)
-            idx = rank[idx]
-            dictionary = dictionary.take(pa.array(order))
+        from .dictionary import dict_encode_indices
+        idx, dictionary = dict_encode_indices(flat)  # sorted = order-
+        # preserving codes (same kernel as DictionaryCodec)
         # drop the placeholder token of empty rows from the code stream
         if (counts == 0).any():
-            row_of = np.repeat(np.arange(n), np.maximum(counts, 1))
             keep = np.repeat(counts > 0, np.maximum(counts, 1))
             idx = idx[keep]
         cw = bits_needed(max(len(dictionary) - 1, 0))

@@ -112,6 +112,10 @@ def kmer_windows(seq: str | bytes, k: int) -> tuple[np.ndarray, np.ndarray]:
     SKIPPING windows containing invalid symbols — the
     CanonicalKmerIterator `last_invalid` watermark semantics
     (src/naive_impl/canonical_kmer_iterator.rs:52-66), vectorized."""
+    if not 1 <= k <= K_MAX:
+        raise ValueError(
+            f"k={k} exceeds the single-word cap {K_MAX}; use the "
+            "*_multi variants (silent truncation would alias k-mers)")
     codes = seq_to_codes(seq)
     n = len(codes)
     if n < k:
@@ -161,6 +165,12 @@ def decode_kmer_batch(words: np.ndarray, k: int) -> pa.Array:
     shifts = np.arange(k, dtype=np.uint64) * np.uint64(2)
     codes = ((w[:, None] >> shifts) & np.uint64(3)).astype(np.uint8)
     chars = DEC_TABLE.take(codes)
+    if (n + 1) * k >= 2**31:  # int32 offsets would wrap — large_string
+        offs64 = np.arange(n + 1, dtype=np.int64) * k
+        return pa.Array.from_buffers(
+            pa.large_string(), n,
+            [None, pa.py_buffer(offs64.tobytes()),
+             pa.py_buffer(np.ascontiguousarray(chars).tobytes())])
     offs = np.arange(n + 1, dtype=np.int32) * k
     return pa.Array.from_buffers(
         pa.string(), n,
@@ -179,6 +189,11 @@ def canonical_kmer_scan_batch(seqs: pa.Array, k: int
     row-boundary guard: windows can never span two sequences."""
     import pyarrow.compute as pc
     from ..codecs.fsst import buffer_view
+    if not 1 <= k <= K_MAX:
+        raise ValueError(
+            f"k={k} exceeds the single-word cap {K_MAX}; use "
+            "canonical_kmer_scan_batch_multi (silent truncation would "
+            "alias k-mers)")
     if isinstance(seqs, pa.ChunkedArray):
         seqs = seqs.combine_chunks()
     if seqs.null_count:
@@ -352,6 +367,12 @@ def decode_kmer_batch_multi(words: np.ndarray, k: int) -> pa.Array:
     wi, sh = sym >> 5, ((sym & 31) << 1).astype(np.uint64)
     codes = ((w[:, wi] >> sh) & np.uint64(3)).astype(np.uint8)
     chars = DEC_TABLE.take(codes)
+    if (n + 1) * k >= 2**31:  # int32 offsets would wrap — large_string
+        offs64 = np.arange(n + 1, dtype=np.int64) * k
+        return pa.Array.from_buffers(
+            pa.large_string(), n,
+            [None, pa.py_buffer(offs64.tobytes()),
+             pa.py_buffer(np.ascontiguousarray(chars).tobytes())])
     offs = np.arange(n + 1, dtype=np.int32) * k
     return pa.Array.from_buffers(
         pa.string(), n,

@@ -37,18 +37,24 @@ def minhash_signatures(text: pa.Array, num_perm: int = 64,
                        shingle_k: int = 3, seed: int = 7) -> np.ndarray:
     """(n_rows, num_perm) uint64 MinHash signature matrix.
 
-    Rows with < shingle_k tokens get all-max signatures (match nothing).
+    Rows with < shingle_k tokens (no shingles) get a signature derived
+    from the FULL-TEXT fingerprint: byte-identical short texts still
+    collide in every band (they ARE duplicates), while distinct short
+    texts match nothing.  (An all-max constant here would make every
+    short document a false near-duplicate of every other.)
     Permutations are h*a+b over the shingle hash — num_perm vectorized
     reduceat passes, no Python loop over rows."""
+    from .text import fingerprints
     n = len(text)
     sh, rows = shingle_hashes(text, shingle_k)
-    sig = np.full((n, num_perm), np.uint64(0xFFFFFFFFFFFFFFFF),
-                  dtype=np.uint64)
-    if len(sh) == 0:
-        return sig
     rng = np.random.default_rng(seed)
     a = rng.integers(1, 2**63, size=num_perm, dtype=np.uint64) | np.uint64(1)
     b = rng.integers(0, 2**63, size=num_perm, dtype=np.uint64)
+    fp = fingerprints(text)
+    with np.errstate(over="ignore"):
+        sig = fp[:, None] * a[None, :] + b[None, :]  # shingle-less rows
+    if len(sh) == 0:
+        return sig
     order = np.argsort(rows, kind="stable")
     sh, rows = sh[order], rows[order]
     present, starts = np.unique(rows, return_index=True)
@@ -63,6 +69,10 @@ def band_hashes(sig: np.ndarray, n_bands: int) -> np.ndarray:
     """(n_rows, n_bands) uint64: hash of each signature band (LSH keys)."""
     n, num_perm = sig.shape
     rows_per = num_perm // n_bands
+    if rows_per == 0 or num_perm % n_bands:
+        raise ValueError(
+            f"n_bands={n_bands} must divide num_perm={num_perm}; "
+            "rows_per_band == 0 would hash every row identically")
     bands = sig[:, :n_bands * rows_per].reshape(n, n_bands, rows_per)
     mul = np.uint64(0xC2B2AE3D27D4EB4F)
     h = np.zeros((n, n_bands), dtype=np.uint64)
@@ -108,6 +118,8 @@ def ngram_jaccard(a_sh: np.ndarray, b_sh: np.ndarray) -> float:
     pairs)."""
     sa, sb = np.unique(a_sh), np.unique(b_sh)
     if len(sa) == 0 and len(sb) == 0:
-        return 1.0
+        # two empty shingle sets say nothing about the texts (any two
+        # short docs hit this); verify on raw content, don't confirm
+        return 0.0
     inter = len(np.intersect1d(sa, sb, assume_unique=True))
     return inter / (len(sa) + len(sb) - inter)

@@ -92,17 +92,28 @@ def read_column(dest_dir: str, column: str):
     path = os.path.join(dest_dir, f"{column}.parquet")
 
     def decode_file(batch: pa.Table) -> pa.Table:
-        return decode_rows_single(pq.read_table(batch.column("path")[0].as_py()))
-
-    def decode_rows_single(enc_rows: pa.Table) -> pa.Table:
         from ..codecs import EncodedColumn, decode_any
-        arrays = []
+        from ..codecs.base import str_to_type
+        import json as _json
+        enc_rows = pq.read_table(batch.column("path")[0].as_py())
+        arrays, dtype = [], None
         for i in range(enc_rows.num_rows):
             row = {k: enc_rows.column(k)[i].as_py() for k in
                    ("codec", "n_values", "params", "payload")}
-            arrays.append(decode_any(EncodedColumn.from_row(row)))
+            a = decode_any(EncodedColumn.from_row(row))
+            dtype = a.type
+            arrays.append(a)
         if not arrays:
-            return pa.table({column: []})
+            # typed empty (a bare [] would yield a null-typed column
+            # that breaks unions with real blocks)
+            for p in enc_rows.column("params").to_pylist() \
+                    if enc_rows.num_rows else []:
+                dt = _json.loads(p).get("dtype")
+                if dt:
+                    dtype = str_to_type(dt)
+                    break
+            return pa.table({column: pa.array(
+                [], dtype if dtype is not None else pa.string())})
         return pa.table({column: pa.concat_arrays(
             [a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a
              for a in arrays])})

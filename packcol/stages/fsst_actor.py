@@ -45,7 +45,9 @@ def build_shared_table(sample_paths: list[str], columns: list[str],
     for p in sorted(sample_paths)[:max_files]:
         t = pq.ParquetFile(p)
         head = next(t.iter_batches(batch_size=sample_rows_per_file,
-                                   columns=columns))
+                                   columns=columns), None)
+        if head is None:  # empty sample file: skip, don't kill the pool
+            continue
         tt = pa.Table.from_batches([head])
         for c in columns:
             col = tt.column(c).combine_chunks()

@@ -69,6 +69,11 @@ def compute_zones(t) -> dict:
             continue
         typ = col.type
         try:
+            if pa.types.is_uint64(typ):
+                # stored as a mod-2^64 reinterpret: values >= 2^63 map
+                # negative, so the int64 zone order is NOT value order
+                # — no zone (never pruned)
+                continue
             if is_int_like(typ):
                 mm = pc.min_max(col)
                 lo, hi = mm["min"], mm["max"]

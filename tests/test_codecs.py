@@ -375,3 +375,22 @@ def test_filter_range_matches_plaintext_property(vals, codec, bounds):
     got = filter_range(enc, lo, hi)
     exp = [v is not None and lo <= v <= hi for v in vals]
     assert got.tolist() == exp
+
+
+def test_uint64_full_range_roundtrip():
+    """Regression: uint64 values >= 2^63 crashed to_int64_numpy (safe
+    cast); they now reinterpret mod 2^64 and roundtrip bit-exactly."""
+    arr = pa.array([0, 2**63, 2**64 - 1, 5, None], type=pa.uint64())
+    for name in ("for", "delta", "store", "dict"):
+        roundtrip(CODECS[name], arr)
+
+
+def test_negative_zero_store_fallback():
+    """Regression: decfloat mapped -0.0 to +0.0; selection now refuses
+    the codec for columns containing -0.0."""
+    from packcol.stages.encode import decode_rows, encode_table
+    t = pa.table({"v": pa.array([-0.0, 1.5, 2.25, 0.0])})
+    dec = decode_rows(encode_table(t, part_id="p"))
+    got = dec.column("v").combine_chunks().to_numpy(zero_copy_only=False)
+    exp = t.column("v").combine_chunks().to_numpy(zero_copy_only=False)
+    assert got.tobytes() == exp.tobytes()

@@ -426,3 +426,16 @@ class TestStreaming:
             km.append_char(seq[i])
             win = seq[i - k + 1:i + 1]
             assert km.get_fw_word() == encode_kmer(win), i
+
+
+def test_scan_rejects_k_over_cap():
+    """Regression: k>32 silently truncated to 32 symbols (aliased
+    k-mers) instead of raising toward the _multi variants."""
+    import pyarrow as pa
+    import pytest as _pt
+    from packcol.functions.dna import (canonical_kmer_scan_batch,
+                                       kmer_windows)
+    with _pt.raises(ValueError, match="single-word cap"):
+        kmer_windows("ACGT" * 20, 33)
+    with _pt.raises(ValueError, match="single-word cap"):
+        canonical_kmer_scan_batch(pa.array(["ACGT" * 20]), 40)

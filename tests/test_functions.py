@@ -128,3 +128,38 @@ def test_empty_input_edges():
     assert fingerprints(empty).tolist() == []
     assert minhash_signatures(empty).shape[0] == 0
     assert simhash(empty).tolist() == []
+
+
+def test_minhash_short_docs_not_false_duplicates():
+    """Regression: rows with < shingle_k tokens got identical all-max
+    signatures and were reported as near-dups of each other."""
+    import numpy as np
+    import pyarrow as pa
+    from packcol.functions.hashing import band_hashes, minhash_signatures
+    t = pa.array(["hello world", "goodbye now", "hello world", "hi"])
+    sig = minhash_signatures(t, num_perm=16)
+    # distinct short texts: different signatures
+    assert not np.array_equal(sig[0], sig[1])
+    # identical short texts: identical signatures (they ARE duplicates)
+    np.testing.assert_array_equal(sig[0], sig[2])
+    bh = band_hashes(sig, 4)
+    assert not np.array_equal(bh[0], bh[1])
+    np.testing.assert_array_equal(bh[0], bh[2])
+
+
+def test_band_hashes_rejects_bad_band_count():
+    import numpy as np
+    import pytest as _pt
+    from packcol.functions.hashing import band_hashes
+    sig = np.arange(12, dtype=np.uint64).reshape(3, 4)
+    with _pt.raises(ValueError, match="divide"):
+        band_hashes(sig, 8)
+    with _pt.raises(ValueError, match="divide"):
+        band_hashes(sig, 3)
+
+
+def test_ngram_jaccard_empty_sets_do_not_confirm():
+    import numpy as np
+    from packcol.functions.hashing import ngram_jaccard
+    empty = np.empty(0, dtype=np.uint64)
+    assert ngram_jaccard(empty, empty) == 0.0
