@@ -20,11 +20,15 @@ import time
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
-SF = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
+_base = os.path.basename(SF_DIR.rstrip("/"))
+try:  # "sf0.1" → 0.1; any other dir name → no scale factor
+    SF = float(_base[2:]) if _base.startswith("sf") else None
+except ValueError:
+    SF = None
 
 # webtext size scaled to sf: sf0.1 → 120k rows (~260 MB), sf0.01 → 12k
 _WEBTEXT_ROWS = int(os.environ.get(
-    "GRAFT_BENCH_ROWS", max(int(1_200_000 * float(SF or 0.1)), 2000)))
+    "GRAFT_BENCH_ROWS", max(int(1_200_000 * (SF or 0.1)), 2000)))
 _WEBTEXT_PARTS = max(_WEBTEXT_ROWS // 7500, 4)
 WEBTEXT_DIR = f"/tmp/packcol_bench/webtext_r{_WEBTEXT_ROWS}"
 # encoded output goes to tmpfs: on a real cluster every node writes to its
@@ -158,7 +162,7 @@ def main() -> None:
         _sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
         from scripts.bench_genomics import make_reads_parquet
         from packcol.pipelines.kmers import count_canonical_kmers
-        gpaths = make_reads_parquet("/tmp/packcol_bench/genomics_100k",
+        gpaths = make_reads_parquet("/tmp/packcol_bench/genomics_v2_100k",
                                     100_000, n_parts=16)
         gds = rd.read_parquet(gpaths)
         t_q, n_distinct = timed(lambda: count_canonical_kmers(
@@ -187,7 +191,7 @@ def main() -> None:
         "value": round(headline, 3),
         "unit": "sec",
         "queries": queries,
-        "sf": float(SF) if SF else None,
+        "sf": SF,
         "num_cpus": NUM_CPUS,
         **extras,
     }

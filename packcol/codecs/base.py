@@ -133,7 +133,6 @@ def apply_validity(arr: pa.Array, valid: np.ndarray | None) -> pa.Array:
     """Re-attach a null bitmap to a fully-valid decoded array."""
     if valid is None:
         return arr
-    mask = pa.array(~valid)  # pyarrow mask: True = null
     if pa.types.is_floating(arr.type) or pa.types.is_integer(arr.type):
         return pa.array(arr.to_numpy(zero_copy_only=False), type=arr.type,
                         mask=~valid)

@@ -72,14 +72,21 @@ def encode_pnm(img: np.ndarray) -> bytes:
 
 def decode_pnm_stream(buf: bytes) -> list[np.ndarray]:
     """Concatenated P5/P6 frames (the "video" container for tests):
-    parse frames back-to-back until the buffer is exhausted."""
+    parse frames back-to-back until the buffer is exhausted.  Frames
+    decode via np.frombuffer offsets — no per-frame copy of the
+    remaining buffer (a buf[pos:] slice per frame would be
+    O(frames × bytes))."""
     frames, pos = [], 0
+    mv = memoryview(buf)
     while pos < len(buf):
-        magic, w, h, _, off = _pnm_header(buf[pos:])
+        magic, w, h, _, off = _pnm_header(mv[pos:pos + 4096].tobytes())
         ch = 3 if magic == "P6" else 1
-        end = pos + off + w * h * ch
-        frames.append(decode_pnm(buf[pos:end]))
-        pos = end
+        need = w * h * ch
+        data = np.frombuffer(buf, dtype=np.uint8, count=need,
+                             offset=pos + off)
+        frames.append(data.reshape((h, w, 3) if ch == 3
+                                   else (h, w)).copy())
+        pos += off + need
     return frames
 
 
@@ -148,6 +155,8 @@ def decode_wav(buf: bytes) -> tuple[np.ndarray, int]:
     if fmt is None or data is None:
         raise ValueError("missing fmt/data chunk")
     tag, ch, rate, bits = fmt
+    if ch == 0:
+        raise ValueError("corrupt WAV: fmt declares 0 channels")
     if tag == 1 and bits == 16:
         s = np.frombuffer(data, dtype="<i2").astype(np.float32) / 32768.0
     elif tag == 1 and bits == 8:  # unsigned

@@ -70,7 +70,8 @@ def plan_partitions(paths: list[str],
                     "part_id": f"{os.path.basename(path)}-{tag}"
                                f"-rg{start}-{i}",
                     "path": path, "rg_start": start, "rg_end": i,
-                    "bytes": acc})
+                    "bytes": acc,
+                    "input_bytes": os.path.getsize(path)})
                 start, acc = i + 1, 0
     return parts
 
@@ -110,6 +111,7 @@ class EncodePartitionWriter:
             Manifest(self.out_dir).record(d["part_id"], {
                 "input": d["path"], "rg_start": d["rg_start"],
                 "rg_end": d["rg_end"], "rows": t.num_rows,
+                "input_bytes": d.get("input_bytes"),
                 "orig_bytes": orig, "enc_bytes": encb,
                 "zones": compute_zones(t),
                 "codecs": dict(zip(enc.column("column").to_pylist(),
@@ -135,8 +137,19 @@ def encode_files(paths: list[str], out_dir: str, resume: bool = True,
     skipped_parts}."""
     os.makedirs(out_dir, exist_ok=True)
     parts = plan_partitions(paths, target_bytes)
-    done = Manifest(out_dir).done_parts() if resume else set()
-    todo = [p for p in parts if p["part_id"] not in done]
+    man = Manifest(out_dir)
+    done = man.done_parts() if resume else set()
+
+    def _unchanged(p: dict) -> bool:
+        """Skip only when the recorded input still matches the file on
+        disk — an in-place rewritten input (same path, same row-group
+        layout) must re-encode, not silently serve stale parts."""
+        if p["part_id"] not in done:
+            return False
+        rec = man.load(p["part_id"]).get("input_bytes")
+        return rec is None or rec == p["input_bytes"]
+
+    todo = [p for p in parts if not _unchanged(p)]
     skipped = len(parts) - len(todo)
     if todo:
         ds = rd.from_items(todo, override_num_blocks=len(todo))
@@ -151,10 +164,11 @@ def encode_files(paths: list[str], out_dir: str, resume: bool = True,
     else:
         import pandas as pd
         mt = pd.DataFrame({"rows": [], "orig_bytes": [], "enc_bytes": []})
-    man = Manifest(out_dir).load_all()
-    orig = sum(m["orig_bytes"] for m in man)
-    enc = sum(m["enc_bytes"] for m in man)
-    return {"parts": len(man), "rows": int(sum(m["rows"] for m in man)),
+    entries = Manifest(out_dir).load_all()
+    orig = sum(m["orig_bytes"] for m in entries)
+    enc = sum(m["enc_bytes"] for m in entries)
+    return {"parts": len(entries),
+            "rows": int(sum(m["rows"] for m in entries)),
             "orig_bytes": int(orig), "enc_bytes": int(enc),
             "ratio": round(orig / enc, 4) if enc else 0.0,
             "skipped_parts": skipped,

@@ -176,6 +176,11 @@ def extract_text_batch(html: pa.Array) -> pa.Array:
     first[uniq] = hit_pos[first_idx]
     starts = offs[:-1] + pre
     lens = first - starts
+    # rows whose html lacks the sentinel marker (first == -1, e.g.
+    # foreign/empty html) extract as "" — the caller's comparison then
+    # reports them as mismatches instead of negative lens crashing
+    # np.repeat below
+    lens = np.maximum(lens, 0)
     out_offs = np.zeros(len(html) + 1, dtype=np.int64)
     np.cumsum(lens, out=out_offs[1:])
     gather_starts = np.repeat(starts, lens)
@@ -189,9 +194,27 @@ def extract_text_batch(html: pa.Array) -> pa.Array:
 
 def write_webtext(out_dir: str, n_rows: int, n_parts: int,
                   seed: int = 42, use_ray: bool = False) -> list[str]:
-    """Write part-{i}.parquet files; returns the file list.  Cached: if the
-    directory already holds the expected files, generation is skipped."""
+    """Write part-{i}.parquet files; returns the file list.  Cached: if
+    the directory already holds files generated with the SAME
+    (n_rows, n_parts, seed), generation is skipped; any parameter
+    change regenerates everything (a bare existence check would
+    silently mix splits from different configurations)."""
+    import json as _json
     os.makedirs(out_dir, exist_ok=True)
+    meta_path = os.path.join(out_dir, "_gen_meta.json")
+    meta = {"n_rows": n_rows, "n_parts": n_parts, "seed": seed}
+    stale = True
+    if os.path.exists(meta_path):
+        try:
+            stale = _json.load(open(meta_path)) != meta
+        except (ValueError, OSError):
+            stale = True
+    if stale:  # wipe parts from any previous configuration
+        for f in os.listdir(out_dir):
+            if f.startswith("part-") and f.endswith(".parquet"):
+                os.remove(os.path.join(out_dir, f))
+        with open(meta_path, "w") as fh:
+            _json.dump(meta, fh)
     rows_per = [n_rows // n_parts + (1 if i < n_rows % n_parts else 0)
                 for i in range(n_parts)]
     paths = [os.path.join(out_dir, f"part-{i:05d}.parquet")

@@ -30,8 +30,8 @@ def make_reads_parquet(out_dir: str, n_reads: int, n_parts: int = 32,
     import pyarrow as pa
     import pyarrow.parquet as pq
     os.makedirs(out_dir, exist_ok=True)
-    rng = np.random.default_rng(seed)
-    genome = rng.integers(0, 4, GENOME_MBP * 1_000_000, dtype=np.uint8)
+    genome = np.random.default_rng(seed).integers(
+        0, 4, GENOME_MBP * 1_000_000, dtype=np.uint8)
     lut = np.frombuffer(b"ACGT", dtype=np.uint8)
     paths = []
     per = n_reads // n_parts
@@ -40,6 +40,9 @@ def make_reads_parquet(out_dir: str, n_reads: int, n_parts: int = 32,
         paths.append(path)
         if os.path.exists(path):
             continue
+        # per-part child seed: a shared stream would make a partially
+        # cached directory regenerate DIFFERENT (and duplicated) reads
+        rng = np.random.default_rng((seed, p))
         starts = rng.integers(0, len(genome) - READ_LEN, per)
         idx = starts[:, None] + np.arange(READ_LEN)[None, :]
         chars = lut[genome[idx]]
@@ -74,8 +77,10 @@ def main() -> None:
     DataContext.get_current().enable_progress_bars = False
 
     from packcol.pipelines.kmers import count_canonical_kmers
-    paths = make_reads_parquet(f"/tmp/packcol_genomics_{args.reads}",
-                               args.reads)
+    n_parts = 32
+    paths = make_reads_parquet(f"/tmp/packcol_genomics_v2_{args.reads}",
+                               args.reads, n_parts=n_parts)
+    n_written = (args.reads // n_parts) * n_parts  # actual corpus size
     raw = sum(os.path.getsize(p) for p in paths)
 
     distinct = {}
@@ -86,10 +91,10 @@ def main() -> None:
         n_distinct = out.count()
         dt = time.perf_counter() - t0
         distinct[strat] = n_distinct
-        windows = args.reads * (READ_LEN - args.k + 1)
+        windows = n_written * (READ_LEN - args.k + 1)
         print(json.dumps({
             "strategy": strat, "sec": round(dt, 2),
-            "n_distinct": n_distinct, "reads": args.reads,
+            "n_distinct": n_distinct, "reads": n_written,
             "raw_mb": raw >> 20, "k": args.k,
             "mwindows_per_s": round(windows / dt / 1e6, 2),
             "num_cpus": args.num_cpus}))

@@ -120,6 +120,9 @@ def main() -> None:
                                       cast(args.range[0]),
                                       cast(args.range[1]), cols)
         if args.output:
+            # materialize once: a lazy Dataset would re-run the whole
+            # filter pipeline for write_parquet and again for count()
+            ds = ds.materialize()
             ds.write_parquet(args.output)
             print(json.dumps({"rows": ds.count(), "output": args.output}))
         else:

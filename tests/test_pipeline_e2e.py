@@ -435,3 +435,40 @@ def test_pruned_empty_result_keeps_types(ray_session, tmp_path):
     sch = empty.schema()
     assert dict(zip(sch.names, [str(t) for t in sch.types])) == {
         "id": "int64", "v": "double"}
+
+
+def test_resume_detects_changed_input(ray_session, tmp_path):
+    """Regression: an in-place rewritten input with the same row-group
+    layout was silently skipped by resume, serving stale parts."""
+    import numpy as np
+    from packcol.pipelines.encode_pipeline import decode_files, encode_files
+    src = str(tmp_path / "in.parquet")
+    pq.write_table(pa.table({"id": pa.array(range(100), pa.int64()),
+                             "v": pa.array(["old"] * 100)}), src)
+    out = str(tmp_path / "enc_chg")
+    encode_files([src], out)
+    # rewrite in place: same path, same layout, different content
+    pq.write_table(pa.table({"id": pa.array(range(100), pa.int64()),
+                             "v": pa.array(["newer!"] * 100)}), src)
+    m = encode_files([src], out)
+    assert m["skipped_parts"] == 0  # change detected → re-encoded
+    got = decode_files(out).to_pandas()
+    assert (got["v"] == "newer!").all()
+    # unchanged input still skips
+    m2 = encode_files([src], out)
+    assert m2["skipped_parts"] == m2["parts"]
+
+
+def test_write_webtext_param_change_regenerates(tmp_path):
+    """Regression: changing n_rows/seed against a cached dir silently
+    mixed stale parts from the old configuration."""
+    from packcol.sources.webtext import write_webtext
+    d = str(tmp_path / "wt")
+    write_webtext(d, n_rows=1000, n_parts=2, seed=1)
+    n1 = sum(pq.ParquetFile(os.path.join(d, f)).metadata.num_rows
+             for f in os.listdir(d) if f.endswith(".parquet"))
+    assert n1 == 1000
+    write_webtext(d, n_rows=3000, n_parts=3, seed=1)
+    n2 = sum(pq.ParquetFile(os.path.join(d, f)).metadata.num_rows
+             for f in os.listdir(d) if f.endswith(".parquet"))
+    assert n2 == 3000  # fully regenerated, no stale mix
