@@ -711,6 +711,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
                         descending=[True, False]).limit(10)
     q["top_orders_q3"] = top_orders_q3
 
+    # --- range join (binned interval join, count form) -------------------
+    def purchases_nearby_clicks(sf):
+        from packcol.pipelines.window import interval_count_join
+        ev = _read(sf, "events", ["event_id", "user_id", "ts",
+                                  "event_type"])
+        purchases = ev.filter(expr="event_type == 'purchase'") \
+            .select_columns(["event_id", "user_id", "ts"])
+        clicks = ev.filter(expr="event_type == 'click'") \
+            .select_columns(["user_id", "ts"])
+        out = interval_count_join(purchases, clicks, by="user_id",
+                                  on="ts", gap=30 * 60 * 1_000_000,
+                                  left_id="event_id",
+                                  out_col="n_nearby")
+        return out.select_columns(["event_id", "n_nearby"])
+    q["purchases_nearby_clicks"] = purchases_nearby_clicks
+
     # --- TPC-H Q1 shape: wide vectorized aggregate, partial combiner -----
     def pricing_summary(sf):
         from ray.data.aggregate import Count, Sum
@@ -1165,6 +1181,13 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT CAST({qq} AS DOUBLE) AS q, "
             f"quantile_disc(n_chars, {qq}) AS value FROM documents"
             for qq in (0.25, 0.5, 0.75, 0.9))),
+        "purchases_nearby_clicks": (
+            "SELECT p.event_id, COUNT(c.event_id) AS n_nearby "
+            "FROM events p LEFT JOIN events c "
+            "ON p.user_id = c.user_id AND c.event_type = 'click' "
+            "AND c.ts BETWEEN p.ts - INTERVAL 30 MINUTE "
+            "AND p.ts + INTERVAL 30 MINUTE "
+            "WHERE p.event_type = 'purchase' GROUP BY p.event_id"),
         "pricing_summary": (
             "SELECT l_returnflag, l_linestatus, "
             "SUM(CAST(ROUND(l_quantity * 100, 0) AS BIGINT)) "

@@ -160,3 +160,81 @@ def top_n_per_group(ds, by, order_col: str, n: int,
         return g.take(pa.array(np.ascontiguousarray(order[:n])))
 
     return ds.groupby(by).map_groups(per_group, batch_format="pyarrow")
+
+
+def interval_count_join(left, right, by, on: str, gap: int,
+                        left_id: str, out_col: str = "n_in_range",
+                        num_partitions: int = 8):
+    """Range join, count form: for every left row, the number of right
+    rows with the same ``by`` key and |right.on - left.on| <= gap
+    (gap in the physical units of ``on``; temporal columns compare as
+    epoch int64).
+
+    Physical plan (the banding trick that keeps a range join out of
+    O(n*m) territory): bucket ``on`` into gap-sized bins, replicate the
+    RIGHT side into bins b-1/b/b+1, equi-join on (by, bin) — any pair
+    within gap must land in adjacent bins — then filter the exact
+    distance and count per left row.  Left-outer completion keeps
+    zero-match rows at 0."""
+    by = [by] if isinstance(by, str) else list(by)
+    gap_u = np.int64(gap)
+
+    def _ts64(col):
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        if pa.types.is_temporal(col.type):
+            return col.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return col.to_numpy(zero_copy_only=False).astype(np.int64)
+
+    def bin_left(batch: pa.Table) -> pa.Table:
+        t = _ts64(batch.column(on))
+        cols = {k: batch.column(k) for k in by}
+        cols[left_id] = batch.column(left_id)
+        cols["__t"] = t
+        cols["__bin"] = t // gap_u
+        return pa.table(cols)
+
+    def bin_right(batch: pa.Table) -> pa.Table:
+        t = _ts64(batch.column(on))
+        n = len(t)
+        cols = {}
+        for k in by:
+            c = batch.column(k)
+            if isinstance(c, pa.ChunkedArray):
+                c = c.combine_chunks()
+            cols[k] = c.take(pa.array(np.repeat(
+                np.arange(n, dtype=np.int64), 3)))
+        base_bin = t // gap_u
+        cols["__bin"] = (np.repeat(base_bin, 3)
+                         + np.tile(np.array([-1, 0, 1], np.int64), n))
+        cols["__rt"] = np.repeat(t, 3)
+        return pa.table(cols)
+
+    from .join import shuffle_join
+    lb = left.map_batches(bin_left, batch_format="pyarrow",
+                          zero_copy_batch=True)
+    rb = right.map_batches(bin_right, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    joined = shuffle_join(lb, rb, on=tuple(by) + ("__bin",),
+                          num_partitions=num_partitions)
+
+    def exact(batch: pa.Table) -> pa.Table:
+        dt = np.abs(batch.column("__t").to_numpy(zero_copy_only=False)
+                    - batch.column("__rt").to_numpy(zero_copy_only=False))
+        return pa.table({left_id: batch.column(left_id)}) \
+            .filter(pa.array(dt <= gap_u))
+
+    from ray.data.aggregate import Count
+    counts = joined.map_batches(exact, batch_format="pyarrow") \
+        .groupby(left_id).aggregate(Count(alias_name=out_col))
+    # left-outer completion: rows with zero matches keep 0
+    out = left.join(counts, join_type="left_outer",
+                    num_partitions=num_partitions,
+                    on=(left_id,))
+
+    def fill0(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc2
+        c = pc2.fill_null(batch.column(out_col), 0)
+        return batch.set_column(batch.column_names.index(out_col),
+                                out_col, c)
+    return out.map_batches(fill0, batch_format="pyarrow")

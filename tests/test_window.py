@@ -178,3 +178,25 @@ def test_asof_join_null_on_values(ray_session):
     assert got["y"].tolist()[0] == 100        # t=10 matches t=5
     assert pd.isna(got["y"].iloc[1])          # null-on left: unmatched
     assert got["y"].tolist()[2] == 100        # null-on right excluded
+
+
+def test_interval_count_join_matches_bruteforce(ray_session):
+    from packcol.pipelines.window import interval_count_join
+    rng = np.random.default_rng(41)
+    left = pd.DataFrame({
+        "id": np.arange(300, dtype=np.int64),
+        "k": rng.integers(0, 5, 300),
+        "t": rng.integers(0, 100_000, 300).astype("int64")})
+    right = pd.DataFrame({
+        "k": rng.integers(0, 5, 800),
+        "t": rng.integers(0, 100_000, 800).astype("int64")})
+    gap = 700
+    got = interval_count_join(_ds(left), _ds(right, 4), by="k", on="t",
+                              gap=gap, left_id="id",
+                              num_partitions=2).to_pandas() \
+        .set_index("id")["n_in_range"]
+    for _, row in left.sample(60, random_state=0).iterrows():
+        exp = ((right["k"] == row["k"]) &
+               (np.abs(right["t"] - row["t"]) <= gap)).sum()
+        assert got[row["id"]] == exp, row["id"]
+    assert len(got) == len(left)  # zero-match rows present with 0
