@@ -122,7 +122,9 @@ def main() -> int:
         except Exception as ex:  # noqa: BLE001
             results[name] = {"err": f"{type(ex).__name__}: {ex}"}
             failures += 1
-    print(json.dumps(results, indent=1, default=str))
+    # single line, printed LAST: Ray workers may interleave log lines
+    # into stdout mid-run, so consumers should parse the final line
+    print(json.dumps(results, default=str))
     print(f"# {len(names)} queries, {failures} failures", file=sys.stderr)
     ray.shutdown()
     return 1 if failures else 0
