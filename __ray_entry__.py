@@ -1124,10 +1124,14 @@ def oracle_sql() -> dict[str, str]:
         "filter_encoded_ts_range": (
             "SELECT event_id, ts FROM events WHERE ts BETWEEN "
             "TIMESTAMP '2024-01-05' AND TIMESTAMP '2024-01-12'"),
+        # NB every SUM of an integer below is wrapped in an outer CAST:
+        # DuckDB SUM(BIGINT) returns HUGEINT, which pandas renders as
+        # float64 and the driver's dtype-sensitive hash then mismatches
+        # the engine's int64 on equal values (VERDICT r2 root cause).
         "orders_by_nation": (
             "SELECT n_name, COUNT(*) AS n_orders, "
-            "SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) "
-            "AS total_cents "
+            "CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) "
+            "AS BIGINT) AS total_cents "
             "FROM orders JOIN customer ON o_custkey = c_custkey "
             "JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name"),
         "customers_without_orders": (
@@ -1136,13 +1140,14 @@ def oracle_sql() -> dict[str, str]:
             "WHERE o_orderpriority = '1-URGENT')"),
         "revenue_by_brand": (
             "SELECT p_brand, "
-            "SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100, 0) "
-            "AS BIGINT)) AS revenue_cents "
+            "CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100, "
+            "0) AS BIGINT)) AS BIGINT) AS revenue_cents "
             "FROM lineitem JOIN part ON l_partkey = p_partkey "
             "GROUP BY p_brand"),
         "events_by_type_salted": (
             "SELECT event_type, "
-            "SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS sum_cents, "
+            "CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) "
+            "AS sum_cents, "
             "MIN(CAST(ROUND(value * 100, 0) AS BIGINT)) AS min_cents, "
             "MAX(CAST(ROUND(value * 100, 0) AS BIGINT)) AS max_cents, "
             "COUNT(*) AS n FROM events GROUP BY event_type"),
@@ -1163,12 +1168,12 @@ def oracle_sql() -> dict[str, str]:
             "SELECT vec_id, UNNEST(embedding) AS v FROM embeddings"),
         "user_event_pivot": (
             "SELECT user_id, "
-            "SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) "
-            "AS n_click, "
-            "SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) "
-            "AS n_view, "
-            "SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) "
-            "AS n_purchase FROM events GROUP BY user_id"),
+            "CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) "
+            "AS BIGINT) AS n_click, "
+            "CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) "
+            "AS BIGINT) AS n_view, "
+            "CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) "
+            "AS BIGINT) AS n_purchase FROM events GROUP BY user_id"),
         "quantiles_nchars_by_lang": (" UNION ALL ".join(
             f"SELECT lang, CAST({qq} AS DOUBLE) AS q, "
             f"quantile_disc(n_chars, {qq}) AS value "
@@ -1190,14 +1195,15 @@ def oracle_sql() -> dict[str, str]:
             "WHERE p.event_type = 'purchase' GROUP BY p.event_id"),
         "pricing_summary": (
             "SELECT l_returnflag, l_linestatus, "
-            "SUM(CAST(ROUND(l_quantity * 100, 0) AS BIGINT)) "
-            "AS sum_qty_cents, "
-            "SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)) "
-            "AS sum_base_cents, "
-            "SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100, 0) "
-            "AS BIGINT)) AS sum_disc_cents, "
-            "SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * "
-            "(1 + l_tax) * 100, 0) AS BIGINT)) AS sum_charge_cents, "
+            "CAST(SUM(CAST(ROUND(l_quantity * 100, 0) AS BIGINT)) "
+            "AS BIGINT) AS sum_qty_cents, "
+            "CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)) "
+            "AS BIGINT) AS sum_base_cents, "
+            "CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100, "
+            "0) AS BIGINT)) AS BIGINT) AS sum_disc_cents, "
+            "CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * "
+            "(1 + l_tax) * 100, 0) AS BIGINT)) AS BIGINT) "
+            "AS sum_charge_cents, "
             "COUNT(*) AS count_order "
             "FROM lineitem GROUP BY l_returnflag, l_linestatus"),
         "asof_prev_purchase": (
@@ -1208,19 +1214,20 @@ def oracle_sql() -> dict[str, str]:
             "ON e.user_id = p.user_id AND e.ts > p.ts"),
         "user_running_total": (
             "SELECT user_id, event_id, "
-            "SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) OVER "
-            "(PARTITION BY user_id ORDER BY ts) AS run_cents "
+            "CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) OVER "
+            "(PARTITION BY user_id ORDER BY ts) AS BIGINT) AS run_cents "
             "FROM events"),
         "forecast_revenue_q6": (
-            "SELECT SUM(CAST(ROUND(l_extendedprice * l_discount * 100, 0)"
-            " AS BIGINT)) AS revenue_cents, COUNT(*) AS n_items "
+            "SELECT CAST(SUM(CAST(ROUND(l_extendedprice * l_discount * "
+            "100, 0) AS BIGINT)) AS BIGINT) "
+            "AS revenue_cents, COUNT(*) AS n_items "
             "FROM lineitem WHERE l_shipdate >= TIMESTAMP '1996-01-01' "
             "AND l_shipdate < TIMESTAMP '1997-01-01' "
             "AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24"),
         "local_supplier_volume_q5": (
             "SELECT n_name, "
-            "SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100, 0) "
-            "AS BIGINT)) AS revenue_cents "
+            "CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100, "
+            "0) AS BIGINT)) AS BIGINT) AS revenue_cents "
             "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
             "JOIN customer ON o_custkey = c_custkey "
             "JOIN supplier ON l_suppkey = s_suppkey "
@@ -1230,8 +1237,8 @@ def oracle_sql() -> dict[str, str]:
             "GROUP BY n_name"),
         "top_orders_q3": (
             "SELECT l_orderkey, "
-            "SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100, 0) "
-            "AS BIGINT)) AS revenue_cents "
+            "CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100, "
+            "0) AS BIGINT)) AS BIGINT) AS revenue_cents "
             "FROM lineitem WHERE l_orderkey IN ("
             "SELECT o_orderkey FROM orders JOIN customer "
             "ON o_custkey = c_custkey WHERE c_mktsegment = 'BUILDING') "

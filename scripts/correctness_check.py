@@ -70,6 +70,24 @@ def _canon_pair(a: pd.DataFrame, b: pd.DataFrame):
     return finish(a), finish(b)
 
 
+def _dtype_mismatches(a: pd.DataFrame, b: pd.DataFrame) -> list[str]:
+    """Columns whose numeric KIND differs between engine and oracle
+    (int64 vs float64 etc).  The driver's row hash is dtype-sensitive —
+    DuckDB HUGEINT→float64 vs engine int64 fails there even when the
+    values are equal — so the local sweep must flag it too."""
+    out = []
+    for c in a.columns:
+        if c not in b.columns:
+            continue
+        ka = ("f" if pd.api.types.is_float_dtype(a[c]) else
+              "i" if pd.api.types.is_integer_dtype(a[c]) else None)
+        kb = ("f" if pd.api.types.is_float_dtype(b[c]) else
+              "i" if pd.api.types.is_integer_dtype(b[c]) else None)
+        if ka is not None and kb is not None and ka != kb:
+            out.append(f"{c}: engine={a[c].dtype} oracle={b[c].dtype}")
+    return out
+
+
 def _hashes(a: pd.DataFrame, b: pd.DataFrame) -> tuple[int, int]:
     ca, cb = _canon_pair(a, b)
     return (int(pd.util.hash_pandas_object(ca, index=False).sum()),
@@ -110,13 +128,18 @@ def main() -> int:
                 continue
             exp = con.execute(oracles[name]).df()
             ha, hb = _hashes(got, exp)
+            dtm = _dtype_mismatches(got, exp)
             r = {
                 "rows_match": len(got) == len(exp),
                 "schema_match": sorted(got.columns) == sorted(exp.columns),
                 "hash_match": ha == hb,
+                "dtype_ok": not dtm,
                 "rows": len(got), "oracle_rows": len(exp),
             }
-            if not all(v for k, v in r.items() if k.endswith("_match")):
+            if dtm:
+                r["dtype_mismatch"] = dtm
+            if not all(v for k, v in r.items()
+                       if k.endswith("_match") or k == "dtype_ok"):
                 failures += 1
             results[name] = r
         except Exception as ex:  # noqa: BLE001
