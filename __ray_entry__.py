@@ -791,32 +791,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["user_running_total"] = user_running_total
 
     # --- stream-shaped ops: sessionization + top-per-group ---------------
-    # (Ray Data has no event-time windows; the documented pattern is
-    # groupby(key).map_groups over ts-sorted groups — ordering assumption:
-    # all events of a user fit one group, sorted inside the UDF.)
+    # Both run on the vectorized window machinery (no per-group pandas):
+    # sessionize = sort + per-block run partials + tiny per-key merge;
+    # top-per-group = per-batch vectorized top-n combiner + small final.
     def sessionize(sf):
-        import pandas as pd
-
-        def per_user(g: pd.DataFrame) -> pd.DataFrame:
-            g = g.sort_values(["ts", "event_id"])
-            gaps = g["ts"].diff().dt.total_seconds() > 1800
-            return pd.DataFrame({"user_id": [g["user_id"].iloc[0]],
-                                 "n_sessions": [int(gaps.sum()) + 1]})
-        ds = _read(sf, "events", ["user_id", "ts", "event_id"])
-        return ds.groupby("user_id").map_groups(per_user,
-                                                batch_format="pandas")
+        from packcol.pipelines.window import sessionize as sz
+        ds = _read(sf, "events", ["user_id", "ts"])
+        return sz(ds, by="user_id", on="ts", gap=1800 * 1_000_000,
+                  out_col="n_sessions")
     q["sessionize"] = sessionize
 
     def top_event_per_user(sf):
-        import pandas as pd
-
-        def per_user(g: pd.DataFrame) -> pd.DataFrame:
-            g = g.sort_values(["value", "event_id"],
-                              ascending=[False, True])
-            return g.head(1)[["user_id", "event_id", "value"]]
+        from packcol.pipelines.window import top_n_per_group
         ds = _read(sf, "events", ["user_id", "event_id", "value"])
-        return ds.groupby("user_id").map_groups(per_user,
-                                                batch_format="pandas")
+        return top_n_per_group(ds, "user_id", "value", 1,
+                               descending=True, tiebreak="event_id") \
+            .select_columns(["user_id", "event_id", "value"])
     q["top_event_per_user"] = top_event_per_user
 
     # --- broadcast semi-join: events of the top-5 busiest users ----------

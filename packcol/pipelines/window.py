@@ -144,22 +144,159 @@ def running_aggregate(ds, by, on, col: str, agg: str = "sum",
     return ds.groupby(by).map_groups(per_key, batch_format="pyarrow")
 
 
+def _group_codes(tbl: pa.Table, by: list[str]) -> np.ndarray:
+    """Dense int codes identifying each row's group within one table —
+    works for any key type via per-column factorization."""
+    codes_list = []
+    for name in by:
+        c = tbl.column(name)
+        if isinstance(c, pa.ChunkedArray):
+            c = c.combine_chunks()
+        enc = pc.dictionary_encode(c)
+        codes_list.append(enc.indices.to_numpy(zero_copy_only=False)
+                          .astype(np.int64))
+    if len(codes_list) == 1:
+        return codes_list[0]
+    _, inv = np.unique(np.stack(codes_list, axis=1), axis=0,
+                       return_inverse=True)
+    return inv.astype(np.int64)
+
+
+def _order_rank(tbl: pa.Table, col: str, descending: bool) -> np.ndarray:
+    """Sortable int64 rank of a column (descending via negated rank) —
+    generic over strings/floats/ints, NaN-free."""
+    c = tbl.column(col)
+    if isinstance(c, pa.ChunkedArray):
+        c = c.combine_chunks()
+    v = c.to_numpy(zero_copy_only=False)
+    _, inv = np.unique(v, return_inverse=True)
+    r = inv.astype(np.int64)
+    return -r if descending else r
+
+
+def _topn_block(tbl: pa.Table, by: list[str], order_col: str, n: int,
+                descending: bool, tiebreak: str | None) -> pa.Table:
+    """Vectorized top-n per group over ALL groups in one table: one
+    lexsort + run detection, no per-group Python."""
+    m = tbl.num_rows
+    if m == 0:
+        return tbl
+    codes = _group_codes(tbl, by)
+    keys = [_order_rank(tbl, order_col, descending), codes]
+    if tiebreak is not None:
+        keys.insert(0, _order_rank(tbl, tiebreak, False))
+    order = np.lexsort(keys)          # last key primary: group, then rank
+    cs = codes[order]
+    run_start = np.zeros(m, dtype=bool)
+    run_start[0] = True
+    run_start[1:] = cs[1:] != cs[:-1]
+    # position within the run = index - index-of-run-start
+    starts = np.flatnonzero(run_start)
+    pos = np.arange(m, dtype=np.int64) - np.repeat(
+        starts, np.diff(np.append(starts, m)))
+    keep = order[pos < n]
+    return tbl.take(pa.array(np.ascontiguousarray(keep)))
+
+
 def top_n_per_group(ds, by, order_col: str, n: int,
-                    descending: bool = False):
+                    descending: bool = False, tiebreak: str | None = None):
     """First n rows of each group under a total order — the
     stratified-sample / per-key-top-k shape (SQL ROW_NUMBER() OVER
-    (PARTITION BY by ORDER BY order_col) <= n).  One hash shuffle on
-    the group key; sort + head inside each group."""
+    (PARTITION BY by ORDER BY order_col[, tiebreak]) <= n).
+
+    Physical plan (combiner form): a vectorized per-batch pre-reduce
+    keeps at most n rows per group per batch — top-n is decomposable,
+    so the global answer is inside the union of batch-local answers —
+    then one hash shuffle of the PARTIALS (≤ n × groups × batches rows,
+    not the dataset) and the same vectorized kernel per group.  Ties
+    beyond ``tiebreak`` resolve deterministically per partition layout."""
     by = [by] if isinstance(by, str) else list(by)
 
-    def per_group(g: pa.Table) -> pa.Table:
-        v = g.column(order_col).to_numpy(zero_copy_only=False)
-        order = np.argsort(v, kind="stable")
-        if descending:  # reverse AFTER the sort: negating the values
-            order = order[::-1]  # mis-sorts unsigned ints, breaks strings
-        return g.take(pa.array(np.ascontiguousarray(order[:n])))
+    def partial(batch: pa.Table) -> pa.Table:
+        return _topn_block(batch, by, order_col, n, descending, tiebreak)
 
-    return ds.groupby(by).map_groups(per_group, batch_format="pyarrow")
+    def per_group(g: pa.Table) -> pa.Table:
+        return _topn_block(g, by, order_col, n, descending, tiebreak)
+
+    return ds.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True) \
+        .groupby(by).map_groups(per_group, batch_format="pyarrow")
+
+
+def sessionize(ds, by, on: str, gap: int, out_col: str = "n_sessions"):
+    """Per-key session count: a new session starts whenever the time
+    between consecutive events of the key (ordered by ``on``) exceeds
+    ``gap`` (same units as ``on``; timestamp columns are normalized to
+    epoch MICROSECONDS regardless of their storage precision, so gap is
+    always in µs for them).
+
+    Physical plan (no per-group UDF over the events): one global sort
+    on (by, on) → one vectorized ``map_batches`` emitting per-key-run
+    partials (first/last ``on``, within-run gap count) — sorted block
+    boundaries cut each key's ordered sequence into time-contiguous
+    runs — then a tiny per-key merge over ≤ runs-per-key rows adds the
+    boundary gaps.  The events cross the cluster once (the sort); the
+    merge input is O(keys + blocks), so the slow per-group path only
+    ever sees partials."""
+    by_one = by if isinstance(by, str) else None
+    if by_one is None:
+        raise ValueError("sessionize: single key column required")
+    gap = np.int64(gap)
+
+    def _t64(col):
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        if pa.types.is_timestamp(col.type):
+            col = col.cast(pa.timestamp("us", tz=col.type.tz))
+        if pa.types.is_temporal(col.type):
+            return col.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return col.to_numpy(zero_copy_only=False).astype(np.int64)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        m = batch.num_rows
+        k = batch.column(by_one)
+        if isinstance(k, pa.ChunkedArray):
+            k = k.combine_chunks()
+        if m == 0:
+            return pa.table({by_one: k.slice(0, 0),
+                             "__first": pa.array([], pa.int64()),
+                             "__last": pa.array([], pa.int64()),
+                             "__gaps": pa.array([], pa.int64())})
+        t = _t64(batch.column(on))
+        # key-change mask between adjacent rows (generic over key type)
+        if m > 1:
+            neq = pc.invert(pc.equal(k.slice(1), k.slice(0, m - 1))) \
+                .to_numpy(zero_copy_only=False).astype(bool)
+        else:
+            neq = np.zeros(0, dtype=bool)
+        starts = np.concatenate([[0], np.flatnonzero(neq) + 1])
+        ends = np.concatenate([starts[1:], [m]])          # exclusive
+        gap_flags = np.zeros(max(m - 1, 0), dtype=np.int64)
+        if m > 1:
+            gap_flags[(t[1:] - t[:-1] > gap) & ~neq] = 1
+        cs = np.concatenate([[0], np.cumsum(gap_flags)])
+        gaps = cs[ends - 1] - cs[starts]
+        return pa.table({
+            by_one: k.take(pa.array(starts)),
+            "__first": pa.array(t[starts]),
+            "__last": pa.array(t[ends - 1]),
+            "__gaps": pa.array(gaps)})
+
+    def merge(g: pa.Table) -> pa.Table:
+        f = g.column("__first").to_numpy(zero_copy_only=False)
+        last = g.column("__last").to_numpy(zero_copy_only=False)
+        gp = g.column("__gaps").to_numpy(zero_copy_only=False)
+        order = np.lexsort((last, f))
+        f, last = f[order], last[order]
+        boundary = int((f[1:] - last[:-1] > gap).sum()) if len(f) > 1 \
+            else 0
+        n_sessions = int(gp.sum()) + boundary + 1
+        return pa.table({by_one: g.column(by_one).slice(0, 1),
+                         out_col: pa.array([n_sessions], pa.int64())})
+
+    parts = ds.sort([by_one, on]).map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True)
+    return parts.groupby(by_one).map_groups(merge, batch_format="pyarrow")
 
 
 def interval_count_join(left, right, by, on: str, gap: int,

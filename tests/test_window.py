@@ -200,3 +200,75 @@ def test_interval_count_join_matches_bruteforce(ray_session):
                (np.abs(right["t"] - row["t"]) <= gap)).sum()
         assert got[row["id"]] == exp, row["id"]
     assert len(got) == len(left)  # zero-match rows present with 0
+
+
+def test_top_n_per_group_combiner_matches_pandas(ray_session):
+    from packcol.pipelines.window import top_n_per_group
+    rng = np.random.default_rng(7)
+    df = pd.DataFrame({
+        "k": rng.integers(0, 12, 2000),
+        "v": rng.integers(0, 40, 2000),        # many ties
+        "tb": np.arange(2000, dtype=np.int64),
+        "payload": rng.normal(size=2000).round(3)})
+    for desc in (False, True):
+        got = top_n_per_group(_ds(df, 7), "k", "v", 3,
+                              descending=desc, tiebreak="tb") \
+            .to_pandas().sort_values(["k", "tb"]).reset_index(drop=True)
+        exp = (df.sort_values(["v", "tb"], ascending=[not desc, True])
+               .groupby("k", as_index=False).head(3)
+               .sort_values(["k", "tb"]).reset_index(drop=True))
+        pd.testing.assert_frame_equal(got[exp.columns.tolist()], exp,
+                                      check_dtype=False)
+
+
+def test_top_n_per_group_string_order_desc(ray_session):
+    from packcol.pipelines.window import top_n_per_group
+    df = pd.DataFrame({"k": [0, 0, 0, 1, 1],
+                       "s": ["b", "aa", "z", "m", "c"],
+                       "tb": [1, 2, 3, 4, 5]})
+    got = top_n_per_group(_ds(df, 2), "k", "s", 1, descending=True,
+                          tiebreak="tb").to_pandas() \
+        .sort_values("k").reset_index(drop=True)
+    assert got["s"].tolist() == ["z", "m"]
+
+
+def test_sessionize_matches_pandas(ray_session):
+    from packcol.pipelines.window import sessionize
+    rng = np.random.default_rng(23)
+    n = 3000
+    df = pd.DataFrame({
+        "u": rng.integers(0, 40, n),
+        "t": np.sort(rng.integers(0, 500_000, n)).astype("int64")})
+    df = df.sample(frac=1.0, random_state=3).reset_index(drop=True)
+    gap = 900
+    got = sessionize(_ds(df, 9), by="u", on="t", gap=gap,
+                     out_col="n_sessions").to_pandas() \
+        .sort_values("u").reset_index(drop=True)
+
+    def ref(g):
+        ts = np.sort(g["t"].to_numpy())
+        return int((np.diff(ts) > gap).sum()) + 1
+    exp = df.groupby("u").apply(ref, include_groups=False) \
+        .rename("n_sessions").reset_index()
+    pd.testing.assert_frame_equal(
+        got, exp.rename(columns={"u": "u"}), check_dtype=False)
+
+
+def test_sessionize_single_event_users(ray_session):
+    from packcol.pipelines.window import sessionize
+    df = pd.DataFrame({"u": [1, 2, 3], "t": [5, 100, 7]})
+    got = sessionize(_ds(df, 3), by="u", on="t", gap=10).to_pandas()
+    assert sorted(got["n_sessions"].tolist()) == [1, 1, 1]
+
+
+def test_sessionize_timestamp_column(ray_session):
+    from packcol.pipelines.window import sessionize
+    base = pd.Timestamp("2024-01-01")
+    df = pd.DataFrame({
+        "u": [1, 1, 1, 1],
+        "ts": [base, base + pd.Timedelta(minutes=5),
+               base + pd.Timedelta(hours=2),
+               base + pd.Timedelta(hours=2, minutes=10)]})
+    got = sessionize(_ds(df, 2), by="u", on="ts",
+                     gap=1800 * 1_000_000).to_pandas()
+    assert got["n_sessions"].tolist() == [2]
