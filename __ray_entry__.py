@@ -276,6 +276,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return pdf[["vec_id", "cos"]]
     q["ann_lsh"] = ann_lsh
 
+    def ann_ivf_exact(sf):
+        """IVF in its exactness-forcing configuration (n_probe ==
+        n_lists probes every inverted list, so the result is the exact
+        top-k) with centroids from the DISTRIBUTED Lloyd path — the
+        SQL-checkable entry for the IVF/k-means machinery."""
+        from packcol.pipelines.ann import ann_ivf_topk
+        pdf = ann_ivf_topk(_read(sf, "embeddings"), _query_vec(sf),
+                           k=10, n_lists=8, n_probe=8, train="full")
+        return pdf[["vec_id"]]
+    q["ann_ivf_exact"] = ann_ivf_exact
+
     # --- canonical-form normalization (N1-N4 generalized) ----------------
     def canonical_text(sf):
         from packcol.codecs.canonical import canonicalize
@@ -346,7 +357,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def _ngram_scored(sf, ds):
         import pandas as pd
         import ray as _ray
-        from packcol.functions.hashing import ngram_jaccard, shingle_hashes
+        from packcol.functions.hashing import (pairwise_jaccard,
+                                               shingle_hashes)
         from packcol.pipelines.dedup import minhash_lsh_pairs
         cand = minhash_lsh_pairs(ds).to_pandas()
         if len(cand) == 0:
@@ -368,13 +380,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         corpus = ds.map_batches(pick, batch_format="pyarrow").to_pandas()
         text = pa.array(corpus["text"])
         sh, rows = shingle_hashes(text, 3)
-        pos = {int(v): i for i, v in enumerate(corpus["doc_id"])}
-        out = []
-        for _, r in cand.iterrows():
-            ia, ib = pos[int(r["id_a"])], pos[int(r["id_b"])]
-            j = ngram_jaccard(sh[rows == ia], sh[rows == ib])
-            out.append((int(r["id_a"]), int(r["id_b"]), j))
-        return pd.DataFrame(out, columns=["id_a", "id_b", "jaccard"])
+        # vectorized pair scoring: map candidate ids to corpus row
+        # indices (searchsorted) and score ALL pairs in one kernel call
+        cids = corpus["doc_id"].to_numpy()
+        order = np.argsort(cids)
+        ia = order[np.searchsorted(cids[order], cand["id_a"].to_numpy())]
+        ib = order[np.searchsorted(cids[order], cand["id_b"].to_numpy())]
+        jac = pairwise_jaccard(sh, rows, ia, ib)
+        return pd.DataFrame({"id_a": cand["id_a"].to_numpy(),
+                             "id_b": cand["id_b"].to_numpy(),
+                             "jaccard": jac})
 
     def ngram_dedup(sf):
         """Exact n-gram-Jaccard verification of LSH candidates over the
@@ -1079,6 +1094,13 @@ def oracle_sql() -> dict[str, str]:
             "len(list_distinct(string_split(text,' '))) AS n_unique_tokens "
             "FROM documents"),
         "ann_topk": (
+            "SELECT e.vec_id FROM embeddings e, "
+            "(SELECT embedding AS qv FROM embeddings WHERE vec_id=0) q "
+            "ORDER BY list_cosine_similarity(e.embedding, q.qv) DESC, "
+            "e.vec_id LIMIT 10"),
+        # IVF with n_probe == n_lists scans every list → exact top-k;
+        # same oracle as brute force
+        "ann_ivf_exact": (
             "SELECT e.vec_id FROM embeddings e, "
             "(SELECT embedding AS qv FROM embeddings WHERE vec_id=0) q "
             "ORDER BY list_cosine_similarity(e.embedding, q.qv) DESC, "

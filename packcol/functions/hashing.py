@@ -113,6 +113,62 @@ def hamming_distance(a: np.ndarray, b: np.ndarray) -> np.ndarray:
         return (x * np.uint64(0x0101010101010101)) >> np.uint64(56)
 
 
+def pairwise_jaccard(sh: np.ndarray, rows: np.ndarray,
+                     ia: np.ndarray, ib: np.ndarray) -> np.ndarray:
+    """Exact shingle-set Jaccard for MANY (row_a, row_b) pairs in one
+    vectorized pass — the batch form of :func:`ngram_jaccard` (no
+    Python loop over pairs).
+
+    ``sh``/``rows``: shingle hashes and their aligned row ids (as from
+    :func:`shingle_hashes`).  ``ia``/``ib``: per-pair row indices.
+    Plan: build per-row sorted-unique sets once (lexsort + dedupe),
+    ragged-gather both sides of every pair tagged by pair id, sort by
+    (pair, value) and count equal-adjacent values — each value is
+    unique within a side, so a duplicate within a pair IS an
+    intersection element.  O(total gathered · log) with no per-pair
+    work; memory is bounded by the candidate pairs, not the corpus."""
+    ia = np.asarray(ia, dtype=np.int64)
+    ib = np.asarray(ib, dtype=np.int64)
+    n_pairs = len(ia)
+    if n_pairs == 0:
+        return np.zeros(0, dtype=np.float64)
+    n_rows = int(max(rows.max(initial=-1), ia.max(), ib.max())) + 1
+    order = np.lexsort((sh, rows))
+    s, r = sh[order], rows[order]
+    if len(s):
+        keep = np.ones(len(s), dtype=bool)
+        keep[1:] = (s[1:] != s[:-1]) | (r[1:] != r[:-1])
+        s, r = s[keep], r[keep]
+    counts = np.bincount(r, minlength=n_rows)
+    offs = np.concatenate([[0], np.cumsum(counts)])
+
+    def gather(idx: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        lens = counts[idx]
+        total = int(lens.sum())
+        pos = (np.arange(total, dtype=np.int64)
+               - np.repeat(np.cumsum(lens) - lens, lens)
+               + np.repeat(offs[idx], lens))
+        pid = np.repeat(np.arange(len(idx), dtype=np.int64), lens)
+        return s[pos], pid
+
+    va, pa_ = gather(ia)
+    vb, pb_ = gather(ib)
+    v = np.concatenate([va, vb])
+    p = np.concatenate([pa_, pb_])
+    o2 = np.lexsort((v, p))
+    v, p = v[o2], p[o2]
+    dup = np.zeros(max(len(v) - 1, 0), dtype=bool)
+    if len(v) > 1:
+        dup = (v[1:] == v[:-1]) & (p[1:] == p[:-1])
+    inter = np.bincount(p[1:][dup], minlength=n_pairs) if len(v) > 1 \
+        else np.zeros(n_pairs, dtype=np.int64)
+    union = counts[ia] + counts[ib] - inter
+    out = np.zeros(n_pairs, dtype=np.float64)
+    nz = union > 0
+    out[nz] = inter[nz] / union[nz]
+    return out  # both-empty pairs → 0.0, same as ngram_jaccard
+
+
 def ngram_jaccard(a_sh: np.ndarray, b_sh: np.ndarray) -> float:
     """Exact Jaccard of two shingle-hash sets (verify step for candidate
     pairs)."""

@@ -163,3 +163,27 @@ def test_ngram_jaccard_empty_sets_do_not_confirm():
     from packcol.functions.hashing import ngram_jaccard
     empty = np.empty(0, dtype=np.uint64)
     assert ngram_jaccard(empty, empty) == 0.0
+
+
+def test_pairwise_jaccard_matches_scalar():
+    import numpy as np
+    import pyarrow as pa
+    from packcol.functions.hashing import (ngram_jaccard,
+                                           pairwise_jaccard,
+                                           shingle_hashes)
+    rng = np.random.default_rng(5)
+    vocab = [f"w{i}" for i in range(30)]
+    texts = [" ".join(rng.choice(vocab, rng.integers(0, 25)))
+             for _ in range(40)]
+    texts[7] = texts[3]                      # exact dup pair
+    texts[9] = ""                            # empty doc
+    sh, rows = shingle_hashes(pa.array(texts), 3)
+    ia = rng.integers(0, 40, 60)
+    ib = rng.integers(0, 40, 60)
+    got = pairwise_jaccard(sh, rows, ia, ib)
+    for k in range(60):
+        exp = ngram_jaccard(sh[rows == ia[k]], sh[rows == ib[k]])
+        assert abs(got[k] - exp) < 1e-12, (k, ia[k], ib[k])
+    # identical texts → exactly 1.0 (unless both shingle-less)
+    got_dup = pairwise_jaccard(sh, rows, np.array([3]), np.array([7]))
+    assert got_dup[0] == 1.0
