@@ -215,9 +215,9 @@ def embedding_near_dup_pairs_lsh(ds, threshold: float = 0.9,
                           "cos": pa.array([], pa.float64())})
         if m < 2:
             return empty
+        from .dedup import _fixed_blobs
         ids = group.column(id_col).to_numpy(zero_copy_only=False)
-        V = np.stack([np.frombuffer(v, dtype=np.float32)
-                      for v in group.column("vec").to_pylist()]) \
+        V = _fixed_blobs(group.column("vec"), np.float32) \
             .astype(np.float64)
         S = V @ V.T
         ia, ib = np.nonzero(np.triu(S >= threshold, k=1))

@@ -164,17 +164,39 @@ def drop_exact_dups(ds, text_col: str = "text", id_col: str = "url",
 
 
 def drop_near_dups(ds, text_col: str = "text", id_col: str = "url",
-                   threshold: float = 0.85):
-    """Remove non-representative members of near-dup clusters."""
+                   threshold: float = 0.85,
+                   verify_identical: bool = False):
+    """Remove non-representative members of near-dup clusters.
+
+    ``verify_identical=True`` passes the sketch candidates through
+    exact fingerprint verification before clustering, so only
+    byte-identical pairs form clusters — the SQL-checkable contract
+    (min-id per identical-text group) that drives the full
+    sketch→verify→cluster→drop composition end-to-end."""
     import ray
-    from .dedup import minhash_lsh_pairs, pairs_to_clusters
+    from .dedup import (minhash_lsh_pairs, pairs_to_clusters,
+                        verify_pairs_identical)
     from ..stages.profile import value_hashes
 
+    from ..codecs.forpack import is_int_like, to_int64_numpy
+
     def _nid(col) -> tuple[np.ndarray, np.ndarray | None]:
+        """Node id per row: integer id columns pass through RAW, so the
+        cluster representative (min node id) is the min ORIGINAL id —
+        the SQL-checkable keeper rule.  Non-integer ids fall back to
+        64-bit value hashes (representative = min hash: deterministic
+        but arbitrary)."""
         c = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
-        if c.null_count == 0:
+        valid = None
+        if c.null_count:
+            valid = c.is_valid().to_numpy(zero_copy_only=False)
+        if is_int_like(c.type):
+            v = to_int64_numpy(c)
+            if valid is not None:
+                v = np.where(valid, v, 0)
+            return v, valid
+        if valid is None:
             return value_hashes(c).view(np.int64), None
-        valid = c.is_valid().to_numpy(zero_copy_only=False)
         h = np.zeros(len(c), dtype=np.int64)
         h[valid] = value_hashes(c).view(np.int64)
         return h, valid
@@ -189,6 +211,9 @@ def drop_near_dups(ds, text_col: str = "text", id_col: str = "url",
     with_ids = ds.map_batches(add_nid, batch_format="pyarrow")
     pairs = minhash_lsh_pairs(with_ids, text_col=text_col, id_col="__nid",
                               threshold=threshold)
+    if verify_identical:
+        pairs = verify_pairs_identical(with_ids, pairs,
+                                       text_col=text_col, id_col="__nid")
     clusters = pairs_to_clusters(pairs)
     drop = set(clusters.loc[clusters["id"] != clusters["cluster"], "id"])
     ref = ray.put(drop)

@@ -22,6 +22,37 @@ def _col(batch: pa.Table, name: str) -> pa.Array:
     return c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
 
 
+def _fixed_blobs(col, dtype) -> np.ndarray:
+    """(m, k) matrix over equal-length binary blobs with NO Python loop:
+    a dtype view of the Arrow data buffer when the rows are dense
+    (the common case), one vectorized gather otherwise."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    from ..codecs.fsst import buffer_view
+    d, offs = buffer_view(col)
+    m = len(col)
+    if m == 0:
+        return np.empty((0, 0), dtype=dtype)
+    w = int(offs[1] - offs[0])
+    if not (np.diff(offs) == w).all():
+        raise ValueError("blobs are not equal-length")
+    if len(d) != m * w:  # sliced/sparse buffer: gather the rows
+        d = d[(offs[:-1, None] + np.arange(w, dtype=np.int64)).ravel()]
+    return np.ascontiguousarray(d).view(dtype).reshape(m, -1)
+
+
+def _blob_array(M: np.ndarray) -> pa.Array:
+    """Inverse of _fixed_blobs: (m, k) matrix → large_binary array of
+    equal-length row blobs, built from buffers (no per-row Python)."""
+    m = len(M)
+    w = M.shape[1] * M.dtype.itemsize if m else 0
+    offs = np.arange(m + 1, dtype=np.int64) * w
+    return pa.Array.from_buffers(
+        pa.large_binary(), m,
+        [None, pa.py_buffer(offs.tobytes()),
+         pa.py_buffer(np.ascontiguousarray(M).tobytes())])
+
+
 def dedup_exact(ds, key: str = "text", id_col: str = "doc_id"):
     """Keeper id per distinct `key` value: min(id) within each group.
 
@@ -130,8 +161,7 @@ def minhash_lsh_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
         ids = group.column(id_col).to_numpy(zero_copy_only=False)
         ia, ib = np.triu_indices(m, k=1)
         if flags["use_sigs"]:
-            sigs = np.stack([np.frombuffer(s, dtype=np.uint64)
-                             for s in group.column("sig").to_pylist()])
+            sigs = _fixed_blobs(group.column("sig"), np.uint64)
             est = (sigs[ia] == sigs[ib]).mean(axis=1)
             keep = est >= threshold
         else:
@@ -256,11 +286,8 @@ def minhash_lsh_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
                 sel = pa.array(keep)
                 sig = minhash_signatures(
                     _col(batch.filter(sel), text_col), num_perm=num_perm)
-                return pa.table({
-                    id_col: ids[keep],
-                    "sig": pa.array([sig[i].tobytes()
-                                     for i in range(len(sig))],
-                                    type=pa.large_binary())})
+                return pa.table({id_col: ids[keep],
+                                 "sig": _blob_array(sig)})
 
             sig_ds = ds.map_batches(sigs_of, batch_format="pyarrow",
                                     zero_copy_batch=True)
@@ -272,18 +299,23 @@ def minhash_lsh_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
             if len(surv) <= _BCAST_SIG_IDS:
                 sig_pdf = sig_ds.to_pandas()
                 order = np.argsort(sig_pdf[id_col].to_numpy())
+                # broadcast a dense (ids, sig-matrix) pair — compact and
+                # loop-free to rebuild per batch
+                sig_mat = np.frombuffer(
+                    b"".join(sig_pdf["sig"].to_numpy()[order]),
+                    dtype=np.uint64).reshape(len(sig_pdf), num_perm) \
+                    if len(sig_pdf) else np.empty((0, num_perm),
+                                                  np.uint64)
                 sref = _ray.put((
-                    sig_pdf[id_col].to_numpy()[order],
-                    sig_pdf["sig"].to_numpy()[order]))
+                    sig_pdf[id_col].to_numpy()[order], sig_mat))
 
                 def attach(batch: pa.Table) -> pa.Table:
-                    sids, sblobs = _ray.get(sref)
+                    sids, smat = _ray.get(sref)
                     ids = _col(batch, id_col) \
                         .to_numpy(zero_copy_only=False)
                     pos = np.searchsorted(sids, ids)
                     return batch.append_column(
-                        "sig", pa.array(list(sblobs[pos]),
-                                        type=pa.large_binary()))
+                        "sig", _blob_array(smat[pos]))
 
                 exploded = exploded.map_batches(
                     attach, batch_format="pyarrow")
@@ -401,6 +433,12 @@ def pairs_to_clusters(pairs, id_a: str = "id_a", id_b: str = "id_b",
     import ray as _ray
     from ray.data.aggregate import Min, Sum
 
+    if isinstance(pairs, pd.DataFrame):  # e.g. verified pairs
+        import ray.data as _rd
+        pairs = _rd.from_pandas(pairs) if len(pairs) else None
+        if pairs is None:
+            return pd.DataFrame({"id": pd.Series([], dtype="int64"),
+                                 "cluster": pd.Series([], dtype="int64")})
     n_pairs = pairs.count()
     if n_pairs <= small_threshold:
         pdf = pairs.to_pandas()
