@@ -642,7 +642,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     def revenue_by_brand(sf):
         from ray.data.aggregate import Sum
-        from packcol.pipelines.join import shuffle_join
+        from packcol.pipelines.join import join_auto
         li = _read(sf, "lineitem",
                    ["l_partkey", "l_extendedprice", "l_discount"])
 
@@ -654,10 +654,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 "l_partkey": batch.column("l_partkey"),
                 "rev_cents": np.floor(e * (1 - d) * 100 + 0.5)
                 .astype(np.int64)})
+        # strategy-choosing join: part fits the broadcast cap at bench
+        # scales (probed per batch, no shuffle); a part table beyond the
+        # cap at open scale degrades to the shuffle hash join
         pt = _read(sf, "part", ["p_partkey", "p_brand"])
-        j = shuffle_join(li.map_batches(cents, batch_format="pyarrow"),
-                         pt, on="l_partkey", right_on="p_partkey",
-                         num_partitions=_npart(sf, "lineitem"))
+        j = join_auto(li.map_batches(cents, batch_format="pyarrow"),
+                      pt, on="l_partkey", right_on="p_partkey",
+                      num_partitions=_npart(sf, "lineitem"))
         return j.groupby("p_brand").aggregate(
             Sum("rev_cents", alias_name="revenue_cents"))
     q["revenue_by_brand"] = revenue_by_brand

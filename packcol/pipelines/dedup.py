@@ -53,14 +53,22 @@ def _blob_array(M: np.ndarray) -> pa.Array:
          pa.py_buffer(np.ascontiguousarray(M).tobytes())])
 
 
+_MAX_DRIVER_MERGE_ROWS = 50_000_000  # (fp, id) pairs ≈ 800 MB
+
+
 def dedup_exact(ds, key: str = "text", id_col: str = "doc_id"):
     """Keeper id per distinct `key` value: min(id) within each group.
 
-    Pipeline: map_batches partial-min per 64-bit content fingerprint →
-    groupby(fingerprint) → global min.  (Fingerprint collisions are
+    Pipeline: map_batches partial-min per 64-bit content fingerprint,
+    then a global min per fingerprint.  (Fingerprint collisions are
     2^-64-scale; a collision would merge two distinct texts — acceptable
     for dedup semantics at corpus scale, same trade as MinHash banding.)
-    """
+
+    The global min runs on one of two paths, same policy as the minhash
+    key prefilter: partials bounded by ``_MAX_DRIVER_MERGE_ROWS`` are
+    merged on the driver with one lexsort (no shuffle at all — the
+    partial combiner already reduced rows to ≤ distinct-per-batch);
+    above the cap it falls back to the distributed ``groupby(fp)``."""
     from ray.data.aggregate import Min
 
     def partial(batch: pa.Table) -> pa.Table:
@@ -73,7 +81,23 @@ def dedup_exact(ds, key: str = "text", id_col: str = "doc_id"):
         return pa.table({"fp": f[first], id_col: i[first]})
 
     partials = ds.map_batches(partial, batch_format="pyarrow",
-                              zero_copy_batch=True)
+                              zero_copy_batch=True).materialize()
+    if partials.count() <= _MAX_DRIVER_MERGE_ROWS:
+        import ray.data as _rd
+        blocks = [(b.column("fp").to_numpy(zero_copy_only=False),
+                   b.column(id_col).to_numpy(zero_copy_only=False))
+                  for b in partials.iter_batches(batch_format="pyarrow",
+                                                 batch_size=None)]
+        if not blocks:
+            return _rd.from_arrow(pa.table(
+                {id_col: pa.array([], pa.int64())}))
+        f = np.concatenate([b[0] for b in blocks])
+        i = np.concatenate([b[1] for b in blocks])
+        order = np.lexsort((i, f))
+        f, i = f[order], i[order]
+        first = np.ones(len(f), dtype=bool)
+        first[1:] = f[1:] != f[:-1]
+        return _rd.from_arrow(pa.table({id_col: i[first]}))
     out = partials.groupby("fp").aggregate(Min(id_col, alias_name=id_col))
     return out.select_columns([id_col])
 
@@ -238,6 +262,15 @@ def minhash_lsh_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
                     coll_pdf["band"].to_numpy().astype(np.uint64) * _MIX
                     ^ coll_pdf["bh"].to_numpy().astype(np.int64)
                     .view(np.uint64))
+    if coll_arr is not None and len(coll_arr) == 0:
+        # zero colliding band keys ⇒ zero candidate pairs: skip the
+        # pair-generation and distinct-pair shuffles entirely (the
+        # common case on an already-deduped corpus)
+        import ray.data as _rd
+        return _rd.from_arrow(pa.table({
+            "id_a": pa.array([], pa.int64()),
+            "id_b": pa.array([], pa.int64()),
+            "est_jaccard": pa.array([], pa.float64())}))
     if coll_arr is not None:
         kref = _ray.put(coll_arr)
 
@@ -323,6 +356,54 @@ def minhash_lsh_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
                 from .join import shuffle_join
                 exploded = shuffle_join(exploded, sig_ds, on=id_col,
                                         num_partitions=8)
+    # Pair generation + distinct-pair reduction.  Two more Ray groupbys
+    # on what is usually a SLIVER of data (only colliding band rows
+    # survive the prefilter) cost seconds of pure shuffle machinery, so
+    # when the survivors are bounded, run both on the driver over
+    # compact arrays — same pairs() kernel per bucket, identical
+    # semantics incl. the max_bucket cap — with the distributed
+    # groupbys as the at-scale fallback.
+    _MAX_DRIVER_PAIR_ROWS = 2_000_000  # colliding band rows (~50 MB)
+    if coll_arr is not None:
+        exploded = exploded.materialize()
+        if exploded.count() <= _MAX_DRIVER_PAIR_ROWS:
+            import pandas as pd
+            import ray.data as _rd
+            tbl = pa.concat_tables(
+                list(exploded.iter_batches(batch_format="pyarrow",
+                                           batch_size=None))) \
+                if exploded.count() else None
+            parts = []
+            if tbl is not None and tbl.num_rows:
+                with np.errstate(over="ignore"):
+                    k = _keys_of(tbl)
+                order = np.lexsort((k,))
+                tbl = tbl.take(pa.array(order))
+                ks = k[order]
+                starts = np.concatenate(
+                    [[0], np.flatnonzero(ks[1:] != ks[:-1]) + 1, [len(ks)]])
+                for s, e in zip(starts[:-1], starts[1:]):
+                    parts.append(pairs(tbl.slice(s, e - s)))
+            cand_t = pa.concat_tables(parts) if parts else pa.table({
+                "id_a": pa.array([], pa.int64()),
+                "id_b": pa.array([], pa.int64()),
+                "est_jaccard": pa.array([], pa.float64())})
+            cdf = cand_t.to_pandas()
+            if flags["use_sigs"]:
+                out = cdf.groupby(["id_a", "id_b"], as_index=False)[
+                    "est_jaccard"].max()
+            else:
+                out = cdf.groupby(["id_a", "id_b"], as_index=False) \
+                    .size().rename(columns={"size": "n_hits"})
+                out["est_jaccard"] = (out["n_hits"] / n_bands) ** (
+                    1.0 / rows_per_band)
+                out = out[out["est_jaccard"] >= threshold] \
+                    .drop(columns=["n_hits"])
+            out = out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+            return _rd.from_pandas(out) if len(out) else _rd.from_arrow(
+                pa.table({"id_a": pa.array([], pa.int64()),
+                          "id_b": pa.array([], pa.int64()),
+                          "est_jaccard": pa.array([], pa.float64())}))
     cand = exploded.groupby(["band", "bh"]).map_groups(
         pairs, batch_format="pyarrow")
     from ray.data.aggregate import Count, Max

@@ -119,6 +119,42 @@ def broadcast_anti_join(big, small, on, right_on=None, **kw):
                           join_type="left anti", **kw)
 
 
+def join_auto(left, right, on, right_on=None, join_type: str = "inner",
+              num_partitions: int = 32, right_suffix: str = "_r",
+              max_broadcast_bytes: int = _DEFAULT_BROADCAST_CAP):
+    """Strategy-choosing join: broadcast the right side when its
+    (estimated) size fits ``max_broadcast_bytes``, else the shuffle
+    hash join.  The estimate is free for pyarrow/pandas inputs; for a
+    Dataset it uses ``size_bytes()`` (metadata for plain reads; may
+    execute a derived small side — callers pass the SMALL side as
+    ``right``, so that execution is the same work the broadcast collect
+    would do anyway).  This is the scale-portable default: a dim table
+    that outgrows the cap silently degrades to the shuffle path instead
+    of OOMing the driver."""
+    import pandas as pd
+    est = None
+    if isinstance(right, pa.Table):
+        est = right.nbytes
+    elif isinstance(right, pd.DataFrame):
+        est = int(right.memory_usage(deep=True).sum())
+    else:
+        try:
+            est = right.size_bytes()
+        except Exception:  # noqa: BLE001 — unknown size: assume large
+            est = None
+    if est is not None and est <= max_broadcast_bytes and \
+            join_type not in ("right outer", "full outer", "right semi",
+                              "right anti"):
+        return broadcast_join(big=left, small=right, on=on,
+                              right_on=right_on, join_type=join_type,
+                              right_suffix=right_suffix,
+                              max_broadcast_bytes=max_broadcast_bytes)
+    return shuffle_join(left, right, on, right_on=right_on,
+                        join_type=join_type,
+                        num_partitions=num_partitions,
+                        right_suffix=right_suffix)
+
+
 def shuffle_join(left, right, on, right_on=None,
                  join_type: str = "inner", num_partitions: int = 32,
                  right_suffix: str = "_r"):

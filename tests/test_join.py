@@ -92,3 +92,20 @@ def test_broadcast_join_different_key_names(ray_session):
     got = broadcast_join(_ds(big, blocks=2), dim, on="custkey",
                          right_on="c_id").to_pandas()
     assert sorted(got["nation"]) == ["a", "b", "b"]
+
+
+def test_join_auto_picks_broadcast_and_falls_back(ray_session):
+    import pandas as pd
+    import ray.data as rd
+    from packcol.pipelines.join import join_auto
+    big = rd.from_pandas(pd.DataFrame({
+        "k": [1, 2, 3, 4] * 50, "x": range(200)})).repartition(4)
+    dim = pd.DataFrame({"k": [1, 2, 3, 4], "name": list("abcd")})
+    out = join_auto(big, dim, on="k").to_pandas()
+    assert len(out) == 200 and set(out["name"]) == set("abcd")
+    # tiny cap forces the shuffle path; result identical
+    out2 = join_auto(big, rd.from_pandas(dim), on="k",
+                     max_broadcast_bytes=1,
+                     num_partitions=2).to_pandas()
+    assert len(out2) == 200
+    assert sorted(out2["x"]) == sorted(out["x"])
