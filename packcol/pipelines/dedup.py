@@ -54,6 +54,7 @@ def _blob_array(M: np.ndarray) -> pa.Array:
 
 
 _MAX_DRIVER_MERGE_ROWS = 50_000_000  # (fp, id) pairs ≈ 800 MB
+_MAX_DRIVER_PAIR_ROWS = 2_000_000    # colliding band rows (~50 MB)
 
 
 def dedup_exact(ds, key: str = "text", id_col: str = "doc_id"):
@@ -363,7 +364,6 @@ def minhash_lsh_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
     # compact arrays — same pairs() kernel per bucket, identical
     # semantics incl. the max_bucket cap — with the distributed
     # groupbys as the at-scale fallback.
-    _MAX_DRIVER_PAIR_ROWS = 2_000_000  # colliding band rows (~50 MB)
     if coll_arr is not None:
         exploded = exploded.materialize()
         if exploded.count() <= _MAX_DRIVER_PAIR_ROWS:

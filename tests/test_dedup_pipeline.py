@@ -198,3 +198,44 @@ def test_verify_pairs_fp_compare_is_int_exact(ray_session):
     out2 = verify_pairs_identical(
         ds2, pd.DataFrame({"id_a": [1], "id_b": [2]}))
     assert out2[["id_a", "id_b"]].values.tolist() == [[1, 2]]
+
+
+def test_dedup_exact_distributed_fallback_matches(docs_ds, monkeypatch):
+    """Forcing the driver-merge cap to 0 exercises the groupby(fp)
+    fallback; keeper sets must be identical."""
+    import packcol.pipelines.dedup as dd
+    ds, _ = docs_ds
+    fast = set(dd.dedup_exact(ds).to_pandas()["doc_id"])
+    monkeypatch.setattr(dd, "_MAX_DRIVER_MERGE_ROWS", 0)
+    slow = set(dd.dedup_exact(ds).to_pandas()["doc_id"])
+    assert fast == slow and len(fast) > 0
+
+
+def test_minhash_driver_pair_path_matches_groupby(docs_ds, monkeypatch):
+    """The bounded driver-side pair generation must produce the same
+    distinct pairs + estimates as the distributed groupby path."""
+    import pandas as pd
+    import packcol.pipelines.dedup as dd
+    ds, _ = docs_ds
+
+    def run():
+        out = dd.minhash_lsh_pairs(ds, threshold=0.5).to_pandas()
+        return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+    fast = run()
+    monkeypatch.setattr(dd, "_MAX_DRIVER_PAIR_ROWS", -1)
+    slow = run()
+    pd.testing.assert_frame_equal(fast, slow, check_dtype=False)
+    assert len(fast) > 0
+
+    # band-hit estimate mode too
+    def run_est():
+        out = dd.minhash_lsh_pairs(ds, threshold=0.5,
+                                   carry_signatures=False).to_pandas()
+        return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+    monkeypatch.undo()
+    fast_e = run_est()
+    monkeypatch.setattr(dd, "_MAX_DRIVER_PAIR_ROWS", -1)
+    slow_e = run_est()
+    pd.testing.assert_frame_equal(fast_e, slow_e, check_dtype=False)
