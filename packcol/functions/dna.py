@@ -107,16 +107,25 @@ def canonicalize_words(words: np.ndarray, k: int
     return np.where(is_fw, fw, rc), is_fw
 
 
-def kmer_windows(seq: str | bytes, k: int) -> tuple[np.ndarray, np.ndarray]:
+def kmer_windows(seq: str | bytes, k: int,
+                 enc_table: np.ndarray | None = None
+                 ) -> tuple[np.ndarray, np.ndarray]:
     """All k-windows of a sequence as packed u64s + start positions,
     SKIPPING windows containing invalid symbols — the
     CanonicalKmerIterator `last_invalid` watermark semantics
-    (src/naive_impl/canonical_kmer_iterator.rs:52-66), vectorized."""
+    (src/naive_impl/canonical_kmer_iterator.rs:52-66), vectorized.
+    `enc_table` swaps in an alternate 256->code table (one of the 24
+    Naive permutations / xor10, see functions/dna_encodings.py)."""
     if not 1 <= k <= K_MAX:
         raise ValueError(
             f"k={k} exceeds the single-word cap {K_MAX}; use the "
             "*_multi variants (silent truncation would alias k-mers)")
-    codes = seq_to_codes(seq)
+    if enc_table is None:
+        codes = seq_to_codes(seq)
+    else:
+        if isinstance(seq, str):
+            seq = seq.encode()
+        codes = enc_table.take(np.frombuffer(seq, dtype=np.uint8))
     n = len(codes)
     if n < k:
         return np.empty(0, np.uint64), np.empty(0, np.int64)
@@ -146,25 +155,48 @@ def kmer_windows(seq: str | bytes, k: int) -> tuple[np.ndarray, np.ndarray]:
     return w[pos], pos
 
 
-def canonical_kmer_scan(seq: str | bytes, k: int
+def canonical_kmer_scan(seq: str | bytes, k: int, encoding=None
                         ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """(canonical kmers, positions, is_fw) for every valid window — EP2,
-    the reference's canonical k-mer iterator as one vectorized pass."""
-    w, pos = kmer_windows(seq, k)
-    canon, is_fw = canonicalize_words(w, k)
+    the reference's canonical k-mer iterator as one vectorized pass.
+    `encoding` (a name or SymbolEncoding, dna_encodings.get_encoding)
+    selects one of the reference's user-facing symbol->code tables; the
+    default is the fast ACGT path."""
+    enc = _resolve_encoding(encoding)
+    if enc is None:
+        w, pos = kmer_windows(seq, k)
+        canon, is_fw = canonicalize_words(w, k)
+    else:
+        w, pos = kmer_windows(seq, k, enc_table=enc.enc_table)
+        canon, is_fw = enc.canonicalize_words(w, k)
     return canon, pos, is_fw
 
 
-def decode_kmer_batch(words: np.ndarray, k: int) -> pa.Array:
+def _resolve_encoding(encoding):
+    """None/'ACGT' -> None (the built-in fast path); otherwise a
+    SymbolEncoding from functions/dna_encodings.py."""
+    if encoding is None:
+        return None
+    if isinstance(encoding, str):
+        if encoding.upper() == "ACGT":
+            return None
+        from .dna_encodings import get_encoding
+        return get_encoding(encoding)
+    return encoding
+
+
+def decode_kmer_batch(words: np.ndarray, k: int,
+                      dec_table: np.ndarray | None = None) -> pa.Array:
     """Vectorized packed-word → ACGT-string decode for a whole array
-    (no per-value Python), used when materializing k-mer count results."""
+    (no per-value Python), used when materializing k-mer count results.
+    `dec_table` swaps in an alternate code→ASCII table."""
     n = len(words)
     if n == 0:
         return pa.array([], type=pa.string())
     w = np.asarray(words, dtype=np.uint64)
     shifts = np.arange(k, dtype=np.uint64) * np.uint64(2)
     codes = ((w[:, None] >> shifts) & np.uint64(3)).astype(np.uint8)
-    chars = DEC_TABLE.take(codes)
+    chars = (DEC_TABLE if dec_table is None else dec_table).take(codes)
     if (n + 1) * k >= 2**31:  # int32 offsets would wrap — large_string
         offs64 = np.arange(n + 1, dtype=np.int64) * k
         return pa.Array.from_buffers(
@@ -178,7 +210,7 @@ def decode_kmer_batch(words: np.ndarray, k: int) -> pa.Array:
          pa.py_buffer(np.ascontiguousarray(chars).tobytes())])
 
 
-def canonical_kmer_scan_batch(seqs: pa.Array, k: int
+def canonical_kmer_scan_batch(seqs: pa.Array, k: int, encoding=None
                               ) -> tuple[np.ndarray, np.ndarray,
                                          np.ndarray, np.ndarray]:
     """(row_ids, in_row_positions, canonical_words, is_fw) for every valid
@@ -211,10 +243,17 @@ def canonical_kmer_scan_batch(seqs: pa.Array, k: int
         np.repeat(np.arange(n_rows, dtype=np.int64), lens)
     sep_d[pos_map] = d
     joined = sep_d.tobytes()
-    w, p = kmer_windows(joined, k)
+    enc = _resolve_encoding(encoding)
+    # separator byte 0 is an invalid symbol under EVERY table (no table
+    # maps NUL), so the row-boundary guard holds for alternate encodings
+    w, p = kmer_windows(joined, k,
+                        enc_table=None if enc is None else enc.enc_table)
     row = np.searchsorted(new_starts, p, side="right") - 1
     in_row = p - new_starts[row]
-    canon, is_fw = canonicalize_words(w, k)
+    if enc is None:
+        canon, is_fw = canonicalize_words(w, k)
+    else:
+        canon, is_fw = enc.canonicalize_words(w, k)
     return row.astype(np.int64), in_row, canon, is_fw
 
 

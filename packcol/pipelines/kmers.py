@@ -55,7 +55,8 @@ def _merge_counts(a: "pa.Table", b: "pa.Table") -> "pa.Table":
 
 def count_canonical_kmers(ds, seq_col: str = "text", k: int = 31,
                           strategy: str = "tree",
-                          partial_batch_size: int = 49152):
+                          partial_batch_size: int = 49152,
+                          encoding=None):
     """Dataset of (kmer:string, n:int64): counts of canonical k-mers over
     all ACGT-alphabet windows of `seq_col` (invalid symbols skipped,
     case-insensitive — reference iterator semantics).
@@ -76,8 +77,19 @@ def count_canonical_kmers(ds, seq_col: str = "text", k: int = 31,
     no second shuffle.
 
     k > 32 uses the multi-word kernels (generic Kmer<P,K,B> parity,
-    src/kmer.rs:12-14): keys become B int64 word columns w0..w{B-1}."""
+    src/kmer.rs:12-14): keys become B int64 word columns w0..w{B-1}.
+
+    `encoding` selects one of the reference's user-facing symbol->code
+    tables (the 24 Naive permutations / "xor10",
+    functions/dna_encodings.py); supported on the k<=32 scan path."""
     from ray.data.aggregate import Sum
+    from ..functions.dna import _resolve_encoding
+
+    enc = _resolve_encoding(encoding)
+    if enc is not None and (k > K_MAX or strategy == "minimizer"):
+        raise ValueError(
+            "alternate encodings are supported for k <= 32 on the "
+            "tree/groupby strategies")
 
     if strategy == "minimizer":
         return _count_via_minimizer_buckets(ds, seq_col, k,
@@ -105,7 +117,7 @@ def count_canonical_kmers(ds, seq_col: str = "text", k: int = 31,
                    for j, c in enumerate(wcols)}
             out["n"] = counts.astype(np.int64)
             return pa.table(out)
-        _, _, canon, _ = canonical_kmer_scan_batch(col, k)
+        _, _, canon, _ = canonical_kmer_scan_batch(col, k, encoding=enc)
         if len(canon) == 0:
             return _empty()
         vals, counts = np.unique(canon, return_counts=True)
@@ -126,7 +138,8 @@ def count_canonical_kmers(ds, seq_col: str = "text", k: int = 31,
             return pa.table({"kmer": decode_kmer_batch_multi(w, k),
                              "n": batch.column("n")})
         w = batch.column("w").to_numpy(zero_copy_only=False).view(np.uint64)
-        return pa.table({"kmer": decode_kmer_batch(w, k),
+        dec = None if enc is None else enc.dec_table
+        return pa.table({"kmer": decode_kmer_batch(w, k, dec_table=dec),
                          "n": batch.column("n")})
 
     if strategy == "groupby":
