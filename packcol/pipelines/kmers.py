@@ -218,18 +218,35 @@ def _count_via_minimizer_buckets(ds, seq_col: str, k: int,
             return pa.table({"bucket": pa.array([], pa.int64()),
                              "sk": pa.array([], pa.large_string())})
         d, offs = buffer_view(col)
-        lens = (end - start).astype(np.int64)
-        abs_start = offs[row] + start
-        csum = np.concatenate([[0], np.cumsum(lens)])
-        idx = np.arange(csum[-1], dtype=np.int64) \
-            - np.repeat(csum[:-1], lens) + np.repeat(abs_start, lens)
-        data = np.ascontiguousarray(d[idx])
-        sk = pa.Array.from_buffers(
-            pa.large_string(), len(key),
-            [None, pa.py_buffer(csum.astype(np.int64).tobytes()),
-             pa.py_buffer(data.tobytes())])
+        # ONE row per (task, bucket): all of a bucket's spans concatenated
+        # with a NUL separator (invalid symbol in every table, so the
+        # scan's invalid-window skip doubles as the span boundary — same
+        # guard canonical_kmer_scan_batch uses between rows).  The
+        # groupby below then shuffles ~tasks*n_buckets fat rows instead
+        # of millions of span rows: identical bytes, but the sort-based
+        # shuffle cost stops being per-span (~130k rows/s wall).
         bucket = (key % np.uint64(n_buckets)).astype(np.int64)
-        return pa.table({"bucket": bucket, "sk": sk})
+        order = np.argsort(bucket, kind="stable")
+        bucket_s = bucket[order]
+        lens = (end - start).astype(np.int64)[order]
+        abs_start = (offs[row] + start)[order]
+        nsp = len(order)
+        csum = np.zeros(nsp + 1, dtype=np.int64)
+        np.cumsum(lens, out=csum[1:])
+        src = np.arange(csum[-1], dtype=np.int64) \
+            - np.repeat(csum[:-1], lens) + np.repeat(abs_start, lens)
+        blob = np.zeros(csum[-1] + nsp, dtype=np.uint8)  # 0 = separator
+        dst = np.arange(csum[-1], dtype=np.int64) \
+            + np.repeat(np.arange(nsp, dtype=np.int64), lens)
+        blob[dst] = d[src]
+        ub, first = np.unique(bucket_s, return_index=True)
+        row_offs = np.concatenate([csum[first] + first,
+                                   [csum[-1] + nsp]]).astype(np.int64)
+        sk = pa.Array.from_buffers(
+            pa.large_string(), len(ub),
+            [None, pa.py_buffer(row_offs.tobytes()),
+             pa.py_buffer(blob.tobytes())])
+        return pa.table({"bucket": ub, "sk": sk})
 
     def count_group(group: pa.Table) -> pa.Table:
         col = group.column("sk")
@@ -251,8 +268,13 @@ def _count_via_minimizer_buckets(ds, seq_col: str, k: int,
         return pa.table({"kmer": decode_kmer_batch(vals, k),
                          "n": counts.astype(np.int64)})
 
+    # Small batches here, deliberately NOT partial_batch_size: the span
+    # scan allocates ~10 temporaries per window, so a 49k-row batch blows
+    # the cache (measured 65 us/row vs 21 us/row at 3k rows on this box)
+    # AND collapses the stage to 2-3 tasks.  Per-bucket concatenation
+    # means shuffle row count stays tiny regardless (tasks * n_buckets).
     sk_rows = ds.map_batches(spans, batch_format="pyarrow",
-                             batch_size=partial_batch_size,
+                             batch_size=min(partial_batch_size, 4096),
                              zero_copy_batch=True)
     return sk_rows.groupby("bucket").map_groups(
         count_group, batch_format="pyarrow")
