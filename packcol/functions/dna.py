@@ -210,15 +210,51 @@ def decode_kmer_batch(words: np.ndarray, k: int,
          pa.py_buffer(np.ascontiguousarray(chars).tobytes())])
 
 
+_SCAN_CHUNK_BYTES = 2 << 20
+
+
 def canonical_kmer_scan_batch(seqs: pa.Array, k: int, encoding=None
                               ) -> tuple[np.ndarray, np.ndarray,
                                          np.ndarray, np.ndarray]:
     """(row_ids, in_row_positions, canonical_words, is_fw) for every valid
-    window of every row — the whole column in ONE vectorized pass.
+    window of every row.
 
-    Rows are joined with an invalid separator byte, so the reference's
-    invalid-window skip (canonical_kmer_iterator.rs:52-66) doubles as the
-    row-boundary guard: windows can never span two sequences."""
+    Cache-resident chunking (same rationale as codecs/fsst.py): the scan
+    allocates ~10 window-sized temporaries, so one pass over a many-MB
+    column would stream them all through DRAM — and on first touch that
+    cost is paid under this sandbox's *global* page-fault wall by every
+    concurrent worker.  Slicing the column into ~2 MB row groups keeps
+    the temporaries allocator-warm; outputs are concatenated once."""
+    if isinstance(seqs, pa.ChunkedArray):
+        seqs = seqs.combine_chunks()
+    nbytes = (seqs.nbytes if len(seqs) else 0)
+    if nbytes <= _SCAN_CHUNK_BYTES or len(seqs) < 2:
+        return _canonical_kmer_scan_batch_chunk(seqs, k, encoding)
+    n = len(seqs)
+    step = max(int(n * _SCAN_CHUNK_BYTES / nbytes), 1)
+    rows, in_rows, canons, fws = [], [], [], []
+    for lo in range(0, n, step):
+        sl = seqs.slice(lo, step)
+        r, ir, c, f = _canonical_kmer_scan_batch_chunk(sl, k, encoding)
+        if len(r):
+            rows.append(r + lo)
+            in_rows.append(ir)
+            canons.append(c)
+            fws.append(f)
+    if not rows:
+        z = np.empty(0, np.int64)
+        return z, z, np.empty(0, np.uint64), np.empty(0, bool)
+    return (np.concatenate(rows), np.concatenate(in_rows),
+            np.concatenate(canons), np.concatenate(fws))
+
+
+def _canonical_kmer_scan_batch_chunk(seqs: pa.Array, k: int, encoding=None
+                                     ) -> tuple[np.ndarray, np.ndarray,
+                                                np.ndarray, np.ndarray]:
+    """One chunk of the batch scan — rows joined with an invalid
+    separator byte, so the reference's invalid-window skip
+    (canonical_kmer_iterator.rs:52-66) doubles as the row-boundary
+    guard: windows can never span two sequences."""
     import pyarrow.compute as pc
     from ..codecs.fsst import buffer_view
     if not 1 <= k <= K_MAX:
