@@ -29,7 +29,9 @@ except ValueError:
 # webtext size scaled to sf: sf0.1 → 120k rows (~260 MB), sf0.01 → 12k
 _WEBTEXT_ROWS = int(os.environ.get(
     "GRAFT_BENCH_ROWS", max(int(1_200_000 * (SF or 0.1)), 2000)))
-_WEBTEXT_PARTS = max(_WEBTEXT_ROWS // 7500, 4)
+# one encode partition per input part: size parts so the encode stage
+# fills 32 CPUs (16 parts left half the box idle at sf0.1)
+_WEBTEXT_PARTS = max(_WEBTEXT_ROWS // 3750, 4)
 WEBTEXT_DIR = f"/tmp/packcol_bench/webtext_r{_WEBTEXT_ROWS}"
 # encoded output goes to tmpfs: on a real cluster every node writes to its
 # own local disks (bandwidth scales with nodes); this sandbox has one

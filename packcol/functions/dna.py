@@ -459,8 +459,37 @@ def canonical_kmer_scan_batch_multi(seqs: pa.Array, k: int
                                     ) -> tuple[np.ndarray, np.ndarray,
                                                np.ndarray, np.ndarray]:
     """(row_ids, in_row_positions, canonical (n,B), is_fw) over a whole
-    string column in one vectorized pass — canonical_kmer_scan_batch for
-    k > 32 (separator-byte row-boundary guard, same as the k≤32 path)."""
+    string column — canonical_kmer_scan_batch for k > 32, with the same
+    cache-resident ~2 MB row-group chunking."""
+    if isinstance(seqs, pa.ChunkedArray):
+        seqs = seqs.combine_chunks()
+    nbytes = (seqs.nbytes if len(seqs) else 0)
+    if nbytes <= _SCAN_CHUNK_BYTES or len(seqs) < 2:
+        return _canonical_kmer_scan_batch_multi_chunk(seqs, k)
+    n = len(seqs)
+    step = max(int(n * _SCAN_CHUNK_BYTES / nbytes), 1)
+    B = n_words_for_k(k)
+    rows, in_rows, canons, fws = [], [], [], []
+    for lo in range(0, n, step):
+        r, ir, c, f = _canonical_kmer_scan_batch_multi_chunk(
+            seqs.slice(lo, step), k)
+        if len(r):
+            rows.append(r + lo)
+            in_rows.append(ir)
+            canons.append(c)
+            fws.append(f)
+    if not rows:
+        z = np.empty(0, np.int64)
+        return z, z, np.empty((0, B), np.uint64), np.empty(0, bool)
+    return (np.concatenate(rows), np.concatenate(in_rows),
+            np.concatenate(canons), np.concatenate(fws))
+
+
+def _canonical_kmer_scan_batch_multi_chunk(seqs: pa.Array, k: int
+                                           ) -> tuple[np.ndarray, np.ndarray,
+                                                      np.ndarray, np.ndarray]:
+    """One chunk (separator-byte row-boundary guard, same as the k≤32
+    path)."""
     import pyarrow.compute as pc
     from ..codecs.fsst import buffer_view
     if k <= K_MAX:
