@@ -69,9 +69,13 @@ def column_stats(arr: pa.Array) -> dict:
     # large string columns: exact count_distinct / run detection hash or
     # compare every byte — sample a row slice instead (codec choice only
     # needs the order of magnitude; the size guard catches misestimates)
-    big_stringy = _is_stringy(arr.type) and arr.nbytes > (4 << 20)
+    big_stringy = _is_stringy(arr.type) and arr.nbytes > (1 << 20)
     if big_stringy:
-        step = max(n // 4096, 1)
+        # cap the sample by BYTES, not row fraction: a 4k-row part of
+        # 100 KB html rows would otherwise "sample" the whole column
+        avg = arr.nbytes / n
+        target_rows = int(max(64, min(4096, (1 << 20) / max(avg, 1.0))))
+        step = max(n // target_rows, 1)
         sl = arr.take(pa.array(range(0, n, step)))
         frac = len(sl) / n
         s["n_distinct"] = min(
@@ -120,7 +124,11 @@ def column_stats(arr: pa.Array) -> dict:
         if pa.types.is_string(arr.type) or pa.types.is_large_string(arr.type):
             from ..codecs.tokdict import structurally_joinable
             from ..functions.text import token_hashes
-            step = max(n // 2048, 1)
+            # byte-capped token sample (~256 KB): tokenizing megabytes
+            # of payload per part costs more than the encode it informs
+            avg = max(len(d) / n, 1.0)
+            tok_rows = int(max(64, min(2048, (256 << 10) / avg)))
+            step = max(n // tok_rows, 1)
             sl = filled.take(pa.array(range(0, n, step)))
             if structurally_joinable(sl):
                 h, _ = token_hashes(sl)
