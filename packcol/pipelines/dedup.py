@@ -55,6 +55,8 @@ def _blob_array(M: np.ndarray) -> pa.Array:
 
 _MAX_DRIVER_MERGE_ROWS = 50_000_000  # (fp, id) pairs ≈ 800 MB
 _MAX_DRIVER_PAIR_ROWS = 2_000_000    # colliding band rows (~50 MB)
+_MAX_CARRY_IDS = 5_000_000           # colliding docs in exact-est mode
+_BCAST_SIG_IDS = 200_000             # ~100 MB of broadcast signatures
 
 
 def dedup_exact(ds, key: str = "text", id_col: str = "doc_id"):
@@ -216,6 +218,63 @@ def minhash_lsh_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
             return bands.astype(np.uint64) * _MIX ^ \
                 bhs.astype(np.int64).view(np.uint64)
 
+    def _sigs_for(surv: np.ndarray):
+        """Distributed signature recompute for a sorted survivor-id set:
+        one pass over the documents, minhash only for matching rows."""
+        idref = _ray.put(surv)
+
+        def sigs_of(batch: pa.Table) -> pa.Table:
+            ids = _col(batch, id_col).to_numpy(zero_copy_only=False)
+            sv = _ray.get(idref)
+            pos = np.searchsorted(sv, ids)
+            safe = np.minimum(pos, len(sv) - 1)
+            keep = sv[safe] == ids
+            if not keep.any():
+                return pa.table({
+                    id_col: pa.array([], pa.int64()),
+                    "sig": pa.array([], pa.large_binary())})
+            sel = pa.array(keep)
+            sig = minhash_signatures(
+                _col(batch.filter(sel), text_col), num_perm=num_perm)
+            return pa.table({id_col: ids[keep],
+                             "sig": _blob_array(sig)})
+
+        return ds.map_batches(sigs_of, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+    def _sig_matrix(sig_pdf) -> tuple[np.ndarray, np.ndarray]:
+        """(sorted ids, dense (m, num_perm) uint64 matrix) from the
+        collected signature frame."""
+        order = np.argsort(sig_pdf[id_col].to_numpy())
+        sids = sig_pdf[id_col].to_numpy()[order]
+        smat = np.frombuffer(
+            b"".join(sig_pdf["sig"].to_numpy()[order]),
+            dtype=np.uint64).reshape(len(sig_pdf), num_perm) \
+            if len(sig_pdf) else np.empty((0, num_perm), np.uint64)
+        return sids, smat
+
+    def _reduce_driver_pairs(cand_t: pa.Table):
+        """Distinct-pair reduction on the driver: max est per pair in
+        exact-est mode, band-hit Jaccard estimate otherwise — identical
+        semantics to the distributed groupby tail."""
+        import ray.data as _rd
+        cdf = cand_t.to_pandas()
+        if flags["use_sigs"]:
+            out = cdf.groupby(["id_a", "id_b"], as_index=False)[
+                "est_jaccard"].max()
+        else:
+            out = cdf.groupby(["id_a", "id_b"], as_index=False) \
+                .size().rename(columns={"size": "n_hits"})
+            out["est_jaccard"] = (out["n_hits"] / n_bands) ** (
+                1.0 / rows_per_band)
+            out = out[out["est_jaccard"] >= threshold] \
+                .drop(columns=["n_hits"])
+        out = out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+        return _rd.from_pandas(out) if len(out) else _rd.from_arrow(
+            pa.table({"id_a": pa.array([], pa.int64()),
+                      "id_b": pa.array([], pa.int64()),
+                      "est_jaccard": pa.array([], pa.float64())}))
+
     # pin the sketch rows unconditionally: they are consumed at least
     # twice (key/count scan + collision filter) and re-running the
     # signature stage would re-shingle the whole corpus.  Rows are 24 B
@@ -225,13 +284,42 @@ def minhash_lsh_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
     # pipeline once, tripling signature work for lazy inputs.)
     exploded = exploded.materialize()
     approx_keys = exploded.count()  # metadata on a materialized dataset
-    if approx_keys <= 50_000_000:  # driver-merge path (≤ ~400 MB of keys)
-        key_tables = exploded.map_batches(
-            lambda t: pa.table({"k": _keys_of(t).view(np.int64)}),
-            batch_format="pyarrow")
-        all_keys = key_tables.to_pandas()["k"].to_numpy().view(np.uint64)
-        uniq, cnt = np.unique(all_keys, return_counts=True)
-        coll_arr = uniq[cnt > 1]
+    # driver_pairs: (band-key, id) arrays of the COLLIDING band rows,
+    # held on the driver.  When set, collision detection, filtering and
+    # pair generation all ran in ONE pass over the materialized sketch
+    # rows — no further Ray stages.  Demoted back to the dataset path
+    # (coll_arr + only_collisions filter) when the collisions exceed the
+    # driver pair budget or the signature broadcast bound.
+    driver_pairs = None
+    coll_arr = None
+    if approx_keys <= _MAX_DRIVER_MERGE_ROWS:
+        # fused driver path: pull (key, id) straight off the blocks —
+        # 16 B/row within the documented ~800 MB cap
+        kp, ip = [], []
+        for b in exploded.iter_batches(batch_size=None,
+                                       batch_format="pyarrow"):
+            kp.append(_keys_of(b))
+            ip.append(b.column(id_col).to_numpy(zero_copy_only=False))
+        keys = np.concatenate(kp) if kp else np.empty(0, np.uint64)
+        ids_all = np.concatenate(ip) if ip else np.empty(0, np.int64)
+        uniq, inv, cnt = np.unique(keys, return_inverse=True,
+                                   return_counts=True)
+        coll_mask = cnt[inv] > 1
+        n_coll = int(coll_mask.sum())
+        if n_coll == 0:
+            import ray.data as _rd
+            return _rd.from_arrow(pa.table({
+                "id_a": pa.array([], pa.int64()),
+                "id_b": pa.array([], pa.int64()),
+                "est_jaccard": pa.array([], pa.float64())}))
+        demote = n_coll > _MAX_DRIVER_PAIR_ROWS
+        if not demote and carry_signatures and \
+                len(np.unique(ids_all[coll_mask])) > _BCAST_SIG_IDS:
+            demote = True  # signature table would exceed the broadcast cap
+        if demote:
+            coll_arr = uniq[cnt > 1]
+        else:
+            driver_pairs = (keys[coll_mask], ids_all[coll_mask])
     else:
         from ray.data.aggregate import Count as _Count
         coll = exploded.groupby(["band", "bh"]).aggregate(
@@ -283,12 +371,12 @@ def minhash_lsh_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
 
         exploded = exploded.map_batches(only_collisions,
                                         batch_format="pyarrow")
-    if carry_signatures:
-        # exact-est mode: attach full signatures to the SURVIVING band
-        # rows only — recompute minhash for the colliding docs (a tiny
-        # fraction after the prefilter) and hash-join them in.  No
-        # per-band replication, no corpus-sized signature storage.
-        _MAX_CARRY_IDS = 5_000_000
+    if carry_signatures and driver_pairs is None:
+        # exact-est mode, dataset path: attach full signatures to the
+        # SURVIVING band rows only — recompute minhash for the colliding
+        # docs (a tiny fraction after the prefilter) and hash-join them
+        # in.  No per-band replication, no corpus-sized signature
+        # storage.
         exploded = exploded.materialize()  # collisions-only, bounded
         if exploded.count() > _MAX_CARRY_IDS * n_bands:
             import logging
@@ -298,50 +386,25 @@ def minhash_lsh_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
             flags["use_sigs"] = False
         else:
             import ray.data as _rd
-            ids_pdf = exploded.select_columns([id_col]).to_pandas()
-            if len(ids_pdf) == 0:
+            id_parts = [b.column(id_col).to_numpy(zero_copy_only=False)
+                        for b in exploded.iter_batches(
+                            batch_size=None, batch_format="pyarrow")]
+            surv_ids = np.concatenate(id_parts) if id_parts else \
+                np.empty(0, np.int64)
+            if len(surv_ids) == 0:
                 return _rd.from_arrow(pa.table({
                     "id_a": pa.array([], pa.int64()),
                     "id_b": pa.array([], pa.int64()),
                     "est_jaccard": pa.array([], pa.float64())}))
-            surv = np.unique(ids_pdf[id_col].to_numpy())
-            idref = _ray.put(surv)  # sorted (np.unique)
-
-            def sigs_of(batch: pa.Table) -> pa.Table:
-                ids = _col(batch, id_col).to_numpy(zero_copy_only=False)
-                sv = _ray.get(idref)
-                pos = np.searchsorted(sv, ids)
-                safe = np.minimum(pos, len(sv) - 1)
-                keep = sv[safe] == ids
-                if not keep.any():
-                    return pa.table({
-                        id_col: pa.array([], pa.int64()),
-                        "sig": pa.array([], pa.large_binary())})
-                sel = pa.array(keep)
-                sig = minhash_signatures(
-                    _col(batch.filter(sel), text_col), num_perm=num_perm)
-                return pa.table({id_col: ids[keep],
-                                 "sig": _blob_array(sig)})
-
-            sig_ds = ds.map_batches(sigs_of, batch_format="pyarrow",
-                                    zero_copy_batch=True)
+            surv = np.unique(surv_ids)
+            sig_ds = _sigs_for(surv)
             # attach: small survivor sets (the common case) broadcast
             # the (id -> sig) table and attach in-place — one object-
             # store put, no join operator overhead; large sets use the
             # distributed hash join.
-            _BCAST_SIG_IDS = 200_000  # ~100 MB of signatures
             if len(surv) <= _BCAST_SIG_IDS:
-                sig_pdf = sig_ds.to_pandas()
-                order = np.argsort(sig_pdf[id_col].to_numpy())
-                # broadcast a dense (ids, sig-matrix) pair — compact and
-                # loop-free to rebuild per batch
-                sig_mat = np.frombuffer(
-                    b"".join(sig_pdf["sig"].to_numpy()[order]),
-                    dtype=np.uint64).reshape(len(sig_pdf), num_perm) \
-                    if len(sig_pdf) else np.empty((0, num_perm),
-                                                  np.uint64)
-                sref = _ray.put((
-                    sig_pdf[id_col].to_numpy()[order], sig_mat))
+                sids, sig_mat = _sig_matrix(sig_ds.to_pandas())
+                sref = _ray.put((sids, sig_mat))
 
                 def attach(batch: pa.Table) -> pa.Table:
                     sids, smat = _ray.get(sref)
@@ -357,6 +420,26 @@ def minhash_lsh_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
                 from .join import shuffle_join
                 exploded = shuffle_join(exploded, sig_ds, on=id_col,
                                         num_partitions=8)
+    if driver_pairs is not None:
+        # fused driver pair generation: same pairs() kernel per band
+        # bucket, same distinct-pair reduction — but over arrays already
+        # on the driver, with no further passes over the sketch rows
+        keys_f, ids_f = driver_pairs
+        order = np.argsort(keys_f, kind="stable")
+        ks = keys_f[order]
+        cols = {id_col: ids_f[order]}
+        if carry_signatures:
+            surv = np.unique(ids_f)  # ≤ _BCAST_SIG_IDS (checked above)
+            sids, smat = _sig_matrix(_sigs_for(surv).to_pandas())
+            pos = np.searchsorted(sids, cols[id_col])
+            cols["sig"] = _blob_array(
+                smat[np.minimum(pos, max(len(sids) - 1, 0))])
+        tbl = pa.table(cols)
+        starts = np.concatenate(
+            [[0], np.flatnonzero(ks[1:] != ks[:-1]) + 1, [len(ks)]])
+        parts = [pairs(tbl.slice(s, e - s))
+                 for s, e in zip(starts[:-1], starts[1:])]
+        return _reduce_driver_pairs(pa.concat_tables(parts))
     # Pair generation + distinct-pair reduction.  Two more Ray groupbys
     # on what is usually a SLIVER of data (only colliding band rows
     # survive the prefilter) cost seconds of pure shuffle machinery, so
@@ -367,8 +450,6 @@ def minhash_lsh_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
     if coll_arr is not None:
         exploded = exploded.materialize()
         if exploded.count() <= _MAX_DRIVER_PAIR_ROWS:
-            import pandas as pd
-            import ray.data as _rd
             tbl = pa.concat_tables(
                 list(exploded.iter_batches(batch_format="pyarrow",
                                            batch_size=None))) \
@@ -388,22 +469,7 @@ def minhash_lsh_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
                 "id_a": pa.array([], pa.int64()),
                 "id_b": pa.array([], pa.int64()),
                 "est_jaccard": pa.array([], pa.float64())})
-            cdf = cand_t.to_pandas()
-            if flags["use_sigs"]:
-                out = cdf.groupby(["id_a", "id_b"], as_index=False)[
-                    "est_jaccard"].max()
-            else:
-                out = cdf.groupby(["id_a", "id_b"], as_index=False) \
-                    .size().rename(columns={"size": "n_hits"})
-                out["est_jaccard"] = (out["n_hits"] / n_bands) ** (
-                    1.0 / rows_per_band)
-                out = out[out["est_jaccard"] >= threshold] \
-                    .drop(columns=["n_hits"])
-            out = out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
-            return _rd.from_pandas(out) if len(out) else _rd.from_arrow(
-                pa.table({"id_a": pa.array([], pa.int64()),
-                          "id_b": pa.array([], pa.int64()),
-                          "est_jaccard": pa.array([], pa.float64())}))
+            return _reduce_driver_pairs(cand_t)
     cand = exploded.groupby(["band", "bh"]).map_groups(
         pairs, batch_format="pyarrow")
     from ray.data.aggregate import Count, Max

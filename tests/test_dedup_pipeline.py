@@ -239,3 +239,40 @@ def test_minhash_driver_pair_path_matches_groupby(docs_ds, monkeypatch):
     monkeypatch.setattr(dd, "_MAX_DRIVER_PAIR_ROWS", -1)
     slow_e = run_est()
     pd.testing.assert_frame_equal(fast_e, slow_e, check_dtype=False)
+
+
+def test_minhash_distributed_prefilter_matches(docs_ds, monkeypatch):
+    """Forcing the driver-merge cap to 0 exercises the groupby-Count
+    collision prefilter + dataset pair path; results must be identical
+    to the fused driver path."""
+    import pandas as pd
+    import packcol.pipelines.dedup as dd
+    ds, _ = docs_ds
+
+    def run():
+        out = dd.minhash_lsh_pairs(ds, threshold=0.5).to_pandas()
+        return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+    fast = run()
+    monkeypatch.setattr(dd, "_MAX_DRIVER_MERGE_ROWS", 0)
+    slow = run()
+    pd.testing.assert_frame_equal(fast, slow, check_dtype=False)
+    assert len(fast) > 0
+
+
+def test_minhash_sig_broadcast_demote_matches(docs_ds, monkeypatch):
+    """Survivor sets above _BCAST_SIG_IDS demote the fused driver path
+    to the dataset path (signature shuffle join); same pairs out."""
+    import pandas as pd
+    import packcol.pipelines.dedup as dd
+    ds, _ = docs_ds
+
+    def run():
+        out = dd.minhash_lsh_pairs(ds, threshold=0.5).to_pandas()
+        return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+    fast = run()
+    monkeypatch.setattr(dd, "_BCAST_SIG_IDS", 0)
+    slow = run()
+    pd.testing.assert_frame_equal(fast, slow, check_dtype=False)
+    assert len(fast) > 0
