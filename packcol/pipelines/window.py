@@ -54,9 +54,18 @@ def asof_join(left, right, by, on: str, strict: bool = True):
     ``on``, within the same ``by`` key — backward as-of, left outer
     (unmatched left rows keep nulls in right columns).
 
-    Physical plan: tag + union + one hash shuffle on ``by``; inside
-    each group a sort and one vectorized ``np.searchsorted`` — O(n log
-    n) per key, no pairwise expansion."""
+    Physical plan (sort-based, no per-key UDF over the data): tag +
+    union + ONE global sort on (by, on, side) — side ordered so that
+    equal-timestamp right rows land before (non-strict) or after
+    (strict) the left rows they may match.  A vectorized per-block
+    kernel then resolves every left row against the in-block right rows
+    (segmented running-max of right positions — one pass, all keys at
+    once).  Because sorted keys occupy CONTIGUOUS blocks, only
+    unmatched left rows in a block's FIRST key segment can have their
+    match in an earlier block; those "pending" rows plus one carry row
+    per block (the last right row, for the key that straddles the block
+    end) go through a tiny per-key merge — the same searchsorted kernel
+    — over O(blocks) rows, not the dataset."""
     by = [by] if isinstance(by, str) else list(by)
     rnames = [n for n in right.schema().names
               if n not in set(by) | {on}]
@@ -109,7 +118,106 @@ def asof_join(left, right, by, on: str, strict: bool = True):
                 else gr.column(name).take(take_idx)
         return pa.table(cols)
 
-    return both.groupby(by).map_groups(per_key, batch_format="pyarrow")
+    # side order at equal (key, on): strict ⇒ left first (an equal-time
+    # right row must NOT match), non-strict ⇒ right first (it must)
+    left_ord, right_ord = (0, 1) if strict else (1, 0)
+
+    def add_ord(batch: pa.Table) -> pa.Table:
+        side = batch.column("__side").to_numpy(zero_copy_only=False)
+        ordv = np.where(side == 0, left_ord, right_ord).astype(np.int8)
+        return batch.append_column("__ord", pa.array(ordv))
+
+    def _key_change(batch: pa.Table, m: int) -> np.ndarray:
+        """bool[m-1]: any by-column differs between adjacent rows
+        (null == null counts as same key, matching groupby semantics)."""
+        neq = np.zeros(max(m - 1, 0), dtype=bool)
+        for name in by:
+            c = batch.column(name)
+            if isinstance(c, pa.ChunkedArray):
+                c = c.combine_chunks()
+            a, b = c.slice(0, m - 1), c.slice(1)
+            eqv = pc.fill_null(pc.equal(b, a), False) \
+                .to_numpy(zero_copy_only=False).astype(bool)
+            if c.null_count:
+                av = a.is_valid().to_numpy(zero_copy_only=False)
+                bv = b.is_valid().to_numpy(zero_copy_only=False)
+                eqv |= ~av & ~bv
+            neq |= ~eqv
+        return neq
+
+    out_names = lnames + rnames + ["__side", "__done"]
+
+    def block_kernel(batch: pa.Table) -> pa.Table:
+        m = batch.num_rows
+        if m == 0:
+            return pa.table(
+                {**{n: batch.column(n) for n in lnames + rnames},
+                 "__side": batch.column("__side"),
+                 "__done": pa.array([], pa.bool_())})
+        side = batch.column("__side").to_numpy(zero_copy_only=False)
+        t = batch.column(on)
+        if isinstance(t, pa.ChunkedArray):
+            t = t.combine_chunks()
+        valid = np.ones(m, dtype=bool) if t.null_count == 0 else \
+            t.is_valid().to_numpy(zero_copy_only=False)
+        neq = _key_change(batch, m)
+        starts = np.concatenate([[0], np.flatnonzero(neq) + 1])
+        seg_of = np.cumsum(np.concatenate([[0], neq]))
+        seg_start = starts[seg_of]
+        # segmented running max of right-row positions = in-block match
+        ridx = np.where((side == 1) & valid,
+                        np.arange(m, dtype=np.int64), np.int64(-1))
+        cand = np.maximum.accumulate(ridx)
+        li = np.flatnonzero(side == 0)
+        cand_l = cand[li]
+        matched = cand_l >= seg_start[li]
+        # pending: unmatched with a valid time in the block's FIRST key
+        # segment — the only rows whose match can live in an earlier
+        # block (sorted keys occupy contiguous blocks).  Unmatched rows
+        # in later segments are hopeless: resolve them as unmatched.
+        pend = ~matched & valid[li] & (seg_of[li] == 0)
+        li_res = li[~pend]
+        gl = batch.take(pa.array(li_res))
+        mres = matched[~pend] & valid[li_res]
+        take_idx = pc.if_else(
+            pa.array(mres),
+            pa.array(np.where(mres, cand_l[~pend], 0), pa.int64()),
+            pa.nulls(len(mres), pa.int64()))
+        cols = {name: gl.column(name) for name in lnames}
+        for name in rnames:
+            c = batch.column(name)
+            if isinstance(c, pa.ChunkedArray):
+                c = c.combine_chunks()
+            cols[name] = c.take(take_idx)
+        cols["__side"] = pa.array(np.zeros(len(li_res), dtype=np.int8))
+        cols["__done"] = pa.array(np.ones(len(li_res), dtype=bool))
+        done_t = pa.table(cols)
+        # boundary rows: pending lefts + one carry (the last right row —
+        # it belongs to the key straddling the block end, the only key
+        # later blocks can continue)
+        extra = li[pend]
+        last_r = int(cand[m - 1])
+        if last_r >= int(seg_start[m - 1]):
+            extra = np.concatenate([extra, [last_r]])
+        keep_t = batch.take(pa.array(np.sort(extra))) \
+            .drop_columns(["__ord"])
+        keep_t = keep_t.append_column(
+            "__done", pa.array(np.zeros(len(extra), dtype=bool)))
+        return pa.concat_tables([done_t, keep_t.select(out_names)])
+
+    out = both.map_batches(add_ord, batch_format="pyarrow") \
+        .sort(by + [on, "__ord"]) \
+        .map_batches(block_kernel, batch_format="pyarrow",
+                     batch_size=None, zero_copy_batch=True).materialize()
+    resolved = out.map_batches(
+        lambda t: t.filter(t.column("__done")).select(lnames + rnames),
+        batch_format="pyarrow")
+    pend_ds = out.map_batches(
+        lambda t: t.filter(pc.invert(t.column("__done"))),
+        batch_format="pyarrow")
+    patched = pend_ds.groupby(by).map_groups(
+        per_key, batch_format="pyarrow")
+    return resolved.union(patched)
 
 
 _CUM_FUNCS = {
