@@ -17,6 +17,53 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 
+def _t64(col) -> np.ndarray:
+    """Order-preserving int64 view of a sort/time column (temporal →
+    epoch int64 in the column's own unit)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if pa.types.is_temporal(col.type):
+        col = col.cast(pa.int64())
+    return col.to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+
+
+def _pa_type(t) -> pa.DataType:
+    """Arrow type from a Ray schema entry (arrow type for arrow-backed
+    datasets, numpy dtype for pandas-backed ones)."""
+    if isinstance(t, pa.DataType):
+        return t
+    try:
+        return pa.from_numpy_dtype(t)
+    except (pa.ArrowNotImplementedError, TypeError):
+        return pa.null()
+
+
+def _conform(tbl: pa.Table, want: dict) -> pa.Table:
+    """Cast a block to the expected column types.  Blocks that detour
+    through pandas (Ray's sort emits pandas blocks when any input block
+    is pandas-backed) come back with int columns promoted to float64
+    and padded nulls turned into NaN — undo both (NaN → null only when
+    the target type is non-float, i.e. the NaN is a pandas null
+    marker, never a data value)."""
+    cols = {}
+    n = tbl.num_rows
+    for name, typ in want.items():
+        c = tbl.column(name)
+        if isinstance(c, pa.ChunkedArray):
+            c = c.combine_chunks()
+        if c.type != typ:
+            if pa.types.is_null(c.type):
+                c = pa.nulls(n, typ)
+            else:
+                if pa.types.is_floating(c.type) and \
+                        not pa.types.is_floating(typ):
+                    c = pc.if_else(pc.is_nan(c), pa.scalar(None, c.type),
+                                   c)
+                c = c.cast(typ)
+        cols[name] = c
+    return pa.table(cols)
+
+
 def _pad_union(left, right, by: list[str], on: str):
     """Union two datasets for a co-partitioned groupby: each side keeps
     (by, on, own columns), gains the other side's columns as nulls and
@@ -24,8 +71,8 @@ def _pad_union(left, right, by: list[str], on: str):
     resolved by the caller (rename beforehand)."""
     ls = left.schema()
     rs = right.schema()
-    lcols = dict(zip(ls.names, ls.types))
-    rcols = dict(zip(rs.names, rs.types))
+    lcols = {n: _pa_type(t) for n, t in zip(ls.names, ls.types)}
+    rcols = {n: _pa_type(t) for n, t in zip(rs.names, rs.types)}
     shared = set(by) | {on}
     clash = (set(lcols) & set(rcols)) - shared
     if clash:
@@ -44,8 +91,9 @@ def _pad_union(left, right, by: list[str], on: str):
             return pa.table(cols)
         return f
 
-    return left.map_batches(pad(0, lcols), batch_format="pyarrow").union(
+    ds = left.map_batches(pad(0, lcols), batch_format="pyarrow").union(
         right.map_batches(pad(1, rcols), batch_format="pyarrow"))
+    return ds, all_cols
 
 
 def asof_join(left, right, by, on: str, strict: bool = True):
@@ -54,69 +102,35 @@ def asof_join(left, right, by, on: str, strict: bool = True):
     ``on``, within the same ``by`` key — backward as-of, left outer
     (unmatched left rows keep nulls in right columns).
 
-    Physical plan (sort-based, no per-key UDF over the data): tag +
-    union + ONE global sort on (by, on, side) — side ordered so that
+    Physical plan (sort-based, ONE shuffle, no per-key UDF): tag +
+    union + one global sort on (by, on, side) — side ordered so that
     equal-timestamp right rows land before (non-strict) or after
-    (strict) the left rows they may match.  A vectorized per-block
-    kernel then resolves every left row against the in-block right rows
-    (segmented running-max of right positions — one pass, all keys at
-    once).  Because sorted keys occupy CONTIGUOUS blocks, only
-    unmatched left rows in a block's FIRST key segment can have their
-    match in an earlier block; those "pending" rows plus one carry row
-    per block (the last right row, for the key that straddles the block
-    end) go through a tiny per-key merge — the same searchsorted kernel
-    — over O(blocks) rows, not the dataset."""
+    (strict) the left rows they may match.  Then two map passes over
+    the sorted blocks:
+
+    1. carry extraction — each block emits ≤1 row: its last valid
+       right row IF it lies in the block's final key segment (the only
+       key a later block can continue).  O(blocks) rows total are
+       collected to the driver and broadcast via ``ray.put``.
+    2. resolve — a vectorized kernel matches every left row against
+       the in-block right rows (segmented running-max of right
+       positions, all keys at once); left rows in a block's FIRST key
+       segment with no in-block match fall back to a searchsorted
+       against the broadcast carries (all carries of a key appear in
+       global sort order, so the latest qualifying carry IS the
+       global as-of match).  Everything else is provably unmatched.
+
+    Correctness of the carry set: keys occupy contiguous runs of the
+    sorted stream, so if blocks j < i both contain key K, K is block
+    j's final segment — hence block j's latest K right row is exactly
+    its carry row.  The driver-side carry table is O(blocks), not
+    O(rows); at 16–128 MB blocks that is ~1 row per block — safe at
+    any input size."""
     by = [by] if isinstance(by, str) else list(by)
     rnames = [n for n in right.schema().names
               if n not in set(by) | {on}]
-    both = _pad_union(left, right, by, on)
+    both, union_cols = _pad_union(left, right, by, on)
     lnames = [n for n in left.schema().names]
-
-    def per_key(g: pa.Table) -> pa.Table:
-        side = g.column("__side").to_numpy(zero_copy_only=False)
-        t = g.column(on).combine_chunks() if isinstance(
-            g.column(on), pa.ChunkedArray) else g.column(on)
-        # null 'on' values would become NaN and searchsorted-match the
-        # LATEST right row; they must not participate at all — null-on
-        # right rows are dropped, null-on left rows emit unmatched
-        valid = np.ones(len(t), dtype=bool) if t.null_count == 0 else \
-            t.is_valid().to_numpy(zero_copy_only=False)
-        if pa.types.is_temporal(t.type):  # epoch int64, order-preserving
-            ti = t.cast(pa.int64())
-            tv = (pc.fill_null(ti, 0) if t.null_count else ti) \
-                .to_numpy(zero_copy_only=False)
-        else:
-            tv = (pc.fill_null(t, 0) if t.null_count else t) \
-                .to_numpy(zero_copy_only=False)
-        li = np.flatnonzero(side == 0)
-        ri = np.flatnonzero((side == 1) & valid)
-        null_left = ~valid[li]
-        lt, rt = tv[li], tv[ri]
-        if len(ri) == 0:  # key exists only on the left: all unmatched
-            matched = np.zeros(len(li), dtype=bool)
-            src = np.zeros(len(li), dtype=np.int64)
-            order_r = np.empty(0, dtype=np.int64)
-        else:
-            order_r = np.argsort(rt, kind="stable")
-            rt_sorted = rt[order_r]
-            idx = np.searchsorted(
-                rt_sorted, lt, side="left" if strict else "right") - 1
-            matched = (idx >= 0) & ~null_left
-            src = order_r[np.clip(idx, 0, None)]
-        cols = {}
-        gl = g.take(pa.array(li))
-        gr = g.take(pa.array(ri))
-        for name in lnames:
-            cols[name] = gl.column(name)
-        take_idx = pc.if_else(
-            pa.array(matched),
-            pa.array(np.where(matched, src, 0), pa.int64()),
-            pa.nulls(len(matched), pa.int64()))
-        for name in rnames:
-            cols[name] = gr.column(name).combine_chunks().take(take_idx) \
-                if isinstance(gr.column(name), pa.ChunkedArray) \
-                else gr.column(name).take(take_idx)
-        return pa.table(cols)
 
     # side order at equal (key, on): strict ⇒ left first (an equal-time
     # right row must NOT match), non-strict ⇒ right first (it must)
@@ -145,15 +159,58 @@ def asof_join(left, right, by, on: str, strict: bool = True):
             neq |= ~eqv
         return neq
 
-    out_names = lnames + rnames + ["__side", "__done"]
+    carry_names = by + [on] + rnames
+    want_union = {**union_cols, "__side": pa.int8(), "__ord": pa.int8()}
 
-    def block_kernel(batch: pa.Table) -> pa.Table:
+    def extract_carry(batch: pa.Table) -> pa.Table:
+        batch = _conform(batch, want_union)
+        m = batch.num_rows
+        none = batch.select(carry_names).slice(0, 0)
+        if m == 0:
+            return none
+        side = batch.column("__side").to_numpy(zero_copy_only=False)
+        t = batch.column(on)
+        if isinstance(t, pa.ChunkedArray):
+            t = t.combine_chunks()
+        valid = np.ones(m, dtype=bool) if t.null_count == 0 else \
+            t.is_valid().to_numpy(zero_copy_only=False)
+        ri = np.flatnonzero((side == 1) & valid)
+        if len(ri) == 0:
+            return none
+        neq = _key_change(batch, m)
+        chg = np.flatnonzero(neq)
+        last_seg_start = int(chg[-1]) + 1 if len(chg) else 0
+        if int(ri[-1]) < last_seg_start:
+            return none
+        return batch.take(pa.array([int(ri[-1])])).select(carry_names)
+
+    sorted_ds = both.map_batches(add_ord, batch_format="pyarrow") \
+        .sort(by + [on, "__ord"]).materialize()
+    # carries arrive in block order == global sort order (so per key
+    # they are already time-ascending, with later blocks winning ties)
+    import ray
+    carry_parts = ray.get(
+        sorted_ds.map_batches(extract_carry, batch_format="pyarrow",
+                              batch_size=None, zero_copy_batch=True)
+        .to_arrow_refs())
+    nonempty = [p for p in carry_parts
+                if isinstance(p, pa.Table) and p.num_rows]
+    if nonempty:
+        carry_tbl = pa.concat_tables(nonempty)
+    else:
+        carry_tbl = None
+    carry_ref = ray.put(carry_tbl)
+
+    def _carry_col(tbl: pa.Table, name: str) -> pa.Array:
+        c = tbl.column(name)
+        return c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
+
+    def resolve(batch: pa.Table) -> pa.Table:
+        batch = _conform(batch, want_union)
         m = batch.num_rows
         if m == 0:
-            return pa.table(
-                {**{n: batch.column(n) for n in lnames + rnames},
-                 "__side": batch.column("__side"),
-                 "__done": pa.array([], pa.bool_())})
+            return batch.select(lnames + rnames)
+        carry = ray.get(carry_ref)
         side = batch.column("__side").to_numpy(zero_copy_only=False)
         t = batch.column(on)
         if isinstance(t, pa.ChunkedArray):
@@ -169,55 +226,59 @@ def asof_join(left, right, by, on: str, strict: bool = True):
                         np.arange(m, dtype=np.int64), np.int64(-1))
         cand = np.maximum.accumulate(ridx)
         li = np.flatnonzero(side == 0)
-        cand_l = cand[li]
-        matched = cand_l >= seg_start[li]
-        # pending: unmatched with a valid time in the block's FIRST key
-        # segment — the only rows whose match can live in an earlier
-        # block (sorted keys occupy contiguous blocks).  Unmatched rows
-        # in later segments are hopeless: resolve them as unmatched.
-        pend = ~matched & valid[li] & (seg_of[li] == 0)
-        li_res = li[~pend]
-        gl = batch.take(pa.array(li_res))
-        mres = matched[~pend] & valid[li_res]
-        take_idx = pc.if_else(
-            pa.array(mres),
-            pa.array(np.where(mres, cand_l[~pend], 0), pa.int64()),
-            pa.nulls(len(mres), pa.int64()))
+        nli = len(li)
+        inb = (cand[li] >= seg_start[li]) & valid[li]
+        # pending: valid-time lefts in the FIRST key segment with no
+        # in-block match — the only rows whose match can live in an
+        # earlier block.  All pending rows share the block's first key.
+        pend = ~inb & valid[li] & (seg_of[li] == 0)
+        car_match = np.zeros(nli, dtype=bool)
+        car_src = np.zeros(nli, dtype=np.int64)
+        if pend.any() and carry is not None and carry.num_rows:
+            cmask = np.ones(carry.num_rows, dtype=bool)
+            for name in by:
+                kc = batch.column(name)
+                if isinstance(kc, pa.ChunkedArray):
+                    kc = kc.combine_chunks()
+                kv = kc[0]
+                cc = _carry_col(carry, name)
+                if not kv.is_valid:
+                    eq = cc.is_null()
+                else:
+                    eq = pc.fill_null(pc.equal(cc, kv), False)
+                cmask &= eq.to_numpy(zero_copy_only=False).astype(bool)
+            cidx = np.flatnonzero(cmask)
+            if len(cidx):
+                ct = _t64(_carry_col(carry, on).take(pa.array(cidx)))
+                lt = _t64(t)[li[pend]]
+                pos = np.searchsorted(
+                    ct, lt, side="left" if strict else "right") - 1
+                ok = pos >= 0
+                pi = np.flatnonzero(pend)
+                car_match[pi[ok]] = True
+                car_src[pi[ok]] = cidx[pos[ok]]
+        gl = batch.take(pa.array(li))
+        in_take = pc.if_else(
+            pa.array(inb),
+            pa.array(np.where(inb, cand[li], 0), pa.int64()),
+            pa.nulls(nli, pa.int64()))
+        car_take = pc.if_else(
+            pa.array(car_match),
+            pa.array(car_src, pa.int64()),
+            pa.nulls(nli, pa.int64()))
         cols = {name: gl.column(name) for name in lnames}
+        inb_arr = pa.array(inb)
         for name in rnames:
             c = batch.column(name)
             if isinstance(c, pa.ChunkedArray):
                 c = c.combine_chunks()
-            cols[name] = c.take(take_idx)
-        cols["__side"] = pa.array(np.zeros(len(li_res), dtype=np.int8))
-        cols["__done"] = pa.array(np.ones(len(li_res), dtype=bool))
-        done_t = pa.table(cols)
-        # boundary rows: pending lefts + one carry (the last right row —
-        # it belongs to the key straddling the block end, the only key
-        # later blocks can continue)
-        extra = li[pend]
-        last_r = int(cand[m - 1])
-        if last_r >= int(seg_start[m - 1]):
-            extra = np.concatenate([extra, [last_r]])
-        keep_t = batch.take(pa.array(np.sort(extra))) \
-            .drop_columns(["__ord"])
-        keep_t = keep_t.append_column(
-            "__done", pa.array(np.zeros(len(extra), dtype=bool)))
-        return pa.concat_tables([done_t, keep_t.select(out_names)])
+            alt = _carry_col(carry, name).take(car_take) \
+                if carry is not None else pa.nulls(nli, c.type)
+            cols[name] = pc.if_else(inb_arr, c.take(in_take), alt)
+        return pa.table(cols)
 
-    out = both.map_batches(add_ord, batch_format="pyarrow") \
-        .sort(by + [on, "__ord"]) \
-        .map_batches(block_kernel, batch_format="pyarrow",
-                     batch_size=None, zero_copy_batch=True).materialize()
-    resolved = out.map_batches(
-        lambda t: t.filter(t.column("__done")).select(lnames + rnames),
-        batch_format="pyarrow")
-    pend_ds = out.map_batches(
-        lambda t: t.filter(pc.invert(t.column("__done"))),
-        batch_format="pyarrow")
-    patched = pend_ds.groupby(by).map_groups(
-        per_key, batch_format="pyarrow")
-    return resolved.union(patched)
+    return sorted_ds.map_batches(resolve, batch_format="pyarrow",
+                                 batch_size=None, zero_copy_batch=True)
 
 
 _CUM_FUNCS = {

@@ -25,20 +25,62 @@ def strip_schema_metadata(batch: pa.Table) -> pa.Table:
     return batch.replace_schema_metadata(None)
 
 
+def _file_list(paths) -> list[str]:
+    out = []
+    for p in paths if isinstance(paths, (list, tuple)) else [paths]:
+        if os.path.isdir(p):
+            out.extend(os.path.join(p, f) for f in sorted(os.listdir(p))
+                       if f.endswith(".parquet"))
+        else:
+            out.append(p)
+    return out
+
+
 def _clean_schema(paths, columns) -> pa.Schema | None:
     import pyarrow.parquet as pq
-    p = paths[0] if isinstance(paths, (list, tuple)) else paths
     try:
-        if os.path.isdir(p):
-            files = sorted(f for f in os.listdir(p)
-                           if f.endswith(".parquet"))
-            if not files:
-                return None
-            p = os.path.join(p, files[0])
-        sch = pq.read_schema(p).remove_metadata()
+        files = _file_list(paths)
+        if not files:
+            return None
+        sch = pq.read_schema(files[0]).remove_metadata()
         if columns is not None:
             sch = pa.schema([sch.field(c) for c in columns])
         return sch
+    except (OSError, KeyError, pa.ArrowInvalid):
+        return None
+
+
+_BLOCK_TARGET_BYTES = 16 << 20   # scale path: ~16 MB read blocks
+_MIN_ROWS_PER_BLOCK = 3000       # overhead floor: never sub-3k-row blocks
+
+
+def _auto_num_blocks(paths) -> int | None:
+    """Size-aware read parallelism.  Ray's default splits a file into
+    ~2×CPU blocks regardless of size; on small single-row-group files
+    every task re-decodes the whole row group, so a 2 MB read costs
+    64 × (open + full decode) ≈ seconds.  Target instead:
+    ``min(ceil(rows/3k), max(ceil(bytes/16MB), cluster_cpus))`` — full
+    CPU fan-out whenever the row count supports it, blocks ≥3k rows,
+    and ~16 MB blocks once bytes dominate."""
+    import math
+    try:
+        import pyarrow.parquet as pq
+        files = _file_list(paths)
+        if not files:
+            return None
+        rows = bytes_ = 0
+        for f in files:
+            rows += pq.ParquetFile(f).metadata.num_rows
+            bytes_ += os.path.getsize(f)
+        try:
+            import ray
+            ncpu = int(ray.cluster_resources().get("CPU", 0)) or \
+                (os.cpu_count() or 8)
+        except Exception:
+            ncpu = os.cpu_count() or 8
+        nb = min(max(1, math.ceil(rows / _MIN_ROWS_PER_BLOCK)),
+                 max(math.ceil(bytes_ / _BLOCK_TARGET_BYTES), ncpu))
+        return max(1, nb)
     except (OSError, KeyError, pa.ArrowInvalid):
         return None
 
@@ -53,6 +95,10 @@ def read_parquet_clean(paths, *, columns=None, **kwargs):
     # provided schema, so every filter-referenced column must be in
     # `columns` (the scan reads them anyway to evaluate the predicate;
     # project them away afterwards)
+    if "override_num_blocks" not in kwargs and "parallelism" not in kwargs:
+        nb = _auto_num_blocks(paths)
+        if nb is not None:
+            kwargs["override_num_blocks"] = nb
     schema = _clean_schema(paths, columns)
     if schema is not None:
         return rd.read_parquet(paths, columns=columns, schema=schema,
