@@ -64,6 +64,35 @@ def _conform(tbl: pa.Table, want: dict) -> pa.Table:
     return pa.table(cols)
 
 
+def _ordv(col) -> np.ndarray:
+    """Comparable numpy view of a sort column: temporal → epoch int64,
+    numerics zero-copy, strings as object (python-compare)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if pa.types.is_temporal(col.type):
+        col = col.cast(pa.int64())
+    return col.to_numpy(zero_copy_only=False)
+
+
+def _key_change(batch: pa.Table, by: list[str], m: int) -> np.ndarray:
+    """bool[m-1]: any by-column differs between adjacent rows
+    (null == null counts as same key, matching groupby semantics)."""
+    neq = np.zeros(max(m - 1, 0), dtype=bool)
+    for name in by:
+        c = batch.column(name)
+        if isinstance(c, pa.ChunkedArray):
+            c = c.combine_chunks()
+        a, b = c.slice(0, m - 1), c.slice(1)
+        eqv = pc.fill_null(pc.equal(b, a), False) \
+            .to_numpy(zero_copy_only=False).astype(bool)
+        if c.null_count:
+            av = a.is_valid().to_numpy(zero_copy_only=False)
+            bv = b.is_valid().to_numpy(zero_copy_only=False)
+            eqv |= ~av & ~bv
+        neq |= ~eqv
+    return neq
+
+
 def _pad_union(left, right, by: list[str], on: str):
     """Union two datasets for a co-partitioned groupby: each side keeps
     (by, on, own columns), gains the other side's columns as nulls and
@@ -141,24 +170,6 @@ def asof_join(left, right, by, on: str, strict: bool = True):
         ordv = np.where(side == 0, left_ord, right_ord).astype(np.int8)
         return batch.append_column("__ord", pa.array(ordv))
 
-    def _key_change(batch: pa.Table, m: int) -> np.ndarray:
-        """bool[m-1]: any by-column differs between adjacent rows
-        (null == null counts as same key, matching groupby semantics)."""
-        neq = np.zeros(max(m - 1, 0), dtype=bool)
-        for name in by:
-            c = batch.column(name)
-            if isinstance(c, pa.ChunkedArray):
-                c = c.combine_chunks()
-            a, b = c.slice(0, m - 1), c.slice(1)
-            eqv = pc.fill_null(pc.equal(b, a), False) \
-                .to_numpy(zero_copy_only=False).astype(bool)
-            if c.null_count:
-                av = a.is_valid().to_numpy(zero_copy_only=False)
-                bv = b.is_valid().to_numpy(zero_copy_only=False)
-                eqv |= ~av & ~bv
-            neq |= ~eqv
-        return neq
-
     carry_names = by + [on] + rnames
     want_union = {**union_cols, "__side": pa.int8(), "__ord": pa.int8()}
 
@@ -177,7 +188,7 @@ def asof_join(left, right, by, on: str, strict: bool = True):
         ri = np.flatnonzero((side == 1) & valid)
         if len(ri) == 0:
             return none
-        neq = _key_change(batch, m)
+        neq = _key_change(batch, by, m)
         chg = np.flatnonzero(neq)
         last_seg_start = int(chg[-1]) + 1 if len(chg) else 0
         if int(ri[-1]) < last_seg_start:
@@ -217,7 +228,7 @@ def asof_join(left, right, by, on: str, strict: bool = True):
             t = t.combine_chunks()
         valid = np.ones(m, dtype=bool) if t.null_count == 0 else \
             t.is_valid().to_numpy(zero_copy_only=False)
-        neq = _key_change(batch, m)
+        neq = _key_change(batch, by, m)
         starts = np.concatenate([[0], np.flatnonzero(neq) + 1])
         seg_of = np.cumsum(np.concatenate([[0], neq]))
         seg_start = starts[seg_of]
@@ -294,23 +305,163 @@ def running_aggregate(ds, by, on, col: str, agg: str = "sum",
     """Per-key running aggregate ordered by ``on`` (SQL:
     ``agg(col) OVER (PARTITION BY by ORDER BY on)``).  agg: sum / max /
     min / count.  ``tiebreak`` adds a secondary sort column for
-    deterministic order when ``on`` has duplicates."""
+    deterministic order when ``on`` has duplicates (recommended —
+    cross-block carries assume (on[, tiebreak]) is unique per key; with
+    duplicates the order, and hence the running values, are ambiguous).
+
+    Physical plan (sort-based, ONE shuffle, no per-key UDF): global
+    sort on (by, on[, tiebreak]); per block a segmented C-speed prefix
+    (pandas groupby-cum{sum,max,min,count} over in-block key
+    segments); cross-block continuation via a carry pass — each block
+    emits ≤1 summary row (its final key segment's aggregate), the
+    O(blocks) summaries are prefix-combined per key on the driver in
+    global sort order and broadcast, and each block's FIRST segment
+    adds the latest carry that sorts strictly before it (two scalar
+    searchsorteds).  Same carry argument as ``asof_join``: keys occupy
+    contiguous runs of the sorted stream, so only a block's final
+    segment can continue into later blocks."""
     if agg not in _CUM_FUNCS:
         raise ValueError(f"unsupported agg {agg!r}")
     by = [by] if isinstance(by, str) else list(by)
     out_col = out_col or f"run_{agg}"
+    sort_keys = by + [on] + ([tiebreak] if tiebreak else [])
+    want = {n: _pa_type(t) for n, t in zip(ds.schema().names,
+                                           ds.schema().types)}
 
-    def per_key(g: pa.Table) -> pa.Table:
-        keys = [g.column(on).to_numpy(zero_copy_only=False)]
-        if tiebreak:
-            keys.insert(0, g.column(tiebreak).to_numpy(
-                zero_copy_only=False))
-        order = np.lexsort(keys)
-        g = g.take(pa.array(order))
-        v = g.column(col).to_numpy(zero_copy_only=False)
-        return g.append_column(out_col, pa.array(_CUM_FUNCS[agg](v)))
+    import ray
+    sds = ds.sort(sort_keys).materialize()
 
-    return ds.groupby(by).map_groups(per_key, batch_format="pyarrow")
+    def _seg_agg(v: np.ndarray) -> np.ndarray:
+        if agg == "sum":
+            return v.sum()
+        if agg == "max":
+            return v.max()
+        if agg == "min":
+            return v.min()
+        return np.int64(len(v))
+
+    sum_names = by + ["__t", "__tb", "__val"]
+
+    def summarize(batch: pa.Table) -> pa.Table:
+        batch = _conform(batch, want)
+        m = batch.num_rows
+        if m == 0:
+            return pa.table({
+                **{n: batch.column(n) for n in by},
+                "__t": pa.array([], pa.int64()),
+                "__tb": pa.array([], pa.int64()),
+                "__val": pa.array([], pa.float64())})
+        neq = _key_change(batch, by, m)
+        chg = np.flatnonzero(neq)
+        ls = int(chg[-1]) + 1 if len(chg) else 0
+        v = batch.column(col).to_numpy(zero_copy_only=False)
+        t = _ordv(batch.column(on))
+        tb = _ordv(batch.column(tiebreak)) if tiebreak else \
+            np.zeros(m, dtype=np.int64)
+        return pa.table({
+            **{n: (batch.column(n).combine_chunks()
+                   if isinstance(batch.column(n), pa.ChunkedArray)
+                   else batch.column(n)).take(pa.array([ls]))
+               for n in by},
+            "__t": pa.array([t[ls]]).cast(pa.int64())
+            if np.issubdtype(np.asarray(t[ls:ls + 1]).dtype, np.number)
+            else pa.array([t[ls]]),
+            "__tb": pa.array([tb[ls]]).cast(pa.int64())
+            if np.issubdtype(np.asarray(tb[ls:ls + 1]).dtype, np.number)
+            else pa.array([tb[ls]]),
+            "__val": pa.array([_seg_agg(v[ls:])])})
+
+    parts = ray.get(sds.map_batches(summarize, batch_format="pyarrow",
+                                    batch_size=None, zero_copy_batch=True)
+                    .to_arrow_refs())
+    rows = [p for p in parts if isinstance(p, pa.Table) and p.num_rows]
+    if rows:
+        summ = pa.concat_tables(rows, promote_options="permissive")
+        # inclusive per-key prefix-combine in block (= global sort) order
+        vals = summ.column("__val").to_numpy(zero_copy_only=False)
+        kt = summ.select(by)
+        keys = list(zip(*[_ordv(kt.column(n)) for n in by]))
+        acc: dict = {}
+        pref = np.empty(len(vals), dtype=vals.dtype)
+        for i, k in enumerate(keys):
+            if k in acc:
+                a = acc[k]
+                nv = a + vals[i] if agg in ("sum", "count") else (
+                    max(a, vals[i]) if agg == "max" else min(a, vals[i]))
+            else:
+                nv = vals[i]
+            acc[k] = nv
+            pref[i] = nv
+        carry = {"keys": kt,
+                 "t": summ.column("__t").to_numpy(zero_copy_only=False),
+                 "tb": summ.column("__tb").to_numpy(zero_copy_only=False),
+                 "pref": pref}
+    else:
+        carry = None
+    carry_ref = ray.put(carry)
+
+    def resolve(batch: pa.Table) -> pa.Table:
+        batch = _conform(batch, want)
+        m = batch.num_rows
+        v = batch.column(col).to_numpy(zero_copy_only=False)
+        if m == 0:
+            return batch.append_column(out_col, pa.array(v))
+        neq = _key_change(batch, by, m)
+        seg_of = np.cumsum(np.concatenate([[0], neq]))
+        import pandas as pd
+        g = pd.Series(v).groupby(seg_of)
+        if agg == "sum":
+            run = g.cumsum().to_numpy()
+        elif agg == "max":
+            run = g.cummax().to_numpy()
+        elif agg == "min":
+            run = g.cummin().to_numpy()
+        else:
+            run = (g.cumcount() + 1).to_numpy().astype(np.int64)
+        cy = ray.get(carry_ref)
+        if cy is not None:
+            # latest carry of this block's first key strictly before
+            # the block's first row: prior segments of a continuing run
+            cmask = np.ones(len(cy["pref"]), dtype=bool)
+            for name in by:
+                kc = batch.column(name)
+                if isinstance(kc, pa.ChunkedArray):
+                    kc = kc.combine_chunks()
+                kv = kc[0]
+                cc = cy["keys"].column(name)
+                if isinstance(cc, pa.ChunkedArray):
+                    cc = cc.combine_chunks()
+                if not kv.is_valid:
+                    eq = cc.is_null()
+                else:
+                    eq = pc.fill_null(pc.equal(cc, kv), False)
+                cmask &= eq.to_numpy(zero_copy_only=False).astype(bool)
+            cidx = np.flatnonzero(cmask)
+            if len(cidx):
+                my_t = _ordv(batch.column(on))[0]
+                my_tb = _ordv(batch.column(tiebreak))[0] if tiebreak \
+                    else np.int64(0)
+                ct, ctb = cy["t"][cidx], cy["tb"][cidx]
+                a = np.searchsorted(ct, my_t, side="left")
+                b = np.searchsorted(ct, my_t, side="right")
+                j = a + np.searchsorted(ctb[a:b], my_tb, side="left")
+                if j > 0:
+                    cval = cy["pref"][cidx[j - 1]]
+                    first = seg_of == 0
+                    if agg in ("sum", "count"):
+                        run[first] = run[first] + cval
+                    elif agg == "max":
+                        run[first] = np.maximum(run[first], cval)
+                    else:
+                        run[first] = np.minimum(run[first], cval)
+        if agg == "count":
+            out = pa.array(run.astype(np.int64))
+        else:
+            out = pa.array(run.astype(v.dtype, copy=False))
+        return batch.append_column(out_col, out)
+
+    return sds.map_batches(resolve, batch_format="pyarrow",
+                           batch_size=None, zero_copy_batch=True)
 
 
 def _group_codes(tbl: pa.Table, by: list[str]) -> np.ndarray:
