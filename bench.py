@@ -29,6 +29,9 @@ except ValueError:
 # webtext size scaled to sf: sf0.1 → 120k rows (~260 MB), sf0.01 → 12k
 _WEBTEXT_ROWS = int(os.environ.get(
     "GRAFT_BENCH_ROWS", max(int(1_200_000 * (SF or 0.1)), 2000)))
+# --scaling sets this: the N-vs-4N measurement needs only the headline
+# encode + decode pipelines, not the full query suite
+_HEADLINE_ONLY = os.environ.get("GRAFT_HEADLINE_ONLY") == "1"
 # one encode partition per input part: size parts so the encode stage
 # fills 32 CPUs (16 parts left half the box idle at sf0.1)
 _WEBTEXT_PARTS = max(_WEBTEXT_ROWS // 3750, 4)
@@ -37,6 +40,16 @@ WEBTEXT_DIR = f"/tmp/packcol_bench/webtext_r{_WEBTEXT_ROWS}"
 # own local disks (bandwidth scales with nodes); this sandbox has one
 # shared 130 MB/s virtio disk, which would measure the disk, not the engine
 ENC_DIR = "/dev/shm/packcol_bench/encoded"
+
+
+def timed2(fn):
+    """min-of-2 wall time (same rationale as the headline's warmup:
+    the first execution in a session pays worker-heap first-touch page
+    faults at this sandbox's ~400 MB/s wall — steady-state is what a
+    long-running cluster sees).  Returns (min_seconds, last_result)."""
+    t1, r = timed(fn)
+    t2, r = timed(fn)
+    return min(t1, t2), r
 
 
 def timed(fn):
@@ -112,6 +125,17 @@ def main() -> None:
     assert inv["mismatches"] == 0, inv
 
     # --- training-data ops at webtext scale (120k+ docs) ------------------
+    if _HEADLINE_ONLY:
+        headline = queries["encode_webtext"] + \
+            queries["decode_verify_webtext"]
+        ray.shutdown()
+        shutil.rmtree(ENC_DIR, ignore_errors=True)
+        print(json.dumps({
+            "metric": "headline-only scaling probe", "value":
+            round(headline, 3), "unit": "sec", "queries": queries,
+            "sf": SF, "num_cpus": NUM_CPUS, **extras}))
+        return
+
     from packcol.pipelines.dedup import dedup_exact, minhash_lsh_pairs
 
     from packcol.sources.parquet import read_parquet_clean
@@ -126,11 +150,11 @@ def main() -> None:
                 fingerprints(t.column("url")).view(np.int64))),
             batch_format="pyarrow")
 
-    t_q, _ = timed(lambda: dedup_exact(
+    t_q, _ = timed2(lambda: dedup_exact(
         _docs_ds(), key="text", id_col="doc_id").materialize())
     queries["dedup_exact_webtext"] = round(t_q, 3)
 
-    t_q, _ = timed(lambda: minhash_lsh_pairs(
+    t_q, _ = timed2(lambda: minhash_lsh_pairs(
         _docs_ds(), id_col="doc_id", threshold=0.7,
         carry_signatures=False).materialize())
     queries["minhash_webtext"] = round(t_q, 3)
@@ -138,12 +162,12 @@ def main() -> None:
     # --- secondary: training-data ops over testdata documents -------------
     doc_path = os.path.join(SF_DIR, "documents.parquet")
     if os.path.exists(doc_path):
-        t_q, _ = timed(lambda: dedup_exact(
+        t_q, _ = timed2(lambda: dedup_exact(
             read_parquet_clean(doc_path, columns=["doc_id", "text"])
         ).materialize())
         queries["dedup_exact"] = round(t_q, 3)
 
-        t_q, _ = timed(lambda: minhash_lsh_pairs(
+        t_q, _ = timed2(lambda: minhash_lsh_pairs(
             read_parquet_clean(doc_path, columns=["doc_id", "text"])
         ).materialize())
         queries["minhash_pairs"] = round(t_q, 3)
@@ -159,7 +183,7 @@ def main() -> None:
         for name in ("pricing_summary", "revenue_by_brand",
                      "asof_prev_purchase", "events_hourly",
                      "sessionize", "top_event_per_user"):
-            t_q, _ = timed(lambda n=name: _materialize(_qs[n](SF_DIR)))
+            t_q, _ = timed2(lambda n=name: _materialize(_qs[n](SF_DIR)))
             queries[name] = round(t_q, 3)
 
     # --- genomics: canonical k-mer counting, minimizer buckets ------------
@@ -173,7 +197,7 @@ def main() -> None:
         gpaths = make_reads_parquet("/tmp/packcol_bench/genomics_v2_100k",
                                     100_000, n_parts=16)
         gds = rd.read_parquet(gpaths)
-        t_q, n_distinct = timed(lambda: count_canonical_kmers(
+        t_q, n_distinct = timed2(lambda: count_canonical_kmers(
             gds, "seq", 31, strategy="minimizer").count())
         queries["kmer_minimizer_100k"] = round(t_q, 3)
         extras["kmer_distinct_100k"] = n_distinct
@@ -188,7 +212,7 @@ def main() -> None:
         et = pq.read_table(emb_path, columns=["vec_id", "embedding"])
         q = np.stack([np.asarray(v, dtype=np.float64)
                       for v in et.column("embedding")[:8].to_pylist()])
-        t_q, _ = timed(lambda: ann_brute_topk(
+        t_q, _ = timed2(lambda: ann_brute_topk(
             read_parquet_clean(emb_path), q, k=10))
         queries["ann_topk"] = round(t_q, 3)
 
@@ -213,7 +237,8 @@ def scaling() -> None:
         # 4x the default input so per-stage fixed overheads amortize and
         # the measurement reflects steady-state scaling
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
-                   GRAFT_BENCH_ROWS=str(4 * _WEBTEXT_ROWS))
+                   GRAFT_BENCH_ROWS=str(4 * _WEBTEXT_ROWS),
+                   GRAFT_HEADLINE_ONLY="1")
         out = subprocess.run([sys.executable, os.path.abspath(__file__)],
                              env=env, capture_output=True, text=True,
                              check=True).stdout
