@@ -524,23 +524,119 @@ def top_n_per_group(ds, by, order_col: str, n: int,
     stratified-sample / per-key-top-k shape (SQL ROW_NUMBER() OVER
     (PARTITION BY by ORDER BY order_col[, tiebreak]) <= n).
 
-    Physical plan (combiner form): a vectorized per-batch pre-reduce
-    keeps at most n rows per group per batch — top-n is decomposable,
-    so the global answer is inside the union of batch-local answers —
-    then one hash shuffle of the PARTIALS (≤ n × groups × batches rows,
-    not the dataset) and the same vectorized kernel per group.  Ties
-    beyond ``tiebreak`` resolve deterministically per partition layout."""
+    Physical plan (combiner form, no per-group UDF): a vectorized
+    per-batch pre-reduce keeps at most n rows per group per batch —
+    top-n is decomposable, so the global answer is inside the union of
+    batch-local answers — then ONE sort of the PARTIALS (≤ n × groups
+    × batches rows, not the dataset) on (by, order[, tiebreak]) and a
+    vectorized per-block position filter: a row survives iff its global
+    rank within its key is < n, where cross-block rank offsets come
+    from a broadcast of per-block final-segment row counts
+    (prefix-summed per key on the driver in block order — the same
+    carry argument as ``asof_join``).  Exact when (order[, tiebreak])
+    is unique per key; ties straddling a block boundary resolve per
+    sort layout, as before.  Ties beyond ``tiebreak`` resolve
+    deterministically per partition layout."""
     by = [by] if isinstance(by, str) else list(by)
 
     def partial(batch: pa.Table) -> pa.Table:
         return _topn_block(batch, by, order_col, n, descending, tiebreak)
 
-    def per_group(g: pa.Table) -> pa.Table:
-        return _topn_block(g, by, order_col, n, descending, tiebreak)
+    import ray
+    desc = [False] * len(by) + [descending] + \
+        ([False] if tiebreak is not None else [])
+    skeys = by + [order_col] + ([tiebreak] if tiebreak is not None else [])
+    sp = ds.map_batches(partial, batch_format="pyarrow",
+                        zero_copy_batch=True) \
+        .sort(skeys, descending=desc).materialize()
 
-    return ds.map_batches(partial, batch_format="pyarrow",
-                          zero_copy_batch=True) \
-        .groupby(by).map_groups(per_group, batch_format="pyarrow")
+    def _sig(batch: pa.Table, i: int):
+        o = _ordv(batch.column(order_col))[i]
+        tb = _ordv(batch.column(tiebreak))[i] if tiebreak is not None \
+            else 0
+        return o, tb
+
+    def carry_of(batch: pa.Table) -> pa.Table:
+        m = batch.num_rows
+        none = batch.select(skeys).slice(0, 0) \
+            .append_column("__cnt", pa.array([], pa.int64()))
+        if m == 0:
+            return none
+        neq = _key_change(batch, by, m)
+        chg = np.flatnonzero(neq)
+        ls = int(chg[-1]) + 1 if len(chg) else 0
+        return batch.take(pa.array([ls])).select(skeys) \
+            .append_column("__cnt", pa.array([m - ls], pa.int64()))
+
+    cparts = ray.get(sp.map_batches(carry_of, batch_format="pyarrow",
+                                    batch_size=None, zero_copy_batch=True)
+                     .to_arrow_refs())
+    cparts = [p for p in cparts if isinstance(p, pa.Table) and p.num_rows]
+    if cparts:
+        ct = pa.concat_tables(cparts, promote_options="permissive")
+        cnt = ct.column("__cnt").to_numpy(zero_copy_only=False)
+        # inclusive per-key prefix counts in block (= sort) order
+        kt = ct.select(by)
+        keys = list(zip(*[_ordv(kt.column(nm)) for nm in by]))
+        acc: dict = {}
+        pref = np.empty(len(cnt), dtype=np.int64)
+        for i, k in enumerate(keys):
+            acc[k] = acc.get(k, 0) + int(cnt[i])
+            pref[i] = acc[k]
+        o = _ordv(ct.column(order_col))
+        tb = _ordv(ct.column(tiebreak)) if tiebreak is not None else \
+            np.zeros(len(cnt), dtype=np.int64)
+        carry = {"keys": kt, "o": o, "tb": tb, "pref": pref}
+    else:
+        carry = None
+    carry_ref = ray.put(carry)
+
+    def keep_topn(batch: pa.Table) -> pa.Table:
+        m = batch.num_rows
+        if m == 0:
+            return batch
+        neq = _key_change(batch, by, m)
+        starts = np.concatenate([[0], np.flatnonzero(neq) + 1])
+        seg_of = np.cumsum(np.concatenate([[0], neq]))
+        pos = np.arange(m, dtype=np.int64) - starts[seg_of]
+        cy = ray.get(carry_ref)
+        if cy is not None:
+            cmask = np.ones(len(cy["pref"]), dtype=bool)
+            for nm in by:
+                kc = batch.column(nm)
+                if isinstance(kc, pa.ChunkedArray):
+                    kc = kc.combine_chunks()
+                kv = kc[0]
+                cc = cy["keys"].column(nm)
+                if isinstance(cc, pa.ChunkedArray):
+                    cc = cc.combine_chunks()
+                eq = cc.is_null() if not kv.is_valid else \
+                    pc.fill_null(pc.equal(cc, kv), False)
+                cmask &= eq.to_numpy(zero_copy_only=False).astype(bool)
+            cidx = np.flatnonzero(cmask)
+            if len(cidx):
+                # rank offset for the FIRST segment = inclusive prefix
+                # count of the latest carry sorting strictly before this
+                # block's first row.  Earlier blocks' carries sort
+                # strictly before it (their rows all precede ours); this
+                # block's own and later blocks' carries sort at-or-after
+                # — so the strictly-before carries form a prefix of the
+                # block-ordered carry list, countable with elementwise
+                # comparisons (generic over types and sort direction).
+                my_o, my_tb = _sig(batch, 0)
+                co, ctb = cy["o"][cidx], cy["tb"][cidx]
+                o_before = (co > my_o) if descending else (co < my_o)
+                before = o_before | ((co == my_o) & (ctb < my_tb))
+                j = int(before.sum())
+                if j > 0:
+                    first = seg_of == 0
+                    pos = pos.copy()
+                    pos[first] += int(cy["pref"][cidx[j - 1]])
+        keep = pos < n
+        return batch.filter(pa.array(keep))
+
+    return sp.map_batches(keep_topn, batch_format="pyarrow",
+                          batch_size=None, zero_copy_batch=True)
 
 
 def sessionize(ds, by, on: str, gap: int, out_col: str = "n_sessions"):
@@ -602,21 +698,85 @@ def sessionize(ds, by, on: str, gap: int, out_col: str = "n_sessions"):
             "__last": pa.array(t[ends - 1]),
             "__gaps": pa.array(gaps)})
 
-    def merge(g: pa.Table) -> pa.Table:
-        f = g.column("__first").to_numpy(zero_copy_only=False)
-        last = g.column("__last").to_numpy(zero_copy_only=False)
-        gp = g.column("__gaps").to_numpy(zero_copy_only=False)
-        order = np.lexsort((last, f))
-        f, last = f[order], last[order]
-        boundary = int((f[1:] - last[:-1] > gap).sum()) if len(f) > 1 \
-            else 0
-        n_sessions = int(gp.sum()) + boundary + 1
-        return pa.table({by_one: g.column(by_one).slice(0, 1),
-                         out_col: pa.array([n_sessions], pa.int64())})
+    # Merge WITHOUT a per-key UDF: sort the partials (O(keys + blocks)
+    # rows), add each run's boundary-with-previous-run flag vectorized
+    # (in-block pairs directly; each block's first run resolves against
+    # a broadcast of per-block last-run carries, as in asof_join), then
+    # one native hash aggregate sums gaps+boundaries per key and a map
+    # adds the final +1.  Scales to any number of keys — the only
+    # per-key state is inside Ray's vectorized aggregate.
+    import ray
 
     parts = ds.sort([by_one, on]).map_batches(
         partial, batch_format="pyarrow", zero_copy_batch=True)
-    return parts.groupby(by_one).map_groups(merge, batch_format="pyarrow")
+    sp = parts.sort([by_one, "__first", "__last"]).materialize()
+
+    def carry_of(batch: pa.Table) -> pa.Table:
+        m = batch.num_rows
+        if m == 0:
+            return batch.select([by_one, "__first", "__last"])
+        return batch.take(pa.array([m - 1])) \
+            .select([by_one, "__first", "__last"])
+
+    cparts = ray.get(sp.map_batches(carry_of, batch_format="pyarrow",
+                                    batch_size=None, zero_copy_batch=True)
+                     .to_arrow_refs())
+    cparts = [p for p in cparts if isinstance(p, pa.Table) and p.num_rows]
+    if cparts:
+        ct = pa.concat_tables(cparts, promote_options="permissive")
+        carry = {"keys": ct.select([by_one]),
+                 "f": ct.column("__first").to_numpy(zero_copy_only=False),
+                 "l": ct.column("__last").to_numpy(zero_copy_only=False)}
+    else:
+        carry = None
+    carry_ref = ray.put(carry)
+
+    def contrib(batch: pa.Table) -> pa.Table:
+        m = batch.num_rows
+        if m == 0:
+            return pa.table({by_one: batch.column(by_one),
+                             "__c": pa.array([], pa.int64())})
+        f = batch.column("__first").to_numpy(zero_copy_only=False)
+        last = batch.column("__last").to_numpy(zero_copy_only=False)
+        gp = batch.column("__gaps").to_numpy(zero_copy_only=False)
+        neq = _key_change(batch, [by_one], m)
+        c = gp.astype(np.int64, copy=True)
+        if m > 1:
+            c[1:] += ((f[1:] - last[:-1] > gap) & ~neq).astype(np.int64)
+        cy = ray.get(carry_ref)
+        if cy is not None:
+            kc = batch.column(by_one)
+            if isinstance(kc, pa.ChunkedArray):
+                kc = kc.combine_chunks()
+            kv = kc[0]
+            cc = cy["keys"].column(by_one)
+            if isinstance(cc, pa.ChunkedArray):
+                cc = cc.combine_chunks()
+            eq = cc.is_null() if not kv.is_valid else \
+                pc.fill_null(pc.equal(cc, kv), False)
+            cidx = np.flatnonzero(
+                eq.to_numpy(zero_copy_only=False).astype(bool))
+            if len(cidx):
+                cf, cl = cy["f"][cidx], cy["l"][cidx]
+                a = np.searchsorted(cf, f[0], side="left")
+                b = np.searchsorted(cf, f[0], side="right")
+                j = a + np.searchsorted(cl[a:b], last[0], side="left")
+                if j > 0:
+                    c[0] += int(f[0] - cl[j - 1] > gap)
+        return pa.table({by_one: batch.column(by_one),
+                         "__c": pa.array(c)})
+
+    from ray.data.aggregate import Sum
+    agg = sp.map_batches(contrib, batch_format="pyarrow",
+                         batch_size=None, zero_copy_batch=True) \
+        .groupby(by_one).aggregate(Sum("__c", alias_name=out_col))
+
+    def plus_one(batch: pa.Table) -> pa.Table:
+        return batch.set_column(
+            batch.schema.get_field_index(out_col), out_col,
+            pc.add(batch.column(out_col).cast(pa.int64()), 1))
+
+    return agg.map_batches(plus_one, batch_format="pyarrow")
 
 
 def interval_count_join(left, right, by, on: str, gap: int,

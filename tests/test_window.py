@@ -272,3 +272,80 @@ def test_sessionize_timestamp_column(ray_session):
     got = sessionize(_ds(df, 2), by="u", on="ts",
                      gap=1800 * 1_000_000).to_pandas()
     assert got["n_sessions"].tolist() == [2]
+
+
+# --- cross-block carry paths: one dominant key spanning MANY blocks ------
+# (the sort-based operators resolve cross-block state via broadcast
+# carries; these force block counts far above the key count)
+
+
+def test_asof_join_single_key_many_blocks(ray_session):
+    rng = np.random.default_rng(7)
+    left = pd.DataFrame({"k": 0, "t": np.sort(rng.choice(
+        np.arange(1, 100000, 3), 400, replace=False)).astype("int64")})
+    left["x"] = np.arange(len(left))
+    # sparse right side: most left rows must match a carry from far back
+    right = pd.DataFrame({"k": 0, "t": np.array(
+        [5, 30000, 70000], dtype="int64")})
+    right["y"] = np.array([100, 200, 300])
+    from packcol.pipelines.window import asof_join
+    got = asof_join(_ds(left, 24), _ds(right, 2), by="k", on="t",
+                    strict=True).to_pandas() \
+        .sort_values("t").reset_index(drop=True)
+    exp = pd.merge_asof(left.sort_values("t"), right.sort_values("t"),
+                        on="t", by="k", direction="backward",
+                        allow_exact_matches=False) \
+        .sort_values("t").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[exp.columns], exp,
+                                  check_dtype=False)
+
+
+def test_running_aggregate_single_key_many_blocks(ray_session):
+    rng = np.random.default_rng(9)
+    df = pd.DataFrame({
+        "u": 1, "t": rng.permutation(600).astype("int64"),
+        "v": rng.integers(-4, 9, 600).astype("int64")})
+    got = running_aggregate(_ds(df, 24), "u", "t", "v", agg="sum") \
+        .to_pandas().sort_values("t").reset_index(drop=True)
+    exp = df.sort_values("t").reset_index(drop=True)
+    exp["run_sum"] = exp["v"].cumsum()
+    pd.testing.assert_frame_equal(got, exp[got.columns],
+                                  check_dtype=False)
+    got_mx = running_aggregate(_ds(df, 24), "u", "t", "v", agg="max") \
+        .to_pandas().sort_values("t").reset_index(drop=True)
+    exp["run_max"] = exp["v"].cummax()
+    pd.testing.assert_frame_equal(got_mx, exp[got_mx.columns],
+                                  check_dtype=False)
+
+
+def test_top_n_per_group_single_group_many_blocks(ray_session):
+    from packcol.pipelines.window import top_n_per_group
+    rng = np.random.default_rng(13)
+    df = pd.DataFrame({"g": 0,
+                       "v": rng.permutation(500).astype("int64")})
+    got = top_n_per_group(_ds(df, 24), "g", "v", 7, descending=True) \
+        .to_pandas().sort_values("v", ascending=False) \
+        .reset_index(drop=True)
+    exp = df.nlargest(7, "v").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[["g", "v"]], exp[["g", "v"]],
+                                  check_dtype=False)
+    # ascending too
+    got2 = top_n_per_group(_ds(df, 24), "g", "v", 7, descending=False) \
+        .to_pandas().sort_values("v").reset_index(drop=True)
+    exp2 = df.nsmallest(7, "v").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got2[["g", "v"]], exp2[["g", "v"]],
+                                  check_dtype=False)
+
+
+def test_sessionize_single_key_many_blocks(ray_session):
+    from packcol.pipelines.window import sessionize
+    # events 0..599 spaced 10 apart, with wide gaps injected at known
+    # spots (some will straddle sorted-block boundaries at 24 blocks)
+    t = np.arange(600, dtype="int64") * 10
+    t[200:] += 5000
+    t[401:] += 7000
+    df = pd.DataFrame({"u": "only", "t": np.random.default_rng(3)
+                       .permutation(t)})
+    got = sessionize(_ds(df, 24), by="u", on="t", gap=100) \
+        .to_pandas()
+    assert got["n_sessions"].tolist() == [3]
