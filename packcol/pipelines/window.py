@@ -1,13 +1,21 @@
-"""Temporal operators Ray Data lacks natively: as-of join and running
-(windowed) aggregates.
+"""Temporal / order-dependent operators Ray Data lacks natively:
+as-of join, running (windowed) aggregates, top-n per group, and
+sessionization.
 
-Both follow the documented composition pattern for order-dependent
-semantics (SURVEY §2.8 / engine design): hash-partition by the entity
-key with ``groupby(by)`` and restore time order INSIDE each group —
-the partitioning assumption is that one key's rows fit one group
-(true for per-user/per-device streams; salt hot keys upstream if not).
-Only the key columns shuffle the data once; everything else is
-vectorized numpy inside ``map_groups``.
+All four share one physical pattern (SURVEY §2.8 / engine design):
+ONE global sort on (key, order[, tiebreak]) — the only shuffle — then
+vectorized per-block kernels, with cross-block state resolved through
+O(blocks)-sized "carry" summaries collected to the driver and
+broadcast via ``ray.put``.  The correctness argument is shared: after
+a global sort, each key occupies a CONTIGUOUS run of the stream, so
+only a block's first segment can continue a previous block's key, and
+only its final segment can continue into later blocks; each operator's
+carry is whatever that final segment must hand forward (latest right
+row, segment aggregate, row count, last run's end time).  No per-key
+``map_groups`` anywhere — per-group Python is the slow path at
+millions of keys.  Deterministic results need a unique
+(order[, tiebreak]) per key; with duplicates the order itself is
+ambiguous, and cross-block ties resolve per sort layout.
 """
 
 from __future__ import annotations
