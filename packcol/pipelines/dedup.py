@@ -128,6 +128,98 @@ def _cap_group(group: pa.Table, id_col: str, max_bucket: int,
     return group.take(pa.array(keep))
 
 
+def _cap_segments(ids: np.ndarray, starts: np.ndarray, max_bucket: int,
+                  kind: str):
+    """(row-selection or None, new_starts) enforcing the per-bucket cap
+    with the smallest-ids-kept semantics of ``_cap_group`` — the Python
+    loop runs over the RARE oversized buckets only."""
+    l = np.diff(starts)
+    if not (l > max_bucket).any():
+        return None, starts
+    import logging
+    big = np.flatnonzero(l > max_bucket)
+    logging.getLogger(__name__).warning(
+        "%s: %d bucket(s) capped to %d (largest %d rows); run "
+        "collapse_exact first if clone-heavy", kind, len(big),
+        max_bucket, int(l.max()))
+    pieces, prev = [], 0
+    for si in big:
+        a, b = int(starts[si]), int(starts[si + 1])
+        pieces.append(np.arange(prev, a, dtype=np.int64))
+        k = np.sort(np.argsort(ids[a:b], kind="stable")[:max_bucket])
+        pieces.append(k.astype(np.int64) + a)
+        prev = b
+    pieces.append(np.arange(prev, len(ids), dtype=np.int64))
+    sel = np.concatenate(pieces)
+    return sel, np.concatenate([[0], np.cumsum(np.minimum(l, max_bucket))])
+
+
+def _ragged_pairs(starts: np.ndarray):
+    """All within-segment index pairs (a < b) for contiguous segments:
+    row r at local position q(r) pairs with the q(r) rows before it, so
+    pair j of row r is (seg_start + j, r) — pure index arithmetic, no
+    loop over segments."""
+    l = np.diff(starts)
+    n = int(starts[-1])
+    q = np.arange(n, dtype=np.int64) - np.repeat(starts[:-1], l)
+    total = int(q.sum())
+    if total == 0:
+        z = np.empty(0, dtype=np.int64)
+        return z, z
+    b_idx = np.repeat(np.arange(n, dtype=np.int64), q)
+    ofs = np.cumsum(q) - q
+    a_idx = np.arange(total, dtype=np.int64) - np.repeat(ofs, q) + \
+        np.repeat(np.arange(n, dtype=np.int64) - q, q)
+    return a_idx, b_idx
+
+
+_PAIR_EST_CHUNK = 1 << 20
+
+
+def _pairs_many(ids: np.ndarray, sigs, starts: np.ndarray,
+                use_sigs: bool, threshold: float, max_bucket: int,
+                kind: str) -> pa.Table:
+    """Pair generation for MANY key-sorted buckets in one vectorized
+    pass — the batch form of the per-bucket ``pairs`` kernel (identical
+    semantics, including the smallest-ids ``max_bucket`` cap).
+
+    ids: int64[N], rows sorted so each bucket is a contiguous segment;
+    sigs: (N, num_perm) uint64 signature matrix or None; starts:
+    int64[nseg+1] segment boundaries.  Ragged pair expansion: row r at
+    local position q(r) pairs with the q(r) rows before it in its
+    segment, so pair j of row r is (seg_start + j, r) — all index
+    arithmetic, no Python loop over buckets (the cap path loops over
+    the RARE oversized buckets only).  Signature agreement is computed
+    in bounded chunks so a pathological block cannot allocate an
+    unbounded (pairs x num_perm) temporary."""
+    empty = pa.table({"id_a": pa.array([], pa.int64()),
+                      "id_b": pa.array([], pa.int64()),
+                      "est_jaccard": pa.array([], pa.float64())})
+    if len(ids) < 2 or len(starts) < 2:
+        return empty
+    sel, starts = _cap_segments(ids, starts, max_bucket, kind)
+    if sel is not None:
+        ids = ids[sel]
+        if sigs is not None:
+            sigs = sigs[sel]
+    a_idx, b_idx = _ragged_pairs(starts)
+    total = len(a_idx)
+    if total == 0:
+        return empty
+    if use_sigs and sigs is not None:
+        est = np.empty(total, dtype=np.float64)
+        for c in range(0, total, _PAIR_EST_CHUNK):
+            sl = slice(c, min(c + _PAIR_EST_CHUNK, total))
+            est[sl] = (sigs[a_idx[sl]] == sigs[b_idx[sl]]).mean(axis=1)
+        keep = est >= threshold
+        a, b, est = ids[a_idx[keep]], ids[b_idx[keep]], est[keep]
+    else:
+        a, b = ids[a_idx], ids[b_idx]
+        est = np.ones(total, dtype=np.float64)
+    lo, hi = np.minimum(a, b), np.maximum(a, b)
+    return pa.table({"id_a": lo, "id_b": hi, "est_jaccard": est})
+
+
 def minhash_lsh_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
                       num_perm: int = 64, n_bands: int = 16,
                       threshold: float = 0.6, carry_signatures: bool = True,
@@ -428,18 +520,17 @@ def minhash_lsh_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
         order = np.argsort(keys_f, kind="stable")
         ks = keys_f[order]
         cols = {id_col: ids_f[order]}
+        sig_rows = None
         if carry_signatures:
             surv = np.unique(ids_f)  # ≤ _BCAST_SIG_IDS (checked above)
             sids, smat = _sig_matrix(_sigs_for(surv).to_pandas())
             pos = np.searchsorted(sids, cols[id_col])
-            cols["sig"] = _blob_array(
-                smat[np.minimum(pos, max(len(sids) - 1, 0))])
-        tbl = pa.table(cols)
+            sig_rows = smat[np.minimum(pos, max(len(sids) - 1, 0))]
         starts = np.concatenate(
             [[0], np.flatnonzero(ks[1:] != ks[:-1]) + 1, [len(ks)]])
-        parts = [pairs(tbl.slice(s, e - s))
-                 for s, e in zip(starts[:-1], starts[1:])]
-        return _reduce_driver_pairs(pa.concat_tables(parts))
+        return _reduce_driver_pairs(_pairs_many(
+            cols[id_col], sig_rows, starts, flags["use_sigs"],
+            threshold, max_bucket, "minhash"))
     # Pair generation + distinct-pair reduction.  Two more Ray groupbys
     # on what is usually a SLIVER of data (only colliding band rows
     # survive the prefilter) cost seconds of pure shuffle machinery, so
@@ -454,24 +545,80 @@ def minhash_lsh_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
                 list(exploded.iter_batches(batch_format="pyarrow",
                                            batch_size=None))) \
                 if exploded.count() else None
-            parts = []
+            cand_t = pa.table({
+                "id_a": pa.array([], pa.int64()),
+                "id_b": pa.array([], pa.int64()),
+                "est_jaccard": pa.array([], pa.float64())})
             if tbl is not None and tbl.num_rows:
                 with np.errstate(over="ignore"):
                     k = _keys_of(tbl)
                 order = np.lexsort((k,))
-                tbl = tbl.take(pa.array(order))
                 ks = k[order]
                 starts = np.concatenate(
                     [[0], np.flatnonzero(ks[1:] != ks[:-1]) + 1, [len(ks)]])
-                for s, e in zip(starts[:-1], starts[1:]):
-                    parts.append(pairs(tbl.slice(s, e - s)))
-            cand_t = pa.concat_tables(parts) if parts else pa.table({
-                "id_a": pa.array([], pa.int64()),
-                "id_b": pa.array([], pa.int64()),
-                "est_jaccard": pa.array([], pa.float64())})
+                g_ids = tbl.column(id_col) \
+                    .to_numpy(zero_copy_only=False)[order]
+                g_sigs = None
+                if flags["use_sigs"] and "sig" in tbl.column_names:
+                    g_sigs = _fixed_blobs(tbl.column("sig"),
+                                          np.uint64)[order]
+                cand_t = _pairs_many(g_ids, g_sigs, starts,
+                                     flags["use_sigs"], threshold,
+                                     max_bucket, "minhash")
             return _reduce_driver_pairs(cand_t)
-    cand = exploded.groupby(["band", "bh"]).map_groups(
-        pairs, batch_format="pyarrow")
+    # At-scale fallback: ONE sort co-locates buckets; every segment
+    # fully contained in its sorted block ("interior") pair-generates
+    # through the vectorized many-bucket kernel, and only each block's
+    # first/last segments — the buckets that can straddle block
+    # boundaries — go through the per-group path, a sliver of
+    # O(blocks × avg_bucket) rows.  Replaces a per-group UDF over
+    # millions of tiny buckets with two vectorized passes + a tiny
+    # groupby.
+    sds = exploded.sort(["band", "bh"]).materialize()
+
+    def _seg_starts(batch: pa.Table):
+        bands = batch.column("band").to_numpy(zero_copy_only=False)
+        bhs = batch.column("bh").to_numpy(zero_copy_only=False)
+        neq = (bands[1:] != bands[:-1]) | (bhs[1:] != bhs[:-1])
+        return np.concatenate(
+            [[0], np.flatnonzero(neq) + 1, [len(bands)]])
+
+    _EMPTY_PAIRS = pa.table({"id_a": pa.array([], pa.int64()),
+                             "id_b": pa.array([], pa.int64()),
+                             "est_jaccard": pa.array([], pa.float64())})
+
+    def interior_pairs(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _EMPTY_PAIRS
+        ss = _seg_starts(batch)
+        if len(ss) < 4:         # <= 2 segments: all rows are edge rows
+            return _EMPTY_PAIRS
+        lo, hi = int(ss[1]), int(ss[-2])
+        ids = _col(batch, id_col).to_numpy(zero_copy_only=False)[lo:hi]
+        sigs = None
+        if flags["use_sigs"] and "sig" in batch.column_names:
+            sigs = _fixed_blobs(batch.column("sig"), np.uint64)[lo:hi]
+        return _pairs_many(ids, sigs, ss[1:-1] - lo, flags["use_sigs"],
+                           threshold, max_bucket, "minhash")
+
+    def edge_rows(batch: pa.Table) -> pa.Table:
+        m = batch.num_rows
+        if m == 0:
+            return batch
+        ss = _seg_starts(batch)
+        if len(ss) < 4:
+            return batch
+        keep = np.concatenate([np.arange(int(ss[1]), dtype=np.int64),
+                               np.arange(int(ss[-2]), m,
+                                         dtype=np.int64)])
+        return batch.take(pa.array(keep))
+
+    cand = sds.map_batches(interior_pairs, batch_format="pyarrow",
+                           batch_size=None, zero_copy_batch=True) \
+        .union(sds.map_batches(edge_rows, batch_format="pyarrow",
+                               batch_size=None, zero_copy_batch=True)
+               .groupby(["band", "bh"]).map_groups(
+                   pairs, batch_format="pyarrow"))
     from ray.data.aggregate import Count, Max
     if flags["use_sigs"]:
         # distinct pairs (a pair can surface from several bands)
@@ -740,10 +887,75 @@ def hamming_banded_pairs(hashed, id_col: str, hash_col: str,
         lo, hi = np.minimum(a, b), np.maximum(a, b)
         return pa.table({"id_a": lo, "id_b": hi, "hamming": hd[keep]})
 
+    def hamming_many(ids: np.ndarray, sh: np.ndarray,
+                     starts: np.ndarray) -> pa.Table:
+        empty = pa.table({"id_a": pa.array([], pa.int64()),
+                          "id_b": pa.array([], pa.int64()),
+                          "hamming": pa.array([], pa.int64())})
+        if len(ids) < 2 or len(starts) < 2:
+            return empty
+        sel, st = _cap_segments(ids, starts, max_bucket, kind)
+        if sel is not None:
+            ids, sh = ids[sel], sh[sel]
+        a_idx, b_idx = _ragged_pairs(st)
+        if len(a_idx) == 0:
+            return empty
+        hd = hamming_distance(sh[a_idx], sh[b_idx]).astype(np.int64)
+        keep = hd <= max_dist
+        if not keep.any():
+            return empty
+        a, b = ids[a_idx[keep]], ids[b_idx[keep]]
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        return pa.table({"id_a": lo, "id_b": hi, "hamming": hd[keep]})
+
+    # Same sort-based bucket split as the minhash fallback: interior
+    # segments pair-generate vectorized across all buckets at once;
+    # only each block's first/last segments (possible straddlers) go
+    # through the per-group path.
     exploded = hashed.map_batches(stage, batch_format="pyarrow",
                                   zero_copy_batch=True)
-    cand = exploded.groupby(["q", "block"]).map_groups(
-        pairs, batch_format="pyarrow")
+    sds = exploded.sort(["q", "block"]).materialize()
+
+    def _starts_of(batch: pa.Table) -> np.ndarray:
+        qs = batch.column("q").to_numpy(zero_copy_only=False)
+        bl = batch.column("block").to_numpy(zero_copy_only=False)
+        neq = (qs[1:] != qs[:-1]) | (bl[1:] != bl[:-1])
+        return np.concatenate([[0], np.flatnonzero(neq) + 1, [len(qs)]])
+
+    _EMPTY_H = pa.table({"id_a": pa.array([], pa.int64()),
+                         "id_b": pa.array([], pa.int64()),
+                         "hamming": pa.array([], pa.int64())})
+
+    def interior(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _EMPTY_H
+        ss = _starts_of(batch)
+        if len(ss) < 4:
+            return _EMPTY_H
+        lo, hi = int(ss[1]), int(ss[-2])
+        ids = _col(batch, id_col).to_numpy(zero_copy_only=False)[lo:hi]
+        sh = batch.column("sh").to_numpy(zero_copy_only=False) \
+            .view(np.uint64)[lo:hi]
+        return hamming_many(ids, sh, ss[1:-1] - lo)
+
+    def edge(batch: pa.Table) -> pa.Table:
+        m = batch.num_rows
+        if m == 0:
+            return batch
+        ss = _starts_of(batch)
+        if len(ss) < 4:
+            return batch
+        keep = np.concatenate([np.arange(int(ss[1]), dtype=np.int64),
+                               np.arange(int(ss[-2]), m,
+                                         dtype=np.int64)])
+        return batch.take(pa.array(keep))
+
+    cand = sds.map_batches(interior, batch_format="pyarrow",
+                           batch_size=None, zero_copy_batch=True) \
+        .union(sds.map_batches(edge, batch_format="pyarrow",
+                               batch_size=None, zero_copy_batch=True)
+               .groupby(["q", "block"]).map_groups(
+                   pairs, batch_format="pyarrow"))
     from ray.data.aggregate import Min
     return cand.groupby(["id_a", "id_b"]).aggregate(
         Min("hamming", alias_name="hamming"))

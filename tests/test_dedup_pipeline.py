@@ -276,3 +276,34 @@ def test_minhash_sig_broadcast_demote_matches(docs_ds, monkeypatch):
     slow = run()
     pd.testing.assert_frame_equal(fast, slow, check_dtype=False)
     assert len(fast) > 0
+
+
+def test_minhash_distributed_pairgen_many_blocks(ray_session, monkeypatch):
+    """The sort-based distributed pair generation (interior vectorized
+    segments + straddling-bucket sliver groupby) must match the driver
+    path when buckets straddle many tiny sorted blocks."""
+    import pandas as pd
+    import ray.data as rd
+    import packcol.pipelines.dedup as dd
+    t, _ = planted_docs()
+    # replicate the corpus 4x with distinct ids so buckets hold more
+    # rows and the 24-block sort forces straddles
+    reps = []
+    base = t.to_pandas()
+    for r in range(4):
+        c = base.copy()
+        c["doc_id"] = c["doc_id"] + 10000 * r
+        reps.append(c)
+    big = pd.concat(reps, ignore_index=True)
+    ds = rd.from_pandas(big).repartition(24)
+
+    def run():
+        out = dd.minhash_lsh_pairs(ds, threshold=0.5).to_pandas()
+        return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+    fast = run()
+    monkeypatch.setattr(dd, "_MAX_DRIVER_PAIR_ROWS", -1)
+    monkeypatch.setattr(dd, "_MAX_DRIVER_MERGE_ROWS", 0)
+    slow = run()
+    pd.testing.assert_frame_equal(fast, slow, check_dtype=False)
+    assert len(fast) > 0
