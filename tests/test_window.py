@@ -349,3 +349,89 @@ def test_sessionize_single_key_many_blocks(ray_session):
     got = sessionize(_ds(df, 24), by="u", on="t", gap=100) \
         .to_pandas()
     assert got["n_sessions"].tolist() == [3]
+
+
+def test_asof_join_multikey_many_blocks_both_modes(ray_session):
+    rng = np.random.default_rng(21)
+    nl, nr = 1200, 300
+    left = pd.DataFrame({
+        "k": rng.integers(0, 5, nl),
+        "t": rng.choice(np.arange(0, 50000), nl, replace=False)
+        .astype("int64")})
+    left["x"] = np.arange(nl)
+    right = pd.DataFrame({
+        "k": rng.integers(0, 5, nr),
+        "t": rng.choice(np.arange(0, 50000), nr, replace=False)
+        .astype("int64")})
+    right["y"] = np.arange(nr) * 3
+    from packcol.pipelines.window import asof_join
+    for strict in (True, False):
+        got = asof_join(_ds(left, 24), _ds(right, 16), by="k", on="t",
+                        strict=strict).to_pandas() \
+            .sort_values(["k", "t"]).reset_index(drop=True)
+        exp = pd.merge_asof(left.sort_values("t"),
+                            right.sort_values("t"), on="t", by="k",
+                            direction="backward",
+                            allow_exact_matches=not strict) \
+            .sort_values(["k", "t"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(got[exp.columns], exp,
+                                      check_dtype=False)
+
+
+def test_running_aggregate_multikey_many_blocks_all_aggs(ray_session):
+    rng = np.random.default_rng(23)
+    n = 1500
+    df = pd.DataFrame({
+        "u": rng.integers(0, 4, n),
+        "t": rng.permutation(n).astype("int64"),
+        "v": rng.integers(-20, 20, n).astype("int64")})
+    for agg, fn in [("sum", lambda s: s.cumsum()),
+                    ("min", lambda s: s.cummin()),
+                    ("max", lambda s: s.cummax()),
+                    ("count", lambda s: s.expanding().count()
+                     .astype("int64"))]:
+        got = running_aggregate(_ds(df, 24), "u", "t", "v", agg=agg) \
+            .to_pandas().sort_values(["u", "t"]).reset_index(drop=True)
+        exp = df.sort_values(["u", "t"]).reset_index(drop=True)
+        exp[f"run_{agg}"] = exp.groupby("u")["v"].transform(fn)
+        pd.testing.assert_frame_equal(got, exp[got.columns],
+                                      check_dtype=False)
+
+
+def test_top_n_per_group_multikey_many_blocks(ray_session):
+    from packcol.pipelines.window import top_n_per_group
+    rng = np.random.default_rng(29)
+    n = 2000
+    df = pd.DataFrame({
+        "g": rng.integers(0, 6, n),
+        "v": rng.permutation(n).astype("int64"),
+        "id": np.arange(n, dtype="int64")})
+    got = top_n_per_group(_ds(df, 24), "g", "v", 9, descending=True,
+                          tiebreak="id").to_pandas()
+    exp = df.sort_values(["g", "v"], ascending=[True, False]) \
+        .groupby("g").head(9)
+    got = got.sort_values(["g", "v"]).reset_index(drop=True)
+    exp = exp.sort_values(["g", "v"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[exp.columns], exp,
+                                  check_dtype=False)
+
+
+def test_sessionize_multikey_many_blocks_vs_pandas(ray_session):
+    from packcol.pipelines.window import sessionize
+    rng = np.random.default_rng(31)
+    n = 1600
+    df = pd.DataFrame({
+        "u": rng.integers(0, 7, n),
+        "t": rng.choice(np.arange(0, 40000), n, replace=False)
+        .astype("int64")})
+    gap = 120
+    got = sessionize(_ds(df, 24), by="u", on="t", gap=gap) \
+        .to_pandas().sort_values("u").reset_index(drop=True)
+
+    def n_sessions(s):
+        t = np.sort(s.to_numpy())
+        return int((np.diff(t) > gap).sum()) + 1
+    exp = df.groupby("u")["t"].apply(n_sessions).rename("n_sessions") \
+        .reset_index().sort_values("u").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[["u", "n_sessions"]], exp,
+                                  check_dtype=False)
