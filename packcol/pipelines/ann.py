@@ -227,54 +227,25 @@ def embedding_near_dup_pairs_lsh(ds, threshold: float = 0.9,
         lo, hi = np.minimum(a, b), np.maximum(a, b)
         return pa.table({"id_a": lo, "id_b": hi, "cos": S[ia, ib]})
 
-    # Sort-based bucket split (same shape as dedup's fallback): ONE
-    # sort co-locates buckets; segments fully inside a sorted block run
-    # in-process (the per-segment matmul is the real work — the Python
-    # loop over in-block segments costs ~µs each, vs Ray's per-group
-    # machinery), and only each block's first/last segments (possible
-    # straddlers) go through the per-group path.
-    sds = ds.map_batches(stage, batch_format="pyarrow",
-                         zero_copy_batch=True) \
-        .sort(["table", "bucket"]).materialize()
-
-    def _starts_of(batch: pa.Table) -> np.ndarray:
-        t = batch.column("table").to_numpy(zero_copy_only=False)
-        b = batch.column("bucket").to_numpy(zero_copy_only=False)
-        neq = (t[1:] != t[:-1]) | (b[1:] != b[:-1])
-        return np.concatenate([[0], np.flatnonzero(neq) + 1, [len(t)]])
+    # Sorted-bucket application (stages/bucketed.py): in-block
+    # segments run in-process (the per-segment matmul is the real
+    # work; the Python loop over segments costs ~µs each vs Ray's
+    # per-group machinery); straddling edge segments go per-group.
+    from ..stages.bucketed import sorted_bucket_apply
 
     _EMPTY = pa.table({"id_a": pa.array([], pa.int64()),
                        "id_b": pa.array([], pa.int64()),
                        "cos": pa.array([], pa.float64())})
 
-    def interior(batch: pa.Table) -> pa.Table:
-        if batch.num_rows == 0:
-            return _EMPTY
-        ss = _starts_of(batch)
-        if len(ss) < 4:
-            return _EMPTY
+    def interior(batch: pa.Table, ss: np.ndarray) -> pa.Table:
         parts = [pairs(batch.slice(int(a), int(b - a)))
-                 for a, b in zip(ss[1:-2], ss[2:-1])]
+                 for a, b in zip(ss[:-1], ss[1:])]
         return pa.concat_tables(parts) if parts else _EMPTY
 
-    def edge(batch: pa.Table) -> pa.Table:
-        m = batch.num_rows
-        if m == 0:
-            return batch
-        ss = _starts_of(batch)
-        if len(ss) < 4:
-            return batch
-        keep = np.concatenate([np.arange(int(ss[1]), dtype=np.int64),
-                               np.arange(int(ss[-2]), m,
-                                         dtype=np.int64)])
-        return batch.take(pa.array(keep))
-
-    cand = sds.map_batches(interior, batch_format="pyarrow",
-                           batch_size=None, zero_copy_batch=True) \
-        .union(sds.map_batches(edge, batch_format="pyarrow",
-                               batch_size=None, zero_copy_batch=True)
-               .groupby(["table", "bucket"]).map_groups(
-                   pairs, batch_format="pyarrow"))
+    cand = sorted_bucket_apply(
+        ds.map_batches(stage, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["table", "bucket"], interior, pairs, _EMPTY)
     return cand.groupby(["id_a", "id_b"]).aggregate(
         Max("cos", alias_name="cos"))
 

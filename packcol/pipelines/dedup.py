@@ -566,59 +566,28 @@ def minhash_lsh_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
                                      flags["use_sigs"], threshold,
                                      max_bucket, "minhash")
             return _reduce_driver_pairs(cand_t)
-    # At-scale fallback: ONE sort co-locates buckets; every segment
-    # fully contained in its sorted block ("interior") pair-generates
-    # through the vectorized many-bucket kernel, and only each block's
-    # first/last segments — the buckets that can straddle block
-    # boundaries — go through the per-group path, a sliver of
-    # O(blocks × avg_bucket) rows.  Replaces a per-group UDF over
-    # millions of tiny buckets with two vectorized passes + a tiny
-    # groupby.
-    sds = exploded.sort(["band", "bh"]).materialize()
-
-    def _seg_starts(batch: pa.Table):
-        bands = batch.column("band").to_numpy(zero_copy_only=False)
-        bhs = batch.column("bh").to_numpy(zero_copy_only=False)
-        neq = (bands[1:] != bands[:-1]) | (bhs[1:] != bhs[:-1])
-        return np.concatenate(
-            [[0], np.flatnonzero(neq) + 1, [len(bands)]])
+    # At-scale fallback: sorted-bucket application (see
+    # stages/bucketed.py) — interior segments pair-generate through the
+    # vectorized many-bucket kernel; only straddling edge segments use
+    # the per-group sliver.
+    from ..stages.bucketed import sorted_bucket_apply
 
     _EMPTY_PAIRS = pa.table({"id_a": pa.array([], pa.int64()),
                              "id_b": pa.array([], pa.int64()),
                              "est_jaccard": pa.array([], pa.float64())})
 
-    def interior_pairs(batch: pa.Table) -> pa.Table:
-        if batch.num_rows == 0:
-            return _EMPTY_PAIRS
-        ss = _seg_starts(batch)
-        if len(ss) < 4:         # <= 2 segments: all rows are edge rows
-            return _EMPTY_PAIRS
-        lo, hi = int(ss[1]), int(ss[-2])
+    def interior_pairs(batch: pa.Table, ss: np.ndarray) -> pa.Table:
+        lo = int(ss[0])
+        hi = int(ss[-1])
         ids = _col(batch, id_col).to_numpy(zero_copy_only=False)[lo:hi]
         sigs = None
         if flags["use_sigs"] and "sig" in batch.column_names:
             sigs = _fixed_blobs(batch.column("sig"), np.uint64)[lo:hi]
-        return _pairs_many(ids, sigs, ss[1:-1] - lo, flags["use_sigs"],
+        return _pairs_many(ids, sigs, ss - lo, flags["use_sigs"],
                            threshold, max_bucket, "minhash")
 
-    def edge_rows(batch: pa.Table) -> pa.Table:
-        m = batch.num_rows
-        if m == 0:
-            return batch
-        ss = _seg_starts(batch)
-        if len(ss) < 4:
-            return batch
-        keep = np.concatenate([np.arange(int(ss[1]), dtype=np.int64),
-                               np.arange(int(ss[-2]), m,
-                                         dtype=np.int64)])
-        return batch.take(pa.array(keep))
-
-    cand = sds.map_batches(interior_pairs, batch_format="pyarrow",
-                           batch_size=None, zero_copy_batch=True) \
-        .union(sds.map_batches(edge_rows, batch_format="pyarrow",
-                               batch_size=None, zero_copy_batch=True)
-               .groupby(["band", "bh"]).map_groups(
-                   pairs, batch_format="pyarrow"))
+    cand = sorted_bucket_apply(exploded, ["band", "bh"], interior_pairs,
+                               pairs, _EMPTY_PAIRS)
     from ray.data.aggregate import Count, Max
     if flags["use_sigs"]:
         # distinct pairs (a pair can surface from several bands)
@@ -908,54 +877,25 @@ def hamming_banded_pairs(hashed, id_col: str, hash_col: str,
         lo, hi = np.minimum(a, b), np.maximum(a, b)
         return pa.table({"id_a": lo, "id_b": hi, "hamming": hd[keep]})
 
-    # Same sort-based bucket split as the minhash fallback: interior
-    # segments pair-generate vectorized across all buckets at once;
-    # only each block's first/last segments (possible straddlers) go
-    # through the per-group path.
+    # Sorted-bucket application (stages/bucketed.py): interior
+    # segments pair-generate vectorized; straddlers per-group.
+    from ..stages.bucketed import sorted_bucket_apply
     exploded = hashed.map_batches(stage, batch_format="pyarrow",
                                   zero_copy_batch=True)
-    sds = exploded.sort(["q", "block"]).materialize()
-
-    def _starts_of(batch: pa.Table) -> np.ndarray:
-        qs = batch.column("q").to_numpy(zero_copy_only=False)
-        bl = batch.column("block").to_numpy(zero_copy_only=False)
-        neq = (qs[1:] != qs[:-1]) | (bl[1:] != bl[:-1])
-        return np.concatenate([[0], np.flatnonzero(neq) + 1, [len(qs)]])
 
     _EMPTY_H = pa.table({"id_a": pa.array([], pa.int64()),
                          "id_b": pa.array([], pa.int64()),
                          "hamming": pa.array([], pa.int64())})
 
-    def interior(batch: pa.Table) -> pa.Table:
-        if batch.num_rows == 0:
-            return _EMPTY_H
-        ss = _starts_of(batch)
-        if len(ss) < 4:
-            return _EMPTY_H
-        lo, hi = int(ss[1]), int(ss[-2])
+    def interior(batch: pa.Table, ss: np.ndarray) -> pa.Table:
+        lo, hi = int(ss[0]), int(ss[-1])
         ids = _col(batch, id_col).to_numpy(zero_copy_only=False)[lo:hi]
         sh = batch.column("sh").to_numpy(zero_copy_only=False) \
             .view(np.uint64)[lo:hi]
-        return hamming_many(ids, sh, ss[1:-1] - lo)
+        return hamming_many(ids, sh, ss - lo)
 
-    def edge(batch: pa.Table) -> pa.Table:
-        m = batch.num_rows
-        if m == 0:
-            return batch
-        ss = _starts_of(batch)
-        if len(ss) < 4:
-            return batch
-        keep = np.concatenate([np.arange(int(ss[1]), dtype=np.int64),
-                               np.arange(int(ss[-2]), m,
-                                         dtype=np.int64)])
-        return batch.take(pa.array(keep))
-
-    cand = sds.map_batches(interior, batch_format="pyarrow",
-                           batch_size=None, zero_copy_batch=True) \
-        .union(sds.map_batches(edge, batch_format="pyarrow",
-                               batch_size=None, zero_copy_batch=True)
-               .groupby(["q", "block"]).map_groups(
-                   pairs, batch_format="pyarrow"))
+    cand = sorted_bucket_apply(exploded, ["q", "block"], interior,
+                               pairs, _EMPTY_H)
     from ray.data.aggregate import Min
     return cand.groupby(["id_a", "id_b"]).aggregate(
         Min("hamming", alias_name="hamming"))
