@@ -36,13 +36,23 @@ def _t64(col) -> np.ndarray:
 
 
 def _pa_type(t) -> pa.DataType:
-    """Arrow type from a Ray schema entry (arrow type for arrow-backed
-    datasets, numpy dtype for pandas-backed ones)."""
+    """Arrow type from a Ray schema entry: arrow type for arrow-backed
+    datasets, numpy dtype for pandas-backed ones, the storage dtype for
+    pandas extension dtypes (Int64Dtype etc.).  ``pa.null()`` means
+    "unknown — leave the column as-is" (see ``_conform``)."""
     if isinstance(t, pa.DataType):
         return t
+    if t is None:       # Ray returns None for unconvertible pandas dtypes
+        return pa.null()
     try:
         return pa.from_numpy_dtype(t)
     except (pa.ArrowNotImplementedError, TypeError):
+        base = getattr(t, "numpy_dtype", None)  # pandas ExtensionDtype
+        if base is not None:
+            try:
+                return pa.from_numpy_dtype(base)
+            except (pa.ArrowNotImplementedError, TypeError):
+                pass
         return pa.null()
 
 
@@ -59,7 +69,7 @@ def _conform(tbl: pa.Table, want: dict) -> pa.Table:
         c = tbl.column(name)
         if isinstance(c, pa.ChunkedArray):
             c = c.combine_chunks()
-        if c.type != typ:
+        if c.type != typ and not pa.types.is_null(typ):
             if pa.types.is_null(c.type):
                 c = pa.nulls(n, typ)
             else:
@@ -101,6 +111,83 @@ def _key_change(batch: pa.Table, by: list[str], m: int) -> np.ndarray:
     return neq
 
 
+
+def _zero_scalar(typ: pa.DataType):
+    """Some valid scalar of ``typ`` (value irrelevant — used only as a
+    sort surrogate for null keys, whose real value is restored from the
+    flag column afterwards)."""
+    for cand in (0, "", b"", False):
+        try:
+            return pa.scalar(cand, typ)
+        except (pa.ArrowInvalid, pa.ArrowTypeError, pa.ArrowNotImplementedError,
+                OverflowError, TypeError):
+            continue
+    return None
+
+
+def _flag_names(by: list[str]) -> list[str]:
+    return [f"__nk{i}" for i in range(len(by))]
+
+
+def _sort_by_ext(by: list[str]) -> list[str]:
+    """Interleaved (flag, key) sort columns: lexicographic order with
+    null keys LAST within each prefix, totally ordered (the filled key
+    is never null, so Ray's range partitioner — which cannot place
+    null sort keys consistently across blocks — never sees one)."""
+    out = []
+    for i, name in enumerate(by):
+        out += [f"__nk{i}", name]
+    return out
+
+
+def _add_key_flags(batch: pa.Table, by: list[str]) -> pa.Table:
+    """Append per-key is-null int8 flags and fill nulls in the key
+    columns themselves.  Ray's sample-based sort CANNOT totally order
+    rows whose sort key is null (observed: null-key rows land in
+    multiple blocks with overlapping secondary-key ranges), which
+    breaks the sorted-contiguity invariant every sort+carry operator
+    relies on — so null keys are ordered via (flag, filled-key)
+    surrogates instead and restored from the flag on output."""
+    n = batch.num_rows
+    cols = {name: batch.column(name) for name in batch.schema.names}
+    for i, name in enumerate(by):
+        c = cols[name]
+        if isinstance(c, pa.ChunkedArray):
+            c = c.combine_chunks()
+        if c.null_count:
+            flag = c.is_null().cast(pa.int8())
+            z = _zero_scalar(c.type)
+            if z is not None:
+                c = pc.fill_null(c, z)
+        else:
+            flag = pa.array(np.zeros(n, dtype=np.int8))
+        cols[name] = c
+        cols[f"__nk{i}"] = flag
+    return pa.table(cols)
+
+
+def _restore_null_keys(tbl: pa.Table, by: list[str]) -> pa.Table:
+    """Undo ``_add_key_flags``: null out flagged key values, drop the
+    flag columns."""
+    flags = set(_flag_names(by))
+    names = [n for n in tbl.schema.names if n not in flags]
+    cols = {}
+    for n in names:
+        c = tbl.column(n)
+        if isinstance(c, pa.ChunkedArray):
+            c = c.combine_chunks()
+        cols[n] = c
+    for i, name in enumerate(by):
+        f = tbl.column(f"__nk{i}")
+        if isinstance(f, pa.ChunkedArray):
+            f = f.combine_chunks()
+        if pc.max(f).as_py():
+            cols[name] = pc.if_else(
+                pc.equal(f, 1), pa.scalar(None, cols[name].type),
+                cols[name])
+    return pa.table(cols)
+
+
 def _pad_union(left, right, by: list[str], on: str):
     """Union two datasets for a co-partitioned groupby: each side keeps
     (by, on, own columns), gains the other side's columns as nulls and
@@ -125,7 +212,7 @@ def _pad_union(left, right, by: list[str], on: str):
                 cols[name] = (batch.column(name) if name in have
                               else pa.nulls(n, typ))
             cols["__side"] = pa.array(np.full(n, side, dtype=np.int8))
-            return pa.table(cols)
+            return _add_key_flags(pa.table(cols), by)
         return f
 
     ds = left.map_batches(pad(0, lcols), batch_format="pyarrow").union(
@@ -178,8 +265,11 @@ def asof_join(left, right, by, on: str, strict: bool = True):
         ordv = np.where(side == 0, left_ord, right_ord).astype(np.int8)
         return batch.append_column("__ord", pa.array(ordv))
 
-    carry_names = by + [on] + rnames
-    want_union = {**union_cols, "__side": pa.int8(), "__ord": pa.int8()}
+    by_sort = _sort_by_ext(by)
+    carry_names = by_sort + [on] + rnames
+    want_union = {**union_cols,
+                  **{f: pa.int8() for f in _flag_names(by)},
+                  "__side": pa.int8(), "__ord": pa.int8()}
 
     def extract_carry(batch: pa.Table) -> pa.Table:
         batch = _conform(batch, want_union)
@@ -196,7 +286,7 @@ def asof_join(left, right, by, on: str, strict: bool = True):
         ri = np.flatnonzero((side == 1) & valid)
         if len(ri) == 0:
             return none
-        neq = _key_change(batch, by, m)
+        neq = _key_change(batch, by_sort, m)
         chg = np.flatnonzero(neq)
         last_seg_start = int(chg[-1]) + 1 if len(chg) else 0
         if int(ri[-1]) < last_seg_start:
@@ -204,7 +294,7 @@ def asof_join(left, right, by, on: str, strict: bool = True):
         return batch.take(pa.array([int(ri[-1])])).select(carry_names)
 
     sorted_ds = both.map_batches(add_ord, batch_format="pyarrow") \
-        .sort(by + [on, "__ord"]).materialize()
+        .sort(by_sort + [on, "__ord"]).materialize()
     # carries arrive in block order == global sort order (so per key
     # they are already time-ascending, with later blocks winning ties)
     import ray
@@ -236,7 +326,7 @@ def asof_join(left, right, by, on: str, strict: bool = True):
             t = t.combine_chunks()
         valid = np.ones(m, dtype=bool) if t.null_count == 0 else \
             t.is_valid().to_numpy(zero_copy_only=False)
-        neq = _key_change(batch, by, m)
+        neq = _key_change(batch, by_sort, m)
         starts = np.concatenate([[0], np.flatnonzero(neq) + 1])
         seg_of = np.cumsum(np.concatenate([[0], neq]))
         seg_start = starts[seg_of]
@@ -255,7 +345,7 @@ def asof_join(left, right, by, on: str, strict: bool = True):
         car_src = np.zeros(nli, dtype=np.int64)
         if pend.any() and carry is not None and carry.num_rows:
             cmask = np.ones(carry.num_rows, dtype=bool)
-            for name in by:
+            for name in by_sort:
                 kc = batch.column(name)
                 if isinstance(kc, pa.ChunkedArray):
                     kc = kc.combine_chunks()
@@ -285,7 +375,8 @@ def asof_join(left, right, by, on: str, strict: bool = True):
             pa.array(car_match),
             pa.array(car_src, pa.int64()),
             pa.nulls(nli, pa.int64()))
-        cols = {name: gl.column(name) for name in lnames}
+        cols = {name: gl.column(name)
+                for name in lnames + _flag_names(by)}
         inb_arr = pa.array(inb)
         for name in rnames:
             c = batch.column(name)
@@ -294,7 +385,8 @@ def asof_join(left, right, by, on: str, strict: bool = True):
             alt = _carry_col(carry, name).take(car_take) \
                 if carry is not None else pa.nulls(nli, c.type)
             cols[name] = pc.if_else(inb_arr, c.take(in_take), alt)
-        return pa.table(cols)
+        return _restore_null_keys(pa.table(cols), by) \
+            .select(lnames + rnames)
 
     return sorted_ds.map_batches(resolve, batch_format="pyarrow",
                                  batch_size=None, zero_copy_batch=True)
@@ -332,12 +424,18 @@ def running_aggregate(ds, by, on, col: str, agg: str = "sum",
         raise ValueError(f"unsupported agg {agg!r}")
     by = [by] if isinstance(by, str) else list(by)
     out_col = out_col or f"run_{agg}"
-    sort_keys = by + [on] + ([tiebreak] if tiebreak else [])
+    by_sort = _sort_by_ext(by)
+    sort_keys = by_sort + [on] + ([tiebreak] if tiebreak else [])
     want = {n: _pa_type(t) for n, t in zip(ds.schema().names,
                                            ds.schema().types)}
+    want = {**want, **{f: pa.int8() for f in _flag_names(by)}}
 
     import ray
-    sds = ds.sort(sort_keys).materialize()
+    sds = ds.map_batches(lambda b: _add_key_flags(
+        _conform(b, {n: t for n, t in want.items()
+                     if n not in set(_flag_names(by))}), by),
+        batch_format="pyarrow", zero_copy_batch=True) \
+        .sort(sort_keys).materialize()
 
     def _seg_agg(v: np.ndarray) -> np.ndarray:
         if agg == "sum":
@@ -348,18 +446,18 @@ def running_aggregate(ds, by, on, col: str, agg: str = "sum",
             return v.min()
         return np.int64(len(v))
 
-    sum_names = by + ["__t", "__tb", "__val"]
+    sum_names = by_sort + ["__t", "__tb", "__val"]
 
     def summarize(batch: pa.Table) -> pa.Table:
         batch = _conform(batch, want)
         m = batch.num_rows
         if m == 0:
             return pa.table({
-                **{n: batch.column(n) for n in by},
+                **{n: batch.column(n) for n in by_sort},
                 "__t": pa.array([], pa.int64()),
                 "__tb": pa.array([], pa.int64()),
                 "__val": pa.array([], pa.float64())})
-        neq = _key_change(batch, by, m)
+        neq = _key_change(batch, by_sort, m)
         chg = np.flatnonzero(neq)
         ls = int(chg[-1]) + 1 if len(chg) else 0
         v = batch.column(col).to_numpy(zero_copy_only=False)
@@ -370,7 +468,7 @@ def running_aggregate(ds, by, on, col: str, agg: str = "sum",
             **{n: (batch.column(n).combine_chunks()
                    if isinstance(batch.column(n), pa.ChunkedArray)
                    else batch.column(n)).take(pa.array([ls]))
-               for n in by},
+               for n in by_sort},
             "__t": pa.array([t[ls]]).cast(pa.int64())
             if np.issubdtype(np.asarray(t[ls:ls + 1]).dtype, np.number)
             else pa.array([t[ls]]),
@@ -387,8 +485,10 @@ def running_aggregate(ds, by, on, col: str, agg: str = "sum",
         summ = pa.concat_tables(rows, promote_options="permissive")
         # inclusive per-key prefix-combine in block (= global sort) order
         vals = summ.column("__val").to_numpy(zero_copy_only=False)
-        kt = summ.select(by)
-        keys = list(zip(*[_ordv(kt.column(n)) for n in by]))
+        kt = summ.select(by_sort)
+        # to_pylist: None-safe key tuples (NaN float keys would break
+        # the dict — NaN != NaN, so null groups would reset per block)
+        keys = list(zip(*[kt.column(n).to_pylist() for n in by_sort]))
         acc: dict = {}
         pref = np.empty(len(vals), dtype=vals.dtype)
         for i, k in enumerate(keys):
@@ -413,8 +513,9 @@ def running_aggregate(ds, by, on, col: str, agg: str = "sum",
         m = batch.num_rows
         v = batch.column(col).to_numpy(zero_copy_only=False)
         if m == 0:
-            return batch.append_column(out_col, pa.array(v))
-        neq = _key_change(batch, by, m)
+            return _restore_null_keys(
+                batch.append_column(out_col, pa.array(v)), by)
+        neq = _key_change(batch, by_sort, m)
         seg_of = np.cumsum(np.concatenate([[0], neq]))
         import pandas as pd
         g = pd.Series(v).groupby(seg_of)
@@ -431,7 +532,7 @@ def running_aggregate(ds, by, on, col: str, agg: str = "sum",
             # latest carry of this block's first key strictly before
             # the block's first row: prior segments of a continuing run
             cmask = np.ones(len(cy["pref"]), dtype=bool)
-            for name in by:
+            for name in by_sort:
                 kc = batch.column(name)
                 if isinstance(kc, pa.ChunkedArray):
                     kc = kc.combine_chunks()
@@ -466,7 +567,7 @@ def running_aggregate(ds, by, on, col: str, agg: str = "sum",
             out = pa.array(run.astype(np.int64))
         else:
             out = pa.array(run.astype(v.dtype, copy=False))
-        return batch.append_column(out_col, out)
+        return _restore_null_keys(batch.append_column(out_col, out), by)
 
     return sds.map_batches(resolve, batch_format="pyarrow",
                            batch_size=None, zero_copy_batch=True)
@@ -481,8 +582,9 @@ def _group_codes(tbl: pa.Table, by: list[str]) -> np.ndarray:
         if isinstance(c, pa.ChunkedArray):
             c = c.combine_chunks()
         enc = pc.dictionary_encode(c)
-        codes_list.append(enc.indices.to_numpy(zero_copy_only=False)
-                          .astype(np.int64))
+        # null keys -> their own group code (-1), matching groupby
+        idx = pc.fill_null(enc.indices.cast(pa.int64()), -1)
+        codes_list.append(idx.to_numpy(zero_copy_only=False))
     if len(codes_list) == 1:
         return codes_list[0]
     _, inv = np.unique(np.stack(codes_list, axis=1), axis=0,
@@ -546,14 +648,18 @@ def top_n_per_group(ds, by, order_col: str, n: int,
     sort layout, as before.  Ties beyond ``tiebreak`` resolve
     deterministically per partition layout."""
     by = [by] if isinstance(by, str) else list(by)
+    by_sort = _sort_by_ext(by)
 
     def partial(batch: pa.Table) -> pa.Table:
-        return _topn_block(batch, by, order_col, n, descending, tiebreak)
+        return _add_key_flags(
+            _topn_block(batch, by, order_col, n, descending, tiebreak),
+            by)
 
     import ray
-    desc = [False] * len(by) + [descending] + \
+    desc = [False] * len(by_sort) + [descending] + \
         ([False] if tiebreak is not None else [])
-    skeys = by + [order_col] + ([tiebreak] if tiebreak is not None else [])
+    skeys = by_sort + [order_col] + \
+        ([tiebreak] if tiebreak is not None else [])
     sp = ds.map_batches(partial, batch_format="pyarrow",
                         zero_copy_batch=True) \
         .sort(skeys, descending=desc).materialize()
@@ -570,7 +676,7 @@ def top_n_per_group(ds, by, order_col: str, n: int,
             .append_column("__cnt", pa.array([], pa.int64()))
         if m == 0:
             return none
-        neq = _key_change(batch, by, m)
+        neq = _key_change(batch, by_sort, m)
         chg = np.flatnonzero(neq)
         ls = int(chg[-1]) + 1 if len(chg) else 0
         return batch.take(pa.array([ls])).select(skeys) \
@@ -584,8 +690,9 @@ def top_n_per_group(ds, by, order_col: str, n: int,
         ct = pa.concat_tables(cparts, promote_options="permissive")
         cnt = ct.column("__cnt").to_numpy(zero_copy_only=False)
         # inclusive per-key prefix counts in block (= sort) order
-        kt = ct.select(by)
-        keys = list(zip(*[_ordv(kt.column(nm)) for nm in by]))
+        # (to_pylist for None-safe key tuples — see running_aggregate)
+        kt = ct.select(by_sort)
+        keys = list(zip(*[kt.column(nm).to_pylist() for nm in by_sort]))
         acc: dict = {}
         pref = np.empty(len(cnt), dtype=np.int64)
         for i, k in enumerate(keys):
@@ -602,15 +709,15 @@ def top_n_per_group(ds, by, order_col: str, n: int,
     def keep_topn(batch: pa.Table) -> pa.Table:
         m = batch.num_rows
         if m == 0:
-            return batch
-        neq = _key_change(batch, by, m)
+            return _restore_null_keys(batch, by)
+        neq = _key_change(batch, by_sort, m)
         starts = np.concatenate([[0], np.flatnonzero(neq) + 1])
         seg_of = np.cumsum(np.concatenate([[0], neq]))
         pos = np.arange(m, dtype=np.int64) - starts[seg_of]
         cy = ray.get(carry_ref)
         if cy is not None:
             cmask = np.ones(len(cy["pref"]), dtype=bool)
-            for nm in by:
+            for nm in by_sort:
                 kc = batch.column(nm)
                 if isinstance(kc, pa.ChunkedArray):
                     kc = kc.combine_chunks()
@@ -641,7 +748,7 @@ def top_n_per_group(ds, by, order_col: str, n: int,
                     pos = pos.copy()
                     pos[first] += int(cy["pref"][cidx[j - 1]])
         keep = pos < n
-        return batch.filter(pa.array(keep))
+        return _restore_null_keys(batch.filter(pa.array(keep)), by)
 
     return sp.map_batches(keep_topn, batch_format="pyarrow",
                           batch_size=None, zero_copy_batch=True)
@@ -676,6 +783,8 @@ def sessionize(ds, by, on: str, gap: int, out_col: str = "n_sessions"):
             return col.cast(pa.int64()).to_numpy(zero_copy_only=False)
         return col.to_numpy(zero_copy_only=False).astype(np.int64)
 
+    kf = _flag_names([by_one])[0]
+
     def partial(batch: pa.Table) -> pa.Table:
         m = batch.num_rows
         k = batch.column(by_one)
@@ -683,16 +792,12 @@ def sessionize(ds, by, on: str, gap: int, out_col: str = "n_sessions"):
             k = k.combine_chunks()
         if m == 0:
             return pa.table({by_one: k.slice(0, 0),
+                             kf: pa.array([], pa.int8()),
                              "__first": pa.array([], pa.int64()),
                              "__last": pa.array([], pa.int64()),
                              "__gaps": pa.array([], pa.int64())})
         t = _t64(batch.column(on))
-        # key-change mask between adjacent rows (generic over key type)
-        if m > 1:
-            neq = pc.invert(pc.equal(k.slice(1), k.slice(0, m - 1))) \
-                .to_numpy(zero_copy_only=False).astype(bool)
-        else:
-            neq = np.zeros(0, dtype=bool)
+        neq = _key_change(batch, [kf, by_one], m)
         starts = np.concatenate([[0], np.flatnonzero(neq) + 1])
         ends = np.concatenate([starts[1:], [m]])          # exclusive
         gap_flags = np.zeros(max(m - 1, 0), dtype=np.int64)
@@ -700,8 +805,12 @@ def sessionize(ds, by, on: str, gap: int, out_col: str = "n_sessions"):
             gap_flags[(t[1:] - t[:-1] > gap) & ~neq] = 1
         cs = np.concatenate([[0], np.cumsum(gap_flags)])
         gaps = cs[ends - 1] - cs[starts]
+        f = batch.column(kf)
+        if isinstance(f, pa.ChunkedArray):
+            f = f.combine_chunks()
         return pa.table({
             by_one: k.take(pa.array(starts)),
+            kf: f.take(pa.array(starts)),
             "__first": pa.array(t[starts]),
             "__last": pa.array(t[ends - 1]),
             "__gaps": pa.array(gaps)})
@@ -715,16 +824,19 @@ def sessionize(ds, by, on: str, gap: int, out_col: str = "n_sessions"):
     # per-key state is inside Ray's vectorized aggregate.
     import ray
 
-    parts = ds.sort([by_one, on]).map_batches(
+    parts = ds.map_batches(lambda b: _add_key_flags(b, [by_one]),
+                           batch_format="pyarrow",
+                           zero_copy_batch=True) \
+        .sort([kf, by_one, on]).map_batches(
         partial, batch_format="pyarrow", zero_copy_batch=True)
-    sp = parts.sort([by_one, "__first", "__last"]).materialize()
+    sp = parts.sort([kf, by_one, "__first", "__last"]).materialize()
 
     def carry_of(batch: pa.Table) -> pa.Table:
         m = batch.num_rows
         if m == 0:
-            return batch.select([by_one, "__first", "__last"])
+            return batch.select([kf, by_one, "__first", "__last"])
         return batch.take(pa.array([m - 1])) \
-            .select([by_one, "__first", "__last"])
+            .select([kf, by_one, "__first", "__last"])
 
     cparts = ray.get(sp.map_batches(carry_of, batch_format="pyarrow",
                                     batch_size=None, zero_copy_batch=True)
@@ -732,7 +844,7 @@ def sessionize(ds, by, on: str, gap: int, out_col: str = "n_sessions"):
     cparts = [p for p in cparts if isinstance(p, pa.Table) and p.num_rows]
     if cparts:
         ct = pa.concat_tables(cparts, promote_options="permissive")
-        carry = {"keys": ct.select([by_one]),
+        carry = {"keys": ct.select([kf, by_one]),
                  "f": ct.column("__first").to_numpy(zero_copy_only=False),
                  "l": ct.column("__last").to_numpy(zero_copy_only=False)}
     else:
@@ -743,27 +855,30 @@ def sessionize(ds, by, on: str, gap: int, out_col: str = "n_sessions"):
         m = batch.num_rows
         if m == 0:
             return pa.table({by_one: batch.column(by_one),
+                             kf: batch.column(kf),
                              "__c": pa.array([], pa.int64())})
         f = batch.column("__first").to_numpy(zero_copy_only=False)
         last = batch.column("__last").to_numpy(zero_copy_only=False)
         gp = batch.column("__gaps").to_numpy(zero_copy_only=False)
-        neq = _key_change(batch, [by_one], m)
+        neq = _key_change(batch, [kf, by_one], m)
         c = gp.astype(np.int64, copy=True)
         if m > 1:
             c[1:] += ((f[1:] - last[:-1] > gap) & ~neq).astype(np.int64)
         cy = ray.get(carry_ref)
         if cy is not None:
-            kc = batch.column(by_one)
-            if isinstance(kc, pa.ChunkedArray):
-                kc = kc.combine_chunks()
-            kv = kc[0]
-            cc = cy["keys"].column(by_one)
-            if isinstance(cc, pa.ChunkedArray):
-                cc = cc.combine_chunks()
-            eq = cc.is_null() if not kv.is_valid else \
-                pc.fill_null(pc.equal(cc, kv), False)
-            cidx = np.flatnonzero(
-                eq.to_numpy(zero_copy_only=False).astype(bool))
+            cmask = np.ones(len(cy["f"]), dtype=bool)
+            for nm in (kf, by_one):
+                kc = batch.column(nm)
+                if isinstance(kc, pa.ChunkedArray):
+                    kc = kc.combine_chunks()
+                kv = kc[0]
+                cc = cy["keys"].column(nm)
+                if isinstance(cc, pa.ChunkedArray):
+                    cc = cc.combine_chunks()
+                eq = cc.is_null() if not kv.is_valid else \
+                    pc.fill_null(pc.equal(cc, kv), False)
+                cmask &= eq.to_numpy(zero_copy_only=False).astype(bool)
+            cidx = np.flatnonzero(cmask)
             if len(cidx):
                 cf, cl = cy["f"][cidx], cy["l"][cidx]
                 a = np.searchsorted(cf, f[0], side="left")
@@ -772,17 +887,19 @@ def sessionize(ds, by, on: str, gap: int, out_col: str = "n_sessions"):
                 if j > 0:
                     c[0] += int(f[0] - cl[j - 1] > gap)
         return pa.table({by_one: batch.column(by_one),
+                         kf: batch.column(kf),
                          "__c": pa.array(c)})
 
     from ray.data.aggregate import Sum
     agg = sp.map_batches(contrib, batch_format="pyarrow",
                          batch_size=None, zero_copy_batch=True) \
-        .groupby(by_one).aggregate(Sum("__c", alias_name=out_col))
+        .groupby([kf, by_one]).aggregate(Sum("__c", alias_name=out_col))
 
     def plus_one(batch: pa.Table) -> pa.Table:
-        return batch.set_column(
+        out = batch.set_column(
             batch.schema.get_field_index(out_col), out_col,
             pc.add(batch.column(out_col).cast(pa.int64()), 1))
+        return _restore_null_keys(out, [by_one])
 
     return agg.map_batches(plus_one, batch_format="pyarrow")
 

@@ -435,3 +435,75 @@ def test_sessionize_multikey_many_blocks_vs_pandas(ray_session):
         .reset_index().sort_values("u").reset_index(drop=True)
     pd.testing.assert_frame_equal(got[["u", "n_sessions"]], exp,
                                   check_dtype=False)
+
+
+def test_asof_join_null_keys_and_null_on_many_blocks(ray_session):
+    rng = np.random.default_rng(37)
+    n = 400
+    left = pd.DataFrame({
+        "k": pd.array([None if i % 7 == 0 else int(i % 3)
+                       for i in range(n)], dtype="Int64"),
+        "t": rng.choice(np.arange(20000), n, replace=False)
+        .astype("int64")})
+    left["x"] = np.arange(n)
+    # null-on left rows must come out unmatched
+    left.loc[left.index[:5], "t"] = None
+    left["t"] = left["t"].astype("Int64")
+    right = pd.DataFrame({
+        "k": pd.array([None if i % 5 == 0 else int(i % 3)
+                       for i in range(120)], dtype="Int64"),
+        "t": rng.choice(np.arange(20000), 120, replace=False)
+        .astype("int64")})
+    right["y"] = np.arange(120) * 2
+    from packcol.pipelines.window import asof_join
+    got = asof_join(_ds(left, 16), _ds(right, 8), by="k", on="t",
+                    strict=True).to_pandas()
+    # ground truth row-by-row (pandas merge_asof can't do null keys)
+    exp_y = {}
+    for _, r in left.iterrows():
+        key = r["k"]
+        t = r["t"]
+        if pd.isna(t):
+            exp_y[r["x"]] = None
+            continue
+        same = right[right["k"].isna()] if pd.isna(key) else \
+            right[right["k"] == key]
+        prior = same[same["t"] < t]
+        exp_y[r["x"]] = None if prior.empty else \
+            int(prior.loc[prior["t"].idxmax(), "y"])
+    got_y = {r["x"]: (None if pd.isna(r["y"]) else int(r["y"]))
+             for _, r in got.iterrows()}
+    assert got_y == exp_y
+    assert len(got) == n
+
+
+def test_running_aggregate_null_key_group(ray_session):
+    df = pd.DataFrame({
+        "u": pd.array([1, None, 1, None, 2, None] * 50, dtype="Int64"),
+        "t": np.arange(300, dtype="int64"),
+        "v": np.ones(300, dtype="int64")})
+    got = running_aggregate(_ds(df, 12), "u", "t", "v", agg="sum") \
+        .to_pandas()
+    nullg = got[got["u"].isna()].sort_values("t")
+    assert nullg["run_sum"].tolist() == list(range(1, 151))
+
+
+def test_sessionize_and_topn_null_keys(ray_session):
+    from packcol.pipelines.window import sessionize, top_n_per_group
+    rng = np.random.default_rng(41)
+    df = pd.DataFrame({
+        "u": pd.array([None, 1, None, 2] * 100, dtype="Int64"),
+        "t": rng.choice(np.arange(40000), 400, replace=False)
+        .astype("int64"),
+        "v": np.arange(400, dtype="int64")})
+    got = sessionize(_ds(df, 16), by="u", on="t", gap=50).to_pandas()
+    assert len(got) == 3           # null group counted as ONE key
+    nullrow = got[got["u"].isna()]
+    assert len(nullrow) == 1 and nullrow["n_sessions"].iloc[0] >= 1
+
+    topn = top_n_per_group(_ds(df, 16), "u", "v", 5,
+                           descending=True).to_pandas()
+    nulltop = topn[topn["u"].isna()].sort_values("v", ascending=False)
+    exp = df[df["u"].isna()].nlargest(5, "v")["v"].tolist()
+    assert nulltop["v"].tolist() == exp
+    assert len(topn) == 15
