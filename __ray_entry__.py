@@ -273,6 +273,55 @@ def queries() -> dict[str, Callable[[str], Any]]:
             f, batch_format="pyarrow", zero_copy_batch=True)
     q["fingerprint"] = fingerprint
 
+    # compact pinned-oracle contracts over the two heuristic functions:
+    # aggregate outputs small enough to pin as VALUES (same stability-
+    # contract style as codec_selection)
+    def langid_counts(sf):
+        from ray.data.aggregate import Count
+        from packcol.functions.text import lang_id
+
+        def f(batch: pa.Table) -> pa.Table:
+            return pa.table({"lang_pred": lang_id(batch.column("text"))})
+        return _read(sf, "documents", ["doc_id", "text"]) \
+            .map_batches(f, batch_format="pyarrow",
+                         zero_copy_batch=True) \
+            .groupby("lang_pred").aggregate(Count(alias_name="n_docs"))
+    q["langid_counts"] = langid_counts
+
+    def fingerprint_checksum(sf):
+        from ray.data.aggregate import Count
+        from packcol.functions.text import fingerprints
+
+        def fps(batch: pa.Table) -> pa.Table:
+            return pa.table({
+                "fp": fingerprints(batch.column("text")).view(np.int64)})
+        d = _read(sf, "documents", ["doc_id", "text"]) \
+            .map_batches(fps, batch_format="pyarrow",
+                         zero_copy_batch=True) \
+            .groupby("fp").aggregate(Count(alias_name="cnt"))
+
+        def partial(batch: pa.Table) -> pa.Table:
+            fp = batch.column("fp").to_numpy(zero_copy_only=False)
+            c = batch.column("cnt").to_numpy(zero_copy_only=False)
+            x = np.bitwise_xor.reduce(fp.view(np.uint64)) if len(fp) \
+                else np.uint64(0)
+            return pa.table({"n_docs": [int(c.sum())],
+                             "n_distinct": [len(fp)],
+                             "x": [int(x.view(np.int64))]})
+        # O(blocks) partial rows — driver combine is bounded
+        rows = d.map_batches(partial, batch_format="pyarrow",
+                             zero_copy_batch=True).take_all()
+        xs = np.bitwise_xor.reduce(np.array(
+            [r["x"] for r in rows], dtype=np.int64).view(np.uint64)) \
+            if rows else np.uint64(0)
+        return pa.table({
+            "n_docs": pa.array([sum(r["n_docs"] for r in rows)],
+                               pa.int64()),
+            "n_distinct": pa.array([sum(r["n_distinct"] for r in rows)],
+                                   pa.int64()),
+            "fp_xor": pa.array([int(xs.view(np.int64))], pa.int64())})
+    q["fingerprint_checksum"] = fingerprint_checksum
+
     # --- similarity search ----------------------------------------------
     def _query_vec(sf):
         import pyarrow.parquet as pq
@@ -1097,6 +1146,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fsst_roundtrip_text", "tokdict_roundtrip_text",
         "store_roundtrip_props", "decfloat_roundtrip_value",
         "longest_docs", "english_docs",
+        "langid_counts", "fingerprint_checksum",
         # (a) rows-only by design
         "minhash_pairs_est", "simhash_pairs_hamming", "langid",
         "fingerprint", "embedding_dedup_lsh", "ann_ivf", "ann_lsh",
@@ -1194,6 +1244,17 @@ def oracle_sql() -> dict[str, str]:
             "('doc_id', 'delta'), ('text', 'tokdict'), ('lang', 'dict'), "
             "('source', 'dict'), ('n_chars', 'for')) "
             "AS t(\"column\", codec)"),
+        # pinned aggregate contracts for the heuristic functions at
+        # sf0.01 (stability pins, like codec_selection — regenerate via
+        # the query itself if the heuristics change deliberately)
+        "langid_counts": (
+            "SELECT lang_pred, CAST(n_docs AS BIGINT) AS n_docs FROM "
+            "(VALUES ('en', 253), ('pt', 200), ('und', 47)) "
+            "AS t(lang_pred, n_docs)"),
+        "fingerprint_checksum": (
+            "SELECT CAST(500 AS BIGINT) AS n_docs, "
+            "CAST(500 AS BIGINT) AS n_distinct, "
+            "CAST(-1921742945686229033 AS BIGINT) AS fp_xor"),
         "token_count": (
             "SELECT doc_id, CASE WHEN length(text)=0 THEN 0 ELSE "
             "length(text) - length(replace(text,' ','')) + 1 END AS n_tokens "
