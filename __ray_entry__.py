@@ -135,6 +135,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         sf, "documents", ["doc_id", "text"], "fsst")
     q["tokdict_roundtrip_text"] = lambda sf: _roundtrip(
         sf, "documents", ["doc_id", "text"], "tokdict")
+    q["toksep_roundtrip_text"] = lambda sf: _roundtrip(
+        sf, "documents", ["doc_id", "text"], "toksep")
     q["store_roundtrip_props"] = lambda sf: _roundtrip(
         sf, "events", ["event_id", "props"], "store")
     q["decfloat_roundtrip_value"] = lambda sf: _roundtrip(
@@ -1144,6 +1146,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rle_roundtrip_source", "for_roundtrip_ts",
         "bitpack_roundtrip_user", "delta_roundtrip_ts",
         "fsst_roundtrip_text", "tokdict_roundtrip_text",
+        "toksep_roundtrip_text",
         "store_roundtrip_props", "decfloat_roundtrip_value",
         "longest_docs", "english_docs",
         "langid_counts", "fingerprint_checksum",
@@ -1170,6 +1173,7 @@ def oracle_sql() -> dict[str, str]:
         "bitpack_roundtrip_user": "SELECT event_id, user_id FROM events",
         "fsst_roundtrip_text": "SELECT doc_id, text FROM documents",
         "tokdict_roundtrip_text": "SELECT doc_id, text FROM documents",
+        "toksep_roundtrip_text": "SELECT doc_id, text FROM documents",
         "store_roundtrip_props": "SELECT event_id, props FROM events",
         "decfloat_roundtrip_value": "SELECT event_id, value FROM events",
         "auto_roundtrip_documents": "SELECT * FROM documents",

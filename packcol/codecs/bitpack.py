@@ -24,6 +24,9 @@ def bits_needed(max_value: int) -> int:
     return int(max_value).bit_length()
 
 
+_PACK_CHUNK = 1 << 18   # values per internal chunk (multiple of 64)
+
+
 def pack(values: np.ndarray, width: int) -> np.ndarray:
     """Pack n unsigned values of `width` bits into a uint64 word array.
 
@@ -36,6 +39,13 @@ def pack(values: np.ndarray, width: int) -> np.ndarray:
     if not (0 < width <= 64):
         raise ValueError(f"width must be in 1..64, got {width}")
     v = np.ascontiguousarray(values, dtype=np.uint64)
+    if n > _PACK_CHUNK:
+        # chunk at multiples of 2^18 values (divisible by 64, so every
+        # chunk is word-aligned for any width → concatenation is exact);
+        # keeps temporaries cache-resident instead of O(part) sized
+        return np.concatenate([
+            pack(v[a:a + _PACK_CHUNK], width)
+            for a in range(0, n, _PACK_CHUNK)])
 
     if 64 % width == 0:
         # fast path: whole number of values per word (widths 1,2,4,8,16,32,64)
@@ -53,10 +63,32 @@ def pack(values: np.ndarray, width: int) -> np.ndarray:
         as_bytes = v.view(np.uint8).reshape(n, 8)[:, :nb].ravel()
         return _bytes_to_words(as_bytes)
 
-    # general path: explicit bit matrix, LSB-first
-    shifts = np.arange(width, dtype=np.uint64)
-    bits = ((v[:, None] >> shifts) & np.uint64(1)).astype(np.uint8)
-    return _bits_to_words(bits.ravel())
+    # general path: each value splits into a low part (shifted into its
+    # start word) and an optional high part (spilling into the next
+    # word); per-word OR via bitwise_or.reduceat with CLOSED-FORM slice
+    # starts (first value starting in word w is ceil(w*64/width)).
+    # O(n) uint64 traffic — no bit matrix, no searchsorted.
+    n_words = packed_words_for(n, width)
+    bit0 = np.arange(n, dtype=np.int64) * width
+    lo_shift = (bit0 & np.int64(63)).astype(np.uint64)
+    lo = np.empty(n + 1, dtype=np.uint64)
+    lo[:n] = v << lo_shift
+    lo[n] = 0                                   # pad: empty-slice target
+    wb = np.arange(n_words, dtype=np.int64) * 64
+    lstarts = np.minimum(-(-wb // width), n)
+    out = np.bitwise_or.reduceat(lo, lstarts)
+    lempty = np.append(lstarts[1:], n) == lstarts
+    out[lempty] = 0
+    if n_words > 1:
+        nz = lo_shift != 0
+        hi = np.zeros(n + 1, dtype=np.uint64)
+        np.right_shift(v, np.uint64(64) - lo_shift, out=hi[:n], where=nz)
+        # hi of value i lands in word (i*width)//64 + 1
+        hstarts = np.minimum(-(-(wb[1:] - 64) // width), n)
+        hred = np.bitwise_or.reduceat(hi, hstarts)
+        hred[np.append(hstarts[1:], n) == hstarts] = 0
+        out[1:] |= hred
+    return out
 
 
 def unpack(words: np.ndarray, width: int, n: int) -> np.ndarray:
@@ -64,6 +96,10 @@ def unpack(words: np.ndarray, width: int, n: int) -> np.ndarray:
     if width == 0 or n == 0:
         return np.zeros(n, dtype=np.uint64)
     w = np.ascontiguousarray(words, dtype=np.uint64)
+    if n > _PACK_CHUNK:
+        return np.concatenate([
+            unpack(w[a * width // 64:], width, min(_PACK_CHUNK, n - a))
+            for a in range(0, n, _PACK_CHUNK)])
 
     if 64 % width == 0:
         per = 64 // width
@@ -79,10 +115,19 @@ def unpack(words: np.ndarray, width: int, n: int) -> np.ndarray:
         out[:, :nb] = as_bytes
         return out.view(np.uint64).ravel()
 
-    raw = np.unpackbits(w.view(np.uint8), bitorder="little")[: n * width]
-    bits = raw.reshape(n, width).astype(np.uint64)
-    weights = np.uint64(1) << np.arange(width, dtype=np.uint64)
-    return (bits * weights).sum(axis=1, dtype=np.uint64)
+    # general path: value i = bits [i*width, i*width+width) → two word
+    # gathers + shifts (no per-bit expansion)
+    bit0 = np.arange(n, dtype=np.int64) * width
+    wi = bit0 >> 6
+    bo = (bit0 & 63).astype(np.uint64)
+    wpad = np.concatenate([w, np.zeros(1, dtype=np.uint64)])
+    lo = wpad[wi] >> bo
+    hi_shift = np.uint64(64) - bo
+    # bo == 0 → shift by 64 is undefined; those rows take no hi bits
+    hi = np.where(bo == 0, np.uint64(0),
+                  wpad[wi + 1] << np.where(bo == 0, np.uint64(0), hi_shift))
+    mask = np.uint64((1 << width) - 1)
+    return (lo | hi) & mask
 
 
 def _bits_to_words(bits: np.ndarray) -> np.ndarray:

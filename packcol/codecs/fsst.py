@@ -78,10 +78,14 @@ def build_symbol_table(d: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
         sample = np.concatenate([d[s:s + sl] for s in starts])
     else:
         sample = d
-    d16 = sample[:-1].astype(np.int32) * 256 + sample[1:].astype(np.int32)
+    d16 = sample[:-1].astype(np.uint16)
+    d16 <<= 8
+    d16 |= sample[1:]
     counts = np.bincount(d16, minlength=65536)
     k = min(len(unused), _MAX_SYMS)
-    top = np.argsort(counts)[::-1][:k]
+    # top-k via argpartition (65536-entry full argsort is ~10x the cost)
+    top = np.argpartition(counts, -k)[-k:]
+    top = top[np.argsort(counts[top])[::-1]]
     top = top[counts[top] >= _MIN_COUNT]
     code_bytes = unused[:len(top)].astype(np.uint8)
     return code_bytes, top.astype(np.int32)
@@ -212,20 +216,20 @@ def _fsst_compress_chunk(d: np.ndarray, offs: np.ndarray,
     b = b[(b > 0) & (b <= nb - 1)]
     m[b - 1] = False
 
-    if not m.any():
-        return d.copy(), offs.copy()
     # greedy = every other position within each maximal run of matches.
-    # Dense closed form (no per-match index arrays): rel[i] = distance to
-    # the last non-match at or before i; chosen ⇔ match with odd rel.
-    pos = np.arange(nb - 1, dtype=np.int32)
-    lf = np.where(m, np.int32(-1), pos)
-    np.maximum.accumulate(lf, out=lf)
-    pos -= lf                       # rel: 1 for the first match of a run
-    chosen_mask = m
-    chosen_mask &= (pos & 1).astype(bool)
-    chosen = np.flatnonzero(chosen_mask)
-    if len(chosen) == 0:
+    # Sparse closed form over the match LIST (not nb-sized temporaries):
+    # within each maximal run of consecutive match positions the greedy
+    # scan picks positions at even distance from the run start.
+    m_idx = np.flatnonzero(m)
+    if len(m_idx) == 0:
         return d.copy(), offs.copy()
+    first = np.empty(len(m_idx), dtype=bool)
+    first[0] = True
+    np.not_equal(np.diff(m_idx), 1, out=first[1:])
+    run_id = np.cumsum(first)
+    run_id -= 1
+    rel = m_idx - m_idx[first][run_id]   # 0 for the first match of a run
+    chosen = m_idx[(rel & 1) == 0]
 
     keep = np.ones(nb, dtype=bool)
     keep[chosen + 1] = False

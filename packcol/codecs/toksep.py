@@ -1,0 +1,158 @@
+"""Token+separator dictionary codec ("toksep") — dictionary encoding
+lifted to *general* text tokens, lossless for ANY string/binary column.
+
+A token is a maximal run of word bytes ([0-9A-Za-z] plus every byte
+≥ 0x80, so multi-byte UTF-8 sequences never split) together with its
+trailing run of separator bytes: ``"<a href=x>hi "`` tokenizes as
+``"<" "a " "href=" "x>" "hi "``.  Web text — markup, URLs, prose — is
+highly repetitive at this granularity, so a ⌈log2(vocab)⌉-bit code per
+token beats byte-level schemes while the whole encode rides Arrow's C++
+``dictionary_encode`` hash table.
+
+This generalizes the single-space :mod:`.tokdict` codec (which it
+subsumes for codec *selection* purposes on non-joinable columns) and,
+like every codec here, the reference's symbol→code idea
+(/root/reference/src/encoding/naive.rs:49-74) with the same word-aligned
+bit-packed payload (/root/reference/src/naive_impl/seq_vector.rs:141-161).
+Tokens never cross row boundaries, mirroring the reference's
+SeqVecKmerIterator contract (windows never cross record bounds,
+/root/reference/src/naive_impl/seq_vector.rs:183-205).
+
+Layout:
+  aux      Arrow IPC token dictionary (sorted → deterministic codes)
+  payload  bit-packed token codes, all rows concatenated
+  lens     bit-packed tokens-per-row
+  validity null bitmap
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .base import (Codec, EncodedColumn, register, str_to_type, type_to_str,
+                   validity_from_bytes, validity_to_bytes)
+from .bitpack import bits_needed, pack, unpack
+from .dictionary import ipc_deserialize_array, ipc_serialize_array
+from .fsst import _is_stringy, buffer_view
+
+
+def word_class(d: np.ndarray) -> np.ndarray:
+    """Bool mask: byte is a word byte ([0-9A-Za-z] or ≥0x80).  Branch-free
+    comparisons (cheaper than a 256-entry gather on this data shape)."""
+    low = d | np.uint8(32)          # fold A-Z onto a-z
+    return (((d >= 48) & (d <= 57))
+            | ((low >= 97) & (low <= 122))
+            | (d >= 128))
+
+
+def tokenize_offsets(d: np.ndarray, offs: np.ndarray) -> np.ndarray:
+    """Token boundary offsets (int64, includes 0 and len(d)).
+
+    A token starts where a word byte follows a non-word byte, and at
+    every row start.  Both boundary sets are sorted; merge + dedupe.
+    """
+    if len(d) == 0:
+        return np.zeros(1, dtype=np.int64)
+    wc = word_class(d)
+    cand = np.flatnonzero(wc[1:] & ~wc[:-1]).astype(np.int64)
+    cand += 1
+    merged = np.concatenate([cand, offs])
+    merged.sort(kind="stable")
+    keep = np.empty(len(merged), dtype=bool)
+    keep[0] = True
+    np.not_equal(merged[1:], merged[:-1], out=keep[1:])
+    return merged[keep]
+
+
+class TokSepCodec(Codec):
+    name = "toksep"
+
+    def can_encode(self, dtype: pa.DataType, stats: dict | None = None) -> bool:
+        return _is_stringy(dtype)
+
+    def encode(self, arr: pa.Array) -> EncodedColumn:
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        n = len(arr)
+        dtype = arr.type
+        validity = validity_to_bytes(arr)
+        if arr.null_count:
+            fill = b"" if (pa.types.is_binary(dtype)
+                           or pa.types.is_large_binary(dtype)) else ""
+            arr = pc.fill_null(arr, fill)
+        d, offs = buffer_view(arr)
+        tok_offs = tokenize_offsets(d, offs)
+        ntok = len(tok_offs) - 1
+        counts = np.diff(np.searchsorted(tok_offs, offs))
+        # zero-copy token array over the existing data buffer
+        toks = pa.Array.from_buffers(
+            pa.large_binary(), ntok,
+            [None, pa.py_buffer(np.ascontiguousarray(tok_offs)),
+             pa.py_buffer(np.ascontiguousarray(d))])
+        from .dictionary import dict_encode_indices
+        idx, dictionary = dict_encode_indices(toks)
+        cw = bits_needed(max(len(dictionary) - 1, 0))
+        lw = bits_needed(int(counts.max()) if n else 0)
+        return EncodedColumn(
+            codec=self.name, n_values=n,
+            params={"code_width": cw, "len_width": lw,
+                    "n_tokens": ntok, "n_dict": len(dictionary),
+                    "dtype": type_to_str(dtype)},
+            buffers={"payload": pack(idx.view(np.uint64), cw).tobytes(),
+                     "lens": pack(counts.view(np.uint64), lw).tobytes(),
+                     "aux": ipc_serialize_array(dictionary),
+                     "validity": validity})
+
+    def decode(self, enc: EncodedColumn) -> pa.Array:
+        n, p = enc.n_values, enc.params
+        dtype = str_to_type(p["dtype"])
+        nt = p["n_tokens"]
+        idx = unpack(np.frombuffer(enc.buffers["payload"], dtype=np.uint64),
+                     p["code_width"], nt).view(np.int64)
+        counts = unpack(np.frombuffer(enc.buffers["lens"], dtype=np.uint64),
+                        p["len_width"], n).view(np.int64)
+        dictionary = ipc_deserialize_array(enc.buffers["aux"])
+        if len(dictionary):
+            dd, doffs = buffer_view(dictionary)
+        else:
+            dd, doffs = np.empty(0, np.uint8), np.zeros(1, np.int64)
+        dlens = np.diff(doffs)
+        tok_start = doffs[:-1][idx]
+        tok_len = dlens[idx]
+        # byte offsets: cumulative token lengths, sliced at row boundaries
+        cs = np.zeros(nt + 1, dtype=np.int64)
+        np.cumsum(tok_len, out=cs[1:])
+        tok_row_offs = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(counts, out=tok_row_offs[1:])
+        row_offs = cs[tok_row_offs]
+        total = int(cs[-1])
+        # gather token bytes: src[i] = token_start + offset-within-token.
+        # Chunked (~2 MB of output per slice) so the int64 repeat/arange
+        # temporaries stay cache-resident instead of O(part)-sized.
+        out = np.empty(total, dtype=np.uint8)
+        step = 1 << 18
+        for a in range(0, nt, step):
+            b = min(a + step, nt)
+            lo, hi = int(cs[a]), int(cs[b])
+            span = hi - lo
+            rel = np.arange(span, dtype=np.int64)
+            rel -= np.repeat(cs[a:b] - lo, tok_len[a:b])
+            src = np.repeat(tok_start[a:b], tok_len[a:b])
+            src += rel
+            out[lo:hi] = dd[src]
+        large = (pa.types.is_large_string(dtype)
+                 or pa.types.is_large_binary(dtype))
+        off_arr = row_offs if large else row_offs.astype(np.int32)
+        arr = pa.Array.from_buffers(
+            dtype, n,
+            [None, pa.py_buffer(off_arr.tobytes()),
+             pa.py_buffer(out.tobytes())])
+        valid = validity_from_bytes(enc.buffers.get("validity", b""), n)
+        if valid is not None:
+            arr = pc.if_else(pa.array(valid), arr, pa.nulls(n, type=dtype))
+        return arr
+
+
+register(TokSepCodec())

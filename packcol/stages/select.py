@@ -44,6 +44,11 @@ def estimate_sizes(dtype: pa.DataType, s: dict) -> dict:
         et, ed = s.get("est_n_tokens", 0), max(s.get("est_tok_distinct", 1), 1)
         est["tokdict"] = (et * bits_needed(2 * ed) / 8
                           + ed * (s.get("avg_tok_len", 8) + 4) + 200)
+    if "toksep_tokens_est" in s:
+        tt = s["toksep_tokens_est"]
+        td = max(s.get("toksep_distinct_est", 1), 1)
+        est["toksep"] = (tt * bits_needed(2 * td) / 8
+                         + td * (s.get("toksep_avg_len", 8) + 4) + 200)
     if _is_stringy(dtype):
         db = s.get("data_bytes", raw)
         ent = s.get("entropy", 8.0)

@@ -120,6 +120,27 @@ def column_stats(arr: pa.Array) -> dict:
         present = (np.bincount(d, minlength=256) > 0) if len(d) else \
             np.zeros(256, dtype=bool)
         s["n_unused_bytes"] = int((~present).sum())
+        # token+separator stats (toksep applies to any string/binary)
+        avg = max(len(d) / n, 1.0)
+        ts_rows = int(max(64, min(2048, (256 << 10) / avg)))
+        ts_step = max(n // ts_rows, 1)
+        ts_sl = filled.take(pa.array(range(0, n, ts_step)))
+        ds, offss = buffer_view(ts_sl)
+        if len(ds):
+            from ..codecs.toksep import tokenize_offsets
+            to = tokenize_offsets(ds, offss)
+            ntok_s = len(to) - 1
+            toks = pa.Array.from_buffers(
+                pa.large_binary(), ntok_s,
+                [None, pa.py_buffer(np.ascontiguousarray(to)),
+                 pa.py_buffer(np.ascontiguousarray(ds))])
+            distinct = int(pc.count_distinct(toks).as_py() or 0)
+            frac = len(ts_sl) / n
+            sat = distinct < 0.5 * max(ntok_s, 1)
+            s["toksep_tokens_est"] = int(ntok_s / frac) if frac else 0
+            s["toksep_distinct_est"] = int(
+                distinct * 1.2 if sat else distinct / max(frac, 1e-9))
+            s["toksep_avg_len"] = float(len(ds) / max(ntok_s, 1))
         # token stats for the token-dictionary codec (plain strings only)
         if pa.types.is_string(arr.type) or pa.types.is_large_string(arr.type):
             from ..codecs.tokdict import structurally_joinable

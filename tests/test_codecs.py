@@ -394,3 +394,49 @@ def test_negative_zero_store_fallback():
     got = dec.column("v").combine_chunks().to_numpy(zero_copy_only=False)
     exp = t.column("v").combine_chunks().to_numpy(zero_copy_only=False)
     assert got.tobytes() == exp.tobytes()
+
+
+def test_toksep_roundtrips():
+    from packcol.codecs import TokSepCodec
+    c = TokSepCodec()
+    cases = [
+        pa.array(["hello world", "", None, "<b>html!</b>", "a  b\tc\n", ""]),
+        pa.array(["<html><body>the cat sat</body></html>"] * 100),
+        pa.array([f"https://x.com/p/{i}?q=1" for i in range(200)],
+                 type=pa.large_string()),
+        pa.array([b"\x00\xff\x80raw", b"", None], type=pa.binary()),
+        pa.array([b"bin \x01 tok"] * 50, type=pa.large_binary()),
+        pa.array(["héllo wörld", "日本語 text", ""], type=pa.string()),
+        pa.array([], type=pa.string()),
+        pa.array([None, None], type=pa.string()),
+        pa.array(["***###***", "no word bytes at all!?"]),
+    ]
+    for arr in cases:
+        enc = EncodedColumn.from_row(c.encode(arr).to_row())
+        dec = get_codec("toksep").decode(enc)
+        assert dec.to_pylist() == arr.to_pylist()
+        assert dec.type == arr.type
+
+
+def test_toksep_compresses_markup():
+    from packcol.codecs import TokSepCodec
+    rows = ["<html><head><title>p</title></head><body>word%d common tail"
+            "</body></html>" % (i % 50) for i in range(500)]
+    arr = pa.array(rows)
+    enc = TokSepCodec().encode(arr)
+    assert enc.enc_bytes < arr.nbytes * 0.5
+    # tokens never cross rows: rows ending in word bytes followed by
+    # rows starting with word bytes stay distinct
+    arr2 = pa.array(["abc", "def", "abcdef"] * 40)
+    enc2 = EncodedColumn.from_row(TokSepCodec().encode(arr2).to_row())
+    assert get_codec("toksep").decode(enc2).to_pylist() == arr2.to_pylist()
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.one_of(st.none(), st.text(max_size=60)), max_size=60))
+def test_toksep_property(xs):
+    from packcol.codecs import TokSepCodec
+    arr = pa.array(xs, type=pa.string())
+    enc = EncodedColumn.from_row(TokSepCodec().encode(arr).to_row())
+    dec = get_codec("toksep").decode(enc)
+    assert dec.to_pylist() == arr.to_pylist()
