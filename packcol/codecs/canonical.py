@@ -52,7 +52,8 @@ def reverse_strings(arr: pa.Array) -> pa.Array:
     off = offs.astype(np.int64 if large else np.int32)
     out = pa.Array.from_buffers(
         dtype, len(arr),
-        [None, pa.py_buffer(off.tobytes()), pa.py_buffer(rev.tobytes())])
+        [None, pa.py_buffer(np.ascontiguousarray(off)),
+         pa.py_buffer(np.ascontiguousarray(rev))])
     if arr.null_count:
         out = pc.if_else(arr.is_valid(), out, pa.nulls(len(arr), type=dtype))
     return out

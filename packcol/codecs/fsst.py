@@ -216,20 +216,32 @@ def _fsst_compress_chunk(d: np.ndarray, offs: np.ndarray,
     b = b[(b > 0) & (b <= nb - 1)]
     m[b - 1] = False
 
-    # greedy = every other position within each maximal run of matches.
-    # Sparse closed form over the match LIST (not nb-sized temporaries):
-    # within each maximal run of consecutive match positions the greedy
-    # scan picks positions at even distance from the run start.
-    m_idx = np.flatnonzero(m)
-    if len(m_idx) == 0:
+    # greedy = every other position within each maximal run of matches
+    # (positions at even distance from the run start).  Two closed forms,
+    # picked by match density (A/B-measured crossover ~0.3):
+    n_match = int(np.count_nonzero(m))
+    if n_match == 0:
         return d.copy(), offs.copy()
-    first = np.empty(len(m_idx), dtype=bool)
-    first[0] = True
-    np.not_equal(np.diff(m_idx), 1, out=first[1:])
-    run_id = np.cumsum(first)
-    run_id -= 1
-    rel = m_idx - m_idx[first][run_id]   # 0 for the first match of a run
-    chosen = m_idx[(rel & 1) == 0]
+    if n_match > 0.3 * nb:
+        # dense: rel = distance to last non-match, int32 temporaries
+        pos = np.arange(nb - 1, dtype=np.int32)
+        lf = np.where(m, np.int32(-1), pos)
+        np.maximum.accumulate(lf, out=lf)
+        pos -= lf                     # 1 for the first match of a run
+        cm = m & (pos & 1).astype(bool)
+        chosen = np.flatnonzero(cm)
+    else:
+        # sparse: run-parity over the match list only
+        m_idx = np.flatnonzero(m)
+        first = np.empty(len(m_idx), dtype=bool)
+        first[0] = True
+        np.not_equal(np.diff(m_idx), 1, out=first[1:])
+        run_id = np.cumsum(first)
+        run_id -= 1
+        rel = m_idx - m_idx[first][run_id]
+        chosen = m_idx[(rel & 1) == 0]
+    if len(chosen) == 0:
+        return d.copy(), offs.copy()
 
     keep = np.ones(nb, dtype=bool)
     keep[chosen + 1] = False
@@ -349,7 +361,8 @@ def _array_from_parts(data: np.ndarray, offsets: np.ndarray, n: int,
     off = offsets.astype(np.int64 if large else np.int32)
     return pa.Array.from_buffers(
         dtype, n,
-        [None, pa.py_buffer(off.tobytes()), pa.py_buffer(data.tobytes())])
+        [None, pa.py_buffer(np.ascontiguousarray(off)),
+         pa.py_buffer(np.ascontiguousarray(data))])
 
 
 register(FsstCodec())

@@ -109,46 +109,35 @@ class TokenDictCodec(Codec):
         counts = unpack(np.frombuffer(enc.buffers["lens"], dtype=np.uint64),
                         p["len_width"], n).view(np.int64)
         # direct buffer construction (no per-token take + binary_join):
-        # gather token bytes from the dictionary buffer and scatter
-        # separator spaces in one vectorized pass
+        # interleave (token bytes, optional separator space) as 2·nt
+        # gather entries against the dictionary buffer extended with one
+        # space byte, then run the shared chunked gather kernel
         dd, doffs = buffer_view(dictionary.cast(pa.large_string())) \
             if len(dictionary) else (np.empty(0, np.uint8),
                                      np.zeros(1, np.int64))
         dlens = np.diff(doffs)
-        tok_start = doffs[:-1][idx] if nt else np.empty(0, np.int64)
-        tok_len = dlens[idx] if nt else np.empty(0, np.int64)
+        ddx = np.concatenate([dd, np.full(1, 32, dtype=np.uint8)])
         sep = np.ones(nt, dtype=np.int64)
         ends = np.cumsum(counts)
         if nt:
             sep[ends[counts > 0] - 1] = 0  # no space after row-last token
-        slot = tok_len + sep
-        starts_out = np.zeros(nt + 1, dtype=np.int64)
-        np.cumsum(slot, out=starts_out[1:])
-        total = int(starts_out[-1])
-        out = np.empty(total, dtype=np.uint8)
-        if nt:
-            sp = sep == 1
-            space_pos = (starts_out[:-1] + tok_len)[sp]
-            out[space_pos] = 32
-            T = int(tok_len.sum())
-            rel = np.arange(T, dtype=np.int64) - \
-                np.repeat(np.cumsum(tok_len) - tok_len, tok_len)
-            src = np.repeat(tok_start, tok_len) + rel
-            # destination = every out position that is not a space slot
-            tok_mask = np.ones(total, dtype=bool)
-            tok_mask[space_pos] = False
-            out[tok_mask] = dd[src]
-        row_lens = np.bincount(
-            np.repeat(np.arange(n, dtype=np.int64), counts), weights=slot,
-            minlength=n).astype(np.int64) if nt else np.zeros(n, np.int64)
-        row_offs = np.zeros(n + 1, dtype=np.int64)
-        np.cumsum(row_lens, out=row_offs[1:])
+        starts2 = np.empty(2 * nt, dtype=np.int64)
+        lens2 = np.empty(2 * nt, dtype=np.int64)
+        starts2[0::2] = doffs[:-1][idx] if nt else 0
+        starts2[1::2] = len(dd)            # the appended space byte
+        lens2[0::2] = dlens[idx] if nt else 0
+        lens2[1::2] = sep
+        from .gather import concat_gather
+        out, cs2 = concat_gather(ddx, starts2, lens2)
+        tok_row_offs = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(counts, out=tok_row_offs[1:])
+        row_offs = cs2[2 * tok_row_offs]
         large = pa.types.is_large_string(dtype)
         off_arr = row_offs.astype(np.int64 if large else np.int32)
         arr = pa.Array.from_buffers(
             dtype, n,
-            [None, pa.py_buffer(off_arr.tobytes()),
-             pa.py_buffer(out.tobytes())])
+            [None, pa.py_buffer(np.ascontiguousarray(off_arr)),
+             pa.py_buffer(np.ascontiguousarray(out))])
         valid = validity_from_bytes(enc.buffers.get("validity", b""), n)
         if valid is not None:
             arr = pc.if_else(pa.array(valid), arr, pa.nulls(n, type=dtype))

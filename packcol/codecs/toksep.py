@@ -48,17 +48,19 @@ def word_class(d: np.ndarray) -> np.ndarray:
 
 
 def tokenize_offsets(d: np.ndarray, offs: np.ndarray) -> np.ndarray:
-    """Token boundary offsets (int64, includes 0 and len(d)).
+    """Token boundary offsets (includes 0 and len(d)); int32 when the
+    data fits (halves the sort/merge traffic), else int64.
 
     A token starts where a word byte follows a non-word byte, and at
     every row start.  Both boundary sets are sorted; merge + dedupe.
     """
+    idt = np.int32 if len(d) < (1 << 31) else np.int64
     if len(d) == 0:
-        return np.zeros(1, dtype=np.int64)
+        return np.zeros(1, dtype=idt)
     wc = word_class(d)
-    cand = np.flatnonzero(wc[1:] & ~wc[:-1]).astype(np.int64)
+    cand = np.flatnonzero(wc[1:] & ~wc[:-1]).astype(idt)
     cand += 1
-    merged = np.concatenate([cand, offs])
+    merged = np.concatenate([cand, offs.astype(idt, copy=False)])
     merged.sort(kind="stable")
     keep = np.empty(len(merged), dtype=bool)
     keep[0] = True
@@ -85,10 +87,13 @@ class TokSepCodec(Codec):
         d, offs = buffer_view(arr)
         tok_offs = tokenize_offsets(d, offs)
         ntok = len(tok_offs) - 1
-        counts = np.diff(np.searchsorted(tok_offs, offs))
+        counts = np.diff(np.searchsorted(
+            tok_offs, offs.astype(tok_offs.dtype, copy=False)))
         # zero-copy token array over the existing data buffer
+        tok_type = pa.binary() if tok_offs.dtype == np.int32 \
+            else pa.large_binary()
         toks = pa.Array.from_buffers(
-            pa.large_binary(), ntok,
+            tok_type, ntok,
             [None, pa.py_buffer(np.ascontiguousarray(tok_offs)),
              pa.py_buffer(np.ascontiguousarray(d))])
         from .dictionary import dict_encode_indices
@@ -119,36 +124,20 @@ class TokSepCodec(Codec):
         else:
             dd, doffs = np.empty(0, np.uint8), np.zeros(1, np.int64)
         dlens = np.diff(doffs)
-        tok_start = doffs[:-1][idx]
-        tok_len = dlens[idx]
-        # byte offsets: cumulative token lengths, sliced at row boundaries
-        cs = np.zeros(nt + 1, dtype=np.int64)
-        np.cumsum(tok_len, out=cs[1:])
+        # gather token bytes (chunked, cache-resident — codecs/gather.py)
+        from .gather import concat_gather
+        out, cs = concat_gather(dd, doffs[:-1][idx], dlens[idx])
+        # row offsets: token-level cumsum sliced at row boundaries
         tok_row_offs = np.zeros(n + 1, dtype=np.int64)
         np.cumsum(counts, out=tok_row_offs[1:])
         row_offs = cs[tok_row_offs]
-        total = int(cs[-1])
-        # gather token bytes: src[i] = token_start + offset-within-token.
-        # Chunked (~2 MB of output per slice) so the int64 repeat/arange
-        # temporaries stay cache-resident instead of O(part)-sized.
-        out = np.empty(total, dtype=np.uint8)
-        step = 1 << 18
-        for a in range(0, nt, step):
-            b = min(a + step, nt)
-            lo, hi = int(cs[a]), int(cs[b])
-            span = hi - lo
-            rel = np.arange(span, dtype=np.int64)
-            rel -= np.repeat(cs[a:b] - lo, tok_len[a:b])
-            src = np.repeat(tok_start[a:b], tok_len[a:b])
-            src += rel
-            out[lo:hi] = dd[src]
         large = (pa.types.is_large_string(dtype)
                  or pa.types.is_large_binary(dtype))
         off_arr = row_offs if large else row_offs.astype(np.int32)
         arr = pa.Array.from_buffers(
             dtype, n,
-            [None, pa.py_buffer(off_arr.tobytes()),
-             pa.py_buffer(out.tobytes())])
+            [None, pa.py_buffer(np.ascontiguousarray(off_arr)),
+             pa.py_buffer(np.ascontiguousarray(out))])
         valid = validity_from_bytes(enc.buffers.get("validity", b""), n)
         if valid is not None:
             arr = pc.if_else(pa.array(valid), arr, pa.nulls(n, type=dtype))

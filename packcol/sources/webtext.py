@@ -181,15 +181,12 @@ def extract_text_batch(html: pa.Array) -> pa.Array:
     # reports them as mismatches instead of negative lens crashing
     # np.repeat below
     lens = np.maximum(lens, 0)
-    out_offs = np.zeros(len(html) + 1, dtype=np.int64)
-    np.cumsum(lens, out=out_offs[1:])
-    gather_starts = np.repeat(starts, lens)
-    pos = np.arange(int(out_offs[-1]), dtype=np.int64) - \
-        np.repeat(out_offs[:-1], lens) + gather_starts
+    from ..codecs.gather import concat_gather
+    out, out_offs = concat_gather(d, starts, lens)
     return pa.Array.from_buffers(
         pa.large_string(), len(html),
-        [None, pa.py_buffer(out_offs.tobytes()),
-         pa.py_buffer(d[pos].tobytes() if len(pos) else b"")])
+        [None, pa.py_buffer(np.ascontiguousarray(out_offs)),
+         pa.py_buffer(np.ascontiguousarray(out))])
 
 
 def write_webtext(out_dir: str, n_rows: int, n_parts: int,

@@ -130,8 +130,10 @@ def column_stats(arr: pa.Array) -> dict:
             from ..codecs.toksep import tokenize_offsets
             to = tokenize_offsets(ds, offss)
             ntok_s = len(to) - 1
+            tok_type = pa.binary() if to.dtype == np.int32 \
+                else pa.large_binary()
             toks = pa.Array.from_buffers(
-                pa.large_binary(), ntok_s,
+                tok_type, ntok_s,
                 [None, pa.py_buffer(np.ascontiguousarray(to)),
                  pa.py_buffer(np.ascontiguousarray(ds))])
             distinct = int(pc.count_distinct(toks).as_py() or 0)
