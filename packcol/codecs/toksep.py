@@ -98,24 +98,62 @@ class TokSepCodec(Codec):
              pa.py_buffer(np.ascontiguousarray(d))])
         from .dictionary import dict_encode_indices
         idx, dictionary = dict_encode_indices(toks)
-        cw = bits_needed(max(len(dictionary) - 1, 0))
+        nd = len(dictionary)
+        # reorder codes by descending frequency (stable → deterministic):
+        # hot tokens get the small codes the escape-byte scheme rewards,
+        # mirroring the reference's "frequent symbols get short codes"
+        # permutation choice (/root/reference/src/encoding/naive.rs:49-74)
+        if nd > 1 and ntok:
+            freq = np.bincount(idx, minlength=nd)
+            order = np.argsort(-freq, kind="stable")
+            rank = np.empty(nd, dtype=np.int64)
+            rank[order] = np.arange(nd, dtype=np.int64)
+            idx = rank[idx]
+            dictionary = dictionary.take(pa.array(order))
+        cw = bits_needed(max(nd - 1, 0))
         lw = bits_needed(int(counts.max()) if n else 0)
-        return EncodedColumn(
-            codec=self.name, n_values=n,
-            params={"code_width": cw, "len_width": lw,
-                    "n_tokens": ntok, "n_dict": len(dictionary),
-                    "dtype": type_to_str(dtype)},
-            buffers={"payload": pack(idx.view(np.uint64), cw).tobytes(),
-                     "lens": pack(counts.view(np.uint64), lw).tobytes(),
-                     "aux": ipc_serialize_array(dictionary),
-                     "validity": validity})
+        # code stream scheme: flat bitpack vs escape-byte (hot codes
+        # < 255 as one byte, the rest as 255 + bit-packed side stream);
+        # deterministic exact-size choice
+        flat_bytes = -(-(ntok * cw) // 64) * 8
+        n_rare = int((idx >= 255).sum()) if (ntok and nd > 255) else 0
+        sw = bits_needed(max(nd - 256, 0))
+        esc_bytes = ntok + -(-(n_rare * sw) // 64) * 8
+        params = {"code_width": cw, "len_width": lw,
+                  "n_tokens": ntok, "n_dict": nd,
+                  "dtype": type_to_str(dtype)}
+        buffers = {"lens": pack(counts.view(np.uint64), lw).tobytes(),
+                   "aux": ipc_serialize_array(dictionary),
+                   "validity": validity}
+        if nd > 255 and esc_bytes < flat_bytes:
+            rare = idx >= 255
+            byte_stream = np.minimum(idx, 255).astype(np.uint8)
+            side = (idx[rare] - 255).astype(np.uint64)
+            params.update(scheme="esc", n_rare=n_rare, side_width=sw)
+            buffers["payload"] = byte_stream.tobytes()
+            buffers["side"] = pack(side, sw).tobytes()
+        else:
+            params["scheme"] = "flat"
+            buffers["payload"] = pack(idx.view(np.uint64), cw).tobytes()
+        return EncodedColumn(codec=self.name, n_values=n,
+                             params=params, buffers=buffers)
 
     def decode(self, enc: EncodedColumn) -> pa.Array:
         n, p = enc.n_values, enc.params
         dtype = str_to_type(p["dtype"])
         nt = p["n_tokens"]
-        idx = unpack(np.frombuffer(enc.buffers["payload"], dtype=np.uint64),
-                     p["code_width"], nt).view(np.int64)
+        if p.get("scheme") == "esc":
+            b = np.frombuffer(enc.buffers["payload"], dtype=np.uint8)[:nt]
+            side = unpack(
+                np.frombuffer(enc.buffers["side"], dtype=np.uint64),
+                p["side_width"], p["n_rare"]).view(np.int64)
+            idx = b.astype(np.int64)
+            if p["n_rare"]:
+                idx[b == 255] = side + 255
+        else:
+            idx = unpack(
+                np.frombuffer(enc.buffers["payload"], dtype=np.uint64),
+                p["code_width"], nt).view(np.int64)
         counts = unpack(np.frombuffer(enc.buffers["lens"], dtype=np.uint64),
                         p["len_width"], n).view(np.int64)
         dictionary = ipc_deserialize_array(enc.buffers["aux"])

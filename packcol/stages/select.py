@@ -40,21 +40,44 @@ def estimate_sizes(dtype: pa.DataType, s: dict) -> dict:
             est["delta"] = n * dw / 8 + 16
     if "dec_scale_sampled" in s:
         est["decfloat"] = n * s.get("dec_width", 40) / 8 + 16
-    if s.get("joinable_sampled"):
+    if "trial_tokdict_payload" in s:
+        frac = max(s.get("trial_tokdict_rows", 1), 1) / n
+        ed = max(s.get("est_tok_distinct", 1), 1)
+        eds = max(s.get("trial_tokdict_distinct", 1), 1)
+        est["tokdict"] = (s["trial_tokdict_payload"] / frac
+                          + s["trial_tokdict_aux"] * min(ed / eds, 1 / frac)
+                          + 200)
+    elif s.get("joinable_sampled"):
         et, ed = s.get("est_n_tokens", 0), max(s.get("est_tok_distinct", 1), 1)
         est["tokdict"] = (et * bits_needed(2 * ed) / 8
                           + ed * (s.get("avg_tok_len", 8) + 4) + 200)
-    if "toksep_tokens_est" in s:
+    if "trial_toksep_payload" in s:
+        # sample-measured: payload scales with rows, the dictionary with
+        # the estimated full-column distinct-token count
+        frac = max(s.get("trial_rows", 1), 1) / n
+        td = max(s.get("toksep_distinct_est", 1), 1)
+        tds = max(s.get("trial_toksep_distinct", 1), 1)
+        est["toksep"] = (s["trial_toksep_payload"] / frac
+                         + s["trial_toksep_aux"] * min(td / tds, 1 / frac)
+                         + 200)
+    elif "toksep_tokens_est" in s:
         tt = s["toksep_tokens_est"]
         td = max(s.get("toksep_distinct_est", 1), 1)
-        est["toksep"] = (tt * bits_needed(2 * td) / 8
+        flat = tt * bits_needed(2 * td) / 8
+        # escape-byte stream: 1 B/token + side stream for non-top-255
+        # codes (rare fraction measured on the stats sample)
+        rare = s.get("toksep_rare_frac", 1.0)
+        esc = tt * (1 + rare * bits_needed(td) / 8)
+        est["toksep"] = (min(flat, esc)
                          + td * (s.get("toksep_avg_len", 8) + 4) + 200)
     if _is_stringy(dtype):
         db = s.get("data_bytes", raw)
-        ent = s.get("entropy", 8.0)
-        if s.get("n_unused_bytes", 0) > 0 and ent < 7.0:
+        if "trial_fsst_total" in s:
+            frac = max(s.get("trial_rows", 1), 1) / n
+            est["fsst"] = s["trial_fsst_total"] / frac + 600
+        elif s.get("n_unused_bytes", 0) > 0 and s.get("entropy", 8.0) < 7.0:
             # digram coding saves roughly what entropy predicts, capped
-            ratio = max(0.55, min(1.0, ent / 8.0 + 0.15))
+            ratio = max(0.55, min(1.0, s.get("entropy", 8.0) / 8.0 + 0.15))
             est["fsst"] = db * ratio + n * 1.2 + 600
         else:
             est["fsst"] = db + n * 1.2 + 600

@@ -136,13 +136,37 @@ def column_stats(arr: pa.Array) -> dict:
                 tok_type, ntok_s,
                 [None, pa.py_buffer(np.ascontiguousarray(to)),
                  pa.py_buffer(np.ascontiguousarray(ds))])
-            distinct = int(pc.count_distinct(toks).as_py() or 0)
+            denc = pc.dictionary_encode(toks)
+            if isinstance(denc, pa.ChunkedArray):
+                denc = denc.combine_chunks()
+            distinct = len(denc.dictionary)
+            tc = np.bincount(denc.indices.to_numpy(zero_copy_only=False)
+                             .astype(np.int64), minlength=distinct)
+            tc.sort()
+            hot = int(tc[-255:].sum()) if distinct > 255 else int(tc.sum())
             frac = len(ts_sl) / n
             sat = distinct < 0.5 * max(ntok_s, 1)
             s["toksep_tokens_est"] = int(ntok_s / frac) if frac else 0
             s["toksep_distinct_est"] = int(
                 distinct * 1.2 if sat else distinct / max(frac, 1e-9))
             s["toksep_avg_len"] = float(len(ds) / max(ntok_s, 1))
+            s["toksep_rare_frac"] = float(1.0 - hot / max(ntok_s, 1))
+            # trial-encode the byte-level string codecs on the sample:
+            # measured bytes beat any heuristic, and the sample is
+            # already materialized (≤ ~256 KB)
+            from ..codecs import get_codec
+            s["trial_rows"] = len(ts_sl)
+            s["trial_bytes"] = int(len(ds))
+            e = get_codec("toksep").encode(ts_sl)
+            aux = len(e.buffers.get("aux", b""))
+            s["trial_toksep_aux"] = aux
+            s["trial_toksep_payload"] = e.enc_bytes - aux
+            s["trial_toksep_distinct"] = distinct
+            try:
+                e = get_codec("fsst").encode(ts_sl)
+                s["trial_fsst_total"] = e.enc_bytes
+            except ValueError:
+                pass
         # token stats for the token-dictionary codec (plain strings only)
         if pa.types.is_string(arr.type) or pa.types.is_large_string(arr.type):
             from ..codecs.tokdict import structurally_joinable
@@ -167,4 +191,12 @@ def column_stats(arr: pa.Array) -> dict:
                 s["est_tok_distinct"] = int(
                     distinct * 1.2 if sat else distinct / max(frac, 1e-9))
                 s["avg_tok_len"] = (len(buffer_view(sl)[0]) / max(n_tok, 1))
+                # trial-encode on the sample (measured beats heuristic)
+                from ..codecs import get_codec
+                e = get_codec("tokdict").encode(sl)
+                aux = len(e.buffers.get("aux", b""))
+                s["trial_tokdict_aux"] = aux
+                s["trial_tokdict_payload"] = e.enc_bytes - aux
+                s["trial_tokdict_rows"] = len(sl)
+                s["trial_tokdict_distinct"] = distinct
     return s

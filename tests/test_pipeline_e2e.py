@@ -41,7 +41,9 @@ def test_codec_choices_match_expectations():
                       enc.column("codec").to_pylist()))
     assert chosen["lang"] in ("rle", "dict")
     assert chosen["warc_ts"] in ("for", "delta")
-    assert chosen["text"] in ("fsst", "tokdict")
+    assert chosen["text"] in ("fsst", "tokdict", "toksep")
+    assert chosen["html"] == "toksep"  # token dictionary beats byte-level
+    # schemes on markup (measured via the sample trial in stats)
 
 
 def test_encode_files_resume(webtext_dir, ray_session, tmp_path):
