@@ -73,7 +73,8 @@ def estimate_sizes(dtype: pa.DataType, s: dict) -> dict:
     if _is_stringy(dtype):
         db = s.get("data_bytes", raw)
         if "trial_fsst_total" in s:
-            frac = max(s.get("trial_rows", 1), 1) / n
+            frac = max(s.get("trial_fsst_rows",
+                             s.get("trial_rows", 1)), 1) / n
             est["fsst"] = s["trial_fsst_total"] / frac + 600
         elif s.get("n_unused_bytes", 0) > 0 and s.get("entropy", 8.0) < 7.0:
             # digram coding saves roughly what entropy predicts, capped

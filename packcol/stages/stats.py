@@ -113,90 +113,69 @@ def column_stats(arr: pa.Array) -> dict:
             fill = b"" if pa.types.is_binary(arr.type) or \
                 pa.types.is_large_binary(arr.type) else ""
             filled = pc.fill_null(arr, fill)
-        d, offs = buffer_view(filled)
+        d = buffer_view(filled)[0]
         s["data_bytes"] = int(len(d))
         s["avg_len"] = float(len(d) / n)
         s["entropy"] = byte_entropy(d)
-        present = (np.bincount(d, minlength=256) > 0) if len(d) else \
+        sample = d if len(d) <= _ENTROPY_SAMPLE else \
+            d[:: len(d) // _ENTROPY_SAMPLE]
+        present = (np.bincount(sample, minlength=256) > 0) if len(d) else \
             np.zeros(256, dtype=bool)
         s["n_unused_bytes"] = int((~present).sum())
-        # token+separator stats (toksep applies to any string/binary)
+        # trial-encode the string codecs on ONE shared row sample
+        # (~256 KB): the trial encode IS the stat — measured sizes beat
+        # any heuristic, and the trial's own params supply the token
+        # counts/distincts the size scaling needs.
         avg = max(len(d) / n, 1.0)
         ts_rows = int(max(64, min(2048, (256 << 10) / avg)))
         ts_step = max(n // ts_rows, 1)
         ts_sl = filled.take(pa.array(range(0, n, ts_step)))
-        ds, offss = buffer_view(ts_sl)
+        ds = buffer_view(ts_sl)[0]
         if len(ds):
-            from ..codecs.toksep import tokenize_offsets
-            to = tokenize_offsets(ds, offss)
-            ntok_s = len(to) - 1
-            tok_type = pa.binary() if to.dtype == np.int32 \
-                else pa.large_binary()
-            toks = pa.Array.from_buffers(
-                tok_type, ntok_s,
-                [None, pa.py_buffer(np.ascontiguousarray(to)),
-                 pa.py_buffer(np.ascontiguousarray(ds))])
-            denc = pc.dictionary_encode(toks)
-            if isinstance(denc, pa.ChunkedArray):
-                denc = denc.combine_chunks()
-            distinct = len(denc.dictionary)
-            tc = np.bincount(denc.indices.to_numpy(zero_copy_only=False)
-                             .astype(np.int64), minlength=distinct)
-            tc.sort()
-            hot = int(tc[-255:].sum()) if distinct > 255 else int(tc.sum())
+            from ..codecs import get_codec
             frac = len(ts_sl) / n
+            s["trial_rows"] = len(ts_sl)
+            s["trial_bytes"] = int(len(ds))
+            e = get_codec("toksep").encode(ts_sl)
+            ntok_s, distinct = e.params["n_tokens"], e.params["n_dict"]
+            aux = len(e.buffers.get("aux", b""))
+            s["trial_toksep_aux"] = aux
+            s["trial_toksep_payload"] = e.enc_bytes - aux
+            s["trial_toksep_distinct"] = distinct
             sat = distinct < 0.5 * max(ntok_s, 1)
             s["toksep_tokens_est"] = int(ntok_s / frac) if frac else 0
             s["toksep_distinct_est"] = int(
                 distinct * 1.2 if sat else distinct / max(frac, 1e-9))
             s["toksep_avg_len"] = float(len(ds) / max(ntok_s, 1))
-            s["toksep_rare_frac"] = float(1.0 - hot / max(ntok_s, 1))
-            # trial-encode the byte-level string codecs on the sample:
-            # measured bytes beat any heuristic, and the sample is
-            # already materialized (≤ ~256 KB)
-            from ..codecs import get_codec
-            s["trial_rows"] = len(ts_sl)
-            s["trial_bytes"] = int(len(ds))
-            e = get_codec("toksep").encode(ts_sl)
-            aux = len(e.buffers.get("aux", b""))
-            s["trial_toksep_aux"] = aux
-            s["trial_toksep_payload"] = e.enc_bytes - aux
-            s["trial_toksep_distinct"] = distinct
+            # fsst is the slowest trial (~20 MB/s): cap its slice at
+            # ~64 KB — the digram table saturates well before that
+            fsst_rows = max(int(len(ts_sl) * min(
+                1.0, (64 << 10) / max(len(ds), 1))), 16)
+            fsst_sl = ts_sl.slice(0, min(fsst_rows, len(ts_sl)))
             try:
-                e = get_codec("fsst").encode(ts_sl)
+                e = get_codec("fsst").encode(fsst_sl)
                 s["trial_fsst_total"] = e.enc_bytes
+                s["trial_fsst_rows"] = len(fsst_sl)
             except ValueError:
                 pass
-        # token stats for the token-dictionary codec (plain strings only)
-        if pa.types.is_string(arr.type) or pa.types.is_large_string(arr.type):
-            from ..codecs.tokdict import structurally_joinable
-            from ..functions.text import token_hashes
-            # byte-capped token sample (~256 KB): tokenizing megabytes
-            # of payload per part costs more than the encode it informs
-            avg = max(len(d) / n, 1.0)
-            tok_rows = int(max(64, min(2048, (256 << 10) / avg)))
-            step = max(n // tok_rows, 1)
-            sl = filled.take(pa.array(range(0, n, step)))
-            if structurally_joinable(sl):
-                h, _ = token_hashes(sl)
-                frac = len(sl) / n
-                n_tok = len(h)
-                distinct = int(len(np.unique(h))) if n_tok else 0
-                s["joinable_sampled"] = True
-                s["est_n_tokens"] = int(n_tok / frac) if frac else 0
-                # saturated vocab (many repeats in the sample) → the
-                # sample already holds ~all tokens; otherwise assume
-                # distinct grows linearly (worst case, e.g. unique urls)
-                sat = distinct < 0.5 * max(n_tok, 1)
-                s["est_tok_distinct"] = int(
-                    distinct * 1.2 if sat else distinct / max(frac, 1e-9))
-                s["avg_tok_len"] = (len(buffer_view(sl)[0]) / max(n_tok, 1))
-                # trial-encode on the sample (measured beats heuristic)
-                from ..codecs import get_codec
-                e = get_codec("tokdict").encode(sl)
-                aux = len(e.buffers.get("aux", b""))
-                s["trial_tokdict_aux"] = aux
-                s["trial_tokdict_payload"] = e.enc_bytes - aux
-                s["trial_tokdict_rows"] = len(sl)
-                s["trial_tokdict_distinct"] = distinct
+            # tokdict applies to single-space-joinable plain strings
+            if pa.types.is_string(arr.type) or \
+                    pa.types.is_large_string(arr.type):
+                from ..codecs.tokdict import structurally_joinable
+                if structurally_joinable(ts_sl):
+                    e = get_codec("tokdict").encode(ts_sl)
+                    n_tok = e.params["n_tokens"]
+                    distinct = e.params["n_dict"]
+                    aux = len(e.buffers.get("aux", b""))
+                    s["joinable_sampled"] = True
+                    s["trial_tokdict_aux"] = aux
+                    s["trial_tokdict_payload"] = e.enc_bytes - aux
+                    s["trial_tokdict_rows"] = len(ts_sl)
+                    s["trial_tokdict_distinct"] = distinct
+                    s["est_n_tokens"] = int(n_tok / frac) if frac else 0
+                    sat = distinct < 0.5 * max(n_tok, 1)
+                    s["est_tok_distinct"] = int(
+                        distinct * 1.2 if sat else
+                        distinct / max(frac, 1e-9))
+                    s["avg_tok_len"] = len(ds) / max(n_tok, 1)
     return s
