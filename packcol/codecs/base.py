@@ -76,6 +76,9 @@ class EncodedColumn:
     n_values: int
     params: dict = field(default_factory=dict)
     buffers: dict = field(default_factory=dict)   # str -> bytes
+    # runtime-only (never serialized): directory for resolving shared
+    # sidecar refs (params["shared_ref"]) written next to encoded parts
+    base_dir: str | None = None
 
     @property
     def enc_bytes(self) -> int:

@@ -157,6 +157,20 @@ class TokSepCodec(Codec):
         counts = unpack(np.frombuffer(enc.buffers["lens"], dtype=np.uint64),
                         p["len_width"], n).view(np.int64)
         dictionary = ipc_deserialize_array(enc.buffers["aux"])
+        if "shared_ref" in p:
+            # shared-vocab block (stages/toksep_actor.py): dictionary =
+            # sidecar vocabulary ⊕ per-block OOV patch
+            if enc.base_dir is None:
+                raise ValueError(
+                    "shared-vocab toksep block: decode needs base_dir "
+                    "(the encoded part's directory) to resolve "
+                    f"{p['shared_ref']!r}")
+            from ..stages.toksep_actor import load_shared_vocab
+            shared = load_shared_vocab(enc.base_dir, p["shared_ref"])
+            dictionary = pa.concat_arrays(
+                [shared.cast(pa.large_binary()),
+                 dictionary.cast(pa.large_binary())]) \
+                if len(dictionary) else shared
         if len(dictionary):
             dd, doffs = buffer_view(dictionary)
         else:

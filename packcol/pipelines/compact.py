@@ -64,7 +64,9 @@ class RecompactGroup:
         out = {"part_id": [], "rows": [], "orig_bytes": [], "enc_bytes": []}
         for row in batch.to_pylist():
             paths = row["paths"]
-            tables = [decode_rows(pq.read_table(p)) for p in paths]
+            tables = [decode_rows(pq.read_table(p),
+                                  base_dir=os.path.dirname(p))
+                      for p in paths]
             merged = pa.concat_tables(tables).combine_chunks()
             part_id = row["new_part_id"]
             enc = encode_table(merged, part_id=part_id)

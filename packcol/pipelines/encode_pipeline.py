@@ -198,7 +198,8 @@ class DecodePartFile:
                 enc = enc.filter(pc.is_in(
                     enc.column("column"), value_set=pa.array(self.columns)))
             tables.append(decode_rows(
-                enc, expect_complete=self.columns is None))
+                enc, expect_complete=self.columns is None,
+                base_dir=os.path.dirname(p)))
         return pa.concat_tables(tables)
 
 
@@ -275,7 +276,8 @@ class DecodeVerifyPart:
         from ..sources.webtext import extract_text_batch
         n = bad = 0
         for p in batch.column("path").to_pylist():
-            t = decode_rows(pq.read_table(p))
+            t = decode_rows(pq.read_table(p),
+                            base_dir=os.path.dirname(p))
             if {"html", "text"} <= set(t.column_names):
                 html = t.column("html").combine_chunks()
                 text = t.column("text").combine_chunks()

@@ -86,7 +86,8 @@ def encode_table(batch: pa.Table, part_id: str | None = None,
     return pa.table(rows, schema=ENC_SCHEMA)
 
 
-def decode_rows(enc_rows: pa.Table, expect_complete: bool = True) -> pa.Table:
+def decode_rows(enc_rows: pa.Table, expect_complete: bool = True,
+                base_dir: str | None = None) -> pa.Table:
     """Reassemble one partition's original table from its encoded rows.
 
     With expect_complete (default), raises if the rows are fewer than
@@ -111,7 +112,10 @@ def decode_rows(enc_rows: pa.Table, expect_complete: bool = True) -> pa.Table:
             raise ValueError(
                 f"duplicate encoded row for column {name!r} "
                 f"(part_id collision or mixed partitions in one group)")
-        cols[name] = decode_any(EncodedColumn.from_row(row))
+        enc = EncodedColumn.from_row(row)
+        if base_dir is not None:
+            enc.base_dir = base_dir  # lets shared-vocab blocks resolve
+        cols[name] = decode_any(enc)
         names.append(name)
     return pa.table({n: cols[n] for n in names})
 
