@@ -86,10 +86,23 @@ class EncodePartitionWriter:
     descriptor + deterministic codec selection), hence retry-safe."""
 
     def __init__(self, out_dir: str, codec_overrides: dict | None = None,
-                 columns: list[str] | None = None):
+                 columns: list[str] | None = None,
+                 shared_vocab_columns: list[str] | None = None):
         self.out_dir = out_dir
         self.codec_overrides = codec_overrides
         self.columns = columns
+        self.shared_vocab_columns = shared_vocab_columns
+        self._shared = None  # lazy: one sidecar load per worker process
+
+    def _column_encoders(self) -> dict | None:
+        if not self.shared_vocab_columns:
+            return None
+        if self._shared is None:
+            from ..stages.toksep_actor import TokSepSharedEncoder
+            self._shared = TokSepSharedEncoder(
+                self.out_dir, self.shared_vocab_columns)
+        return {c: self._shared.encode_column
+                for c in self.shared_vocab_columns}
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         out = {"part_id": [], "rows": [], "orig_bytes": [], "enc_bytes": [],
@@ -101,7 +114,8 @@ class EncodePartitionWriter:
                 list(range(d["rg_start"], d["rg_end"] + 1)),
                 columns=self.columns)
             enc = encode_table(t, part_id=d["part_id"],
-                               codec_overrides=self.codec_overrides)
+                               codec_overrides=self.codec_overrides,
+                               column_encoders=self._column_encoders())
             dest = os.path.join(self.out_dir, f"part-{d['part_id']}.parquet")
             pq.write_table(enc, dest + ".tmp", compression="zstd",
                            compression_level=3)
@@ -130,12 +144,25 @@ def encode_files(paths: list[str], out_dir: str, resume: bool = True,
                  target_bytes: int = _DEFAULT_TARGET_BYTES,
                  codec_overrides: dict | None = None,
                  concurrency: int | None = None,
-                 cpus_per_task: float = 1) -> dict:
+                 cpus_per_task: float = 1,
+                 shared_vocab_columns: list[str] | None = None) -> dict:
     """Checkpointed encode of parquet files → encoded parts + manifest.
 
     Returns aggregate metrics {parts, rows, orig_bytes, enc_bytes, ratio,
     skipped_parts}."""
     os.makedirs(out_dir, exist_ok=True)
+    if shared_vocab_columns:
+        # build + write the shared vocabulary sidecars ONCE; on resume an
+        # existing sidecar is REUSED, never rebuilt — already-encoded
+        # parts reference it by name, so rebuilding from drifted inputs
+        # would silently change their decode
+        from ..stages.toksep_actor import (SHARED_DIR, build_shared_vocab,
+                                           write_shared_vocab)
+        missing = [c for c in shared_vocab_columns if not os.path.exists(
+            os.path.join(out_dir, SHARED_DIR, f"toksep_{c}.ipc"))]
+        if missing:
+            write_shared_vocab(out_dir,
+                               build_shared_vocab(sorted(paths), missing))
     parts = plan_partitions(paths, target_bytes)
     man = Manifest(out_dir)
     done = man.done_parts() if resume else set()
@@ -157,7 +184,8 @@ def encode_files(paths: list[str], out_dir: str, resume: bool = True,
         # several CPUs per task caps concurrent encoders per node so the
         # stage runs at the bandwidth sweet spot instead of thrashing
         metrics = ds.map_batches(
-            EncodePartitionWriter(out_dir, codec_overrides),
+            EncodePartitionWriter(out_dir, codec_overrides,
+                                  shared_vocab_columns=shared_vocab_columns),
             batch_size=1, batch_format="pyarrow", num_cpus=cpus_per_task,
             **({"concurrency": concurrency} if concurrency else {}))
         mt = metrics.to_pandas()  # tiny: one row per partition

@@ -62,17 +62,30 @@ def content_part_id(batch: pa.Table) -> str:
 
 
 def encode_table(batch: pa.Table, part_id: str | None = None,
-                 codec_overrides: dict | None = None) -> pa.Table:
-    """Encode every column of a table block → encoded-block rows."""
+                 codec_overrides: dict | None = None,
+                 column_encoders: dict | None = None) -> pa.Table:
+    """Encode every column of a table block → encoded-block rows.
+
+    ``column_encoders`` maps column name → ``fn(col, name) ->
+    EncodedColumn`` for stateful encoders (e.g. the shared-vocab toksep
+    actor); other columns go through auto-selection."""
     part_id = part_id or content_part_id(batch)
     rows = {name: [] for name in ENC_SCHEMA.names}
     for name in batch.column_names:
         col = batch.column(name)
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
-        override = (codec_overrides or {}).get(name)
-        stats = column_stats(col)
-        enc = encode_with_guard(col, codec_name=override, stats=stats)
+        if column_encoders and name in column_encoders:
+            enc = column_encoders[name](col, name)
+            if enc.enc_bytes >= col.nbytes + 96:  # same guard as auto
+                from ..codecs import get_codec
+                store = get_codec("store").encode(col)
+                if store.enc_bytes < enc.enc_bytes:
+                    enc = store
+        else:
+            override = (codec_overrides or {}).get(name)
+            stats = column_stats(col)
+            enc = encode_with_guard(col, codec_name=override, stats=stats)
         r = enc.to_row()
         rows["part_id"].append(part_id)
         rows["column"].append(name)

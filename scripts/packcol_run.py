@@ -49,6 +49,11 @@ def main() -> None:
     e.add_argument("--output", required=True)
     e.add_argument("--target-mb", type=int, default=64)
     e.add_argument("--no-resume", action="store_true")
+    e.add_argument("--shared-vocab", default=None, metavar="COL1,COL2",
+                   help="encode these string columns against ONE "
+                        "sampled token vocabulary written as a sidecar "
+                        "(stages/toksep_actor.py) instead of per-part "
+                        "dictionaries")
 
     v = sub.add_parser("verify", help="decode-verify an encoded dir")
     v.add_argument("--encoded", required=True)
@@ -92,7 +97,10 @@ def main() -> None:
         if not paths:
             sys.exit(f"no files match {args.input}")
         m = encode_files(paths, args.output, resume=not args.no_resume,
-                         target_bytes=args.target_mb << 20)
+                         target_bytes=args.target_mb << 20,
+                         shared_vocab_columns=(
+                             args.shared_vocab.split(",")
+                             if args.shared_vocab else None))
         print(json.dumps(m))
     elif args.cmd == "verify":
         from packcol.pipelines.encode_pipeline import verify_files

@@ -92,3 +92,31 @@ def test_nulls_and_empty_rows(sample_files, tmp_path):
     enc.base_dir = out
     dec = get_codec("toksep").decode(enc)
     assert dec.to_pylist() == arr.to_pylist()
+
+
+def test_encode_files_shared_vocab(tmp_path, ray_session):
+    import glob
+    from packcol.pipelines.encode_pipeline import encode_files, verify_files
+    from packcol.sources.webtext import write_webtext
+    src = str(tmp_path / "wt")
+    write_webtext(src, 2000, 4)
+    paths = sorted(glob.glob(src + "/*.parquet"))
+    out = str(tmp_path / "enc")
+    m = encode_files(paths, out, resume=False, target_bytes=1 << 20,
+                     shared_vocab_columns=["html", "text"])
+    assert m["rows"] == 2000
+    sidecar = os.path.join(out, "_shared", "toksep_html.ipc")
+    assert os.path.exists(sidecar)
+    inv = verify_files(out)
+    assert inv == {"rows": 2000, "mismatches": 0}
+    # resume MUST reuse the sidecar (old parts reference it by name)
+    mtime = os.path.getmtime(sidecar)
+    parts = [f for f in os.listdir(out) if f.endswith(".parquet")]
+    os.remove(os.path.join(out, parts[0]))
+    pid = parts[0][len("part-"):-len(".parquet")]
+    os.remove(os.path.join(out, "_manifest", pid + ".json"))
+    m2 = encode_files(paths, out, resume=True, target_bytes=1 << 20,
+                      shared_vocab_columns=["html", "text"])
+    assert os.path.getmtime(sidecar) == mtime
+    assert verify_files(out) == {"rows": 2000, "mismatches": 0}
+    assert m2["rows"] == 2000
