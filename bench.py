@@ -136,6 +136,22 @@ def main() -> None:
             "sf": SF, "num_cpus": NUM_CPUS, **extras}))
         return
 
+    # --- shared-vocab encode (sidecar dictionaries; best-config ratio) ----
+    SV_DIR = "/dev/shm/packcol_bench/encoded_sv"
+    shutil.rmtree(SV_DIR, ignore_errors=True)
+    t_sv = float("inf")
+    for _ in range(2):
+        shutil.rmtree(SV_DIR, ignore_errors=True)
+        t, msv = timed(lambda: encode_files(
+            paths, SV_DIR, resume=False, target_bytes=4 << 20,
+            shared_vocab_columns=["html", "text"]))
+        t_sv = min(t_sv, t)
+    queries["encode_webtext_shared_vocab"] = round(t_sv, 3)
+    extras["shared_vocab_ratio"] = msv["ratio"]
+    t, inv_sv = timed(lambda: verify_files(SV_DIR))
+    assert inv_sv["mismatches"] == 0, inv_sv
+    shutil.rmtree(SV_DIR, ignore_errors=True)
+
     from packcol.pipelines.dedup import dedup_exact, minhash_lsh_pairs
 
     from packcol.sources.parquet import read_parquet_clean
