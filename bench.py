@@ -63,6 +63,18 @@ def _materialize(res):
     return res.materialize() if hasattr(res, "materialize") else res
 
 
+def _fault_wall_probe() -> float:
+    """This sandbox's global first-touch page-fault throughput varies
+    6 MB/s..2.6 GB/s on a seconds timescale (BASELINE.md).  Sample it at
+    bench start so every recorded run carries the box phase it ran in."""
+    import numpy as np
+    t0 = time.perf_counter()
+    a = np.ones(128 << 20, dtype=np.uint8)  # fresh pages
+    dt = time.perf_counter() - t0
+    del a
+    return round(0.125 / dt * 1000, 1)  # MB/s
+
+
 def main() -> None:
     os.environ.setdefault("ARROW_DEFAULT_MEMORY_POOL", "system")
     import ray
@@ -83,7 +95,7 @@ def main() -> None:
     from packcol.sources.webtext import write_webtext
 
     queries: dict[str, float] = {}
-    extras: dict = {}
+    extras: dict = {"fault_wall_MBps_at_start": _fault_wall_probe()}
 
     # --- input prep (cached across runs; untimed warm read) --------------
     paths = write_webtext(WEBTEXT_DIR, n_rows=_WEBTEXT_ROWS,
