@@ -260,10 +260,34 @@ def main() -> None:
     print(json.dumps(result))
 
 
+_PROBE_CODE = ("import numpy as np,time;t0=time.perf_counter();"
+               "a=np.ones(128<<20,dtype=np.uint8);"
+               "print(0.125/(time.perf_counter()-t0)*1000)")
+
+
+def _wait_good_phase(min_mbps: float = 350, timeout_s: float = 480) -> float:
+    """Block until the sandbox's first-touch fault wall (BASELINE.md:
+    oscillates 6 MB/s..2.6 GB/s) reads healthy, so every scaling leg
+    measures the engine in a comparable box phase.  Returns the last
+    probe; gives up (and lets the leg run anyway) after timeout_s."""
+    t0 = time.time()
+    last = 0.0
+    while time.time() - t0 < timeout_s:
+        r = subprocess.run([sys.executable, "-c", _PROBE_CODE],
+                           capture_output=True, text=True)
+        last = float(r.stdout or 0)
+        if last >= min_mbps:
+            return last
+        time.sleep(15)
+    return last
+
+
 def scaling() -> None:
     def run(ncpu: int) -> dict:
         # 4x the default input so per-stage fixed overheads amortize and
-        # the measurement reflects steady-state scaling
+        # the measurement reflects steady-state scaling; each leg waits
+        # for a healthy box phase so legs are comparable
+        _wait_good_phase()
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
                    GRAFT_BENCH_ROWS=str(4 * _WEBTEXT_ROWS),
                    GRAFT_HEADLINE_ONLY="1")
@@ -278,7 +302,12 @@ def scaling() -> None:
     # path saturates near 8-16 concurrent streams, so (8,32) additionally
     # measures the box, not the engine (see BASELINE.md).
     run(8)  # warm caches (page cache, webtext gen) — untimed
-    r = {n: run(n) for n in (2, 8, 32)}
+    r = {}
+    for nlev in (2, 8, 32):
+        leg = run(nlev)
+        if leg.get("fault_wall_MBps_at_start", 1e9) < 150:
+            leg = run(nlev)  # leg started in a collapsed phase: retry once
+        r[nlev] = leg
     eff_2_8 = (r[2]["value"] / r[8]["value"]) / 4
     eff_8_32 = (r[8]["value"] / r[32]["value"]) / 4
     print(json.dumps({
@@ -290,6 +319,9 @@ def scaling() -> None:
         "scaling_efficiency": round(eff_2_8, 3),
         "scaling_efficiency_2_8": round(eff_2_8, 3),
         "scaling_efficiency_8_32": round(eff_8_32, 3),
+        "fault_wall_MBps_per_leg": {
+            str(n): r[n].get("fault_wall_MBps_at_start")
+            for n in (2, 8, 32)},
         "queries": {str(n): r[n]["queries"] for n in (2, 8, 32)},
     }))
 
