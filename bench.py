@@ -302,12 +302,15 @@ def scaling() -> None:
     # path saturates near 8-16 concurrent streams, so (8,32) additionally
     # measures the box, not the engine (see BASELINE.md).
     run(8)  # warm caches (page cache, webtext gen) — untimed
-    r = {}
+    # best-of-K legs: the box phase flips on a seconds timescale and can
+    # only SLOW a leg, so the per-leg minimum over K attempts is the
+    # noise-rejecting estimator of the engine's number at that level
+    K = int(os.environ.get("GRAFT_SCALING_ATTEMPTS", "2"))
+    r, probes = {}, {}
     for nlev in (2, 8, 32):
-        leg = run(nlev)
-        if leg.get("fault_wall_MBps_at_start", 1e9) < 150:
-            leg = run(nlev)  # leg started in a collapsed phase: retry once
-        r[nlev] = leg
+        attempts = [run(nlev) for _ in range(K)]
+        probes[nlev] = [a.get("fault_wall_MBps_at_start") for a in attempts]
+        r[nlev] = min(attempts, key=lambda a: a["value"])
     eff_2_8 = (r[2]["value"] / r[8]["value"]) / 4
     eff_8_32 = (r[8]["value"] / r[32]["value"]) / 4
     print(json.dumps({
@@ -320,8 +323,7 @@ def scaling() -> None:
         "scaling_efficiency_2_8": round(eff_2_8, 3),
         "scaling_efficiency_8_32": round(eff_8_32, 3),
         "fault_wall_MBps_per_leg": {
-            str(n): r[n].get("fault_wall_MBps_at_start")
-            for n in (2, 8, 32)},
+            str(n): probes[n] for n in (2, 8, 32)},
         "queries": {str(n): r[n]["queries"] for n in (2, 8, 32)},
     }))
 
