@@ -164,10 +164,15 @@ def extract_text_batch(html: pa.Array) -> pa.Array:
     # row text length = total - fixed overhead - soup length; instead we
     # locate the marker with numpy matching on the 9-byte pattern.
     marker = np.frombuffer(b"<!--/T-->", dtype=np.uint8)
-    m = np.ones(max(len(d) - len(marker) + 1, 0), dtype=bool)
-    for j, ch in enumerate(marker):
-        m &= d[j:j + len(m)] == ch
-    hit_pos = np.flatnonzero(m)
+    # candidate-list scan: '<' is a few % of html bytes, so match the
+    # first byte with one pass and verify the other 8 only at candidates
+    # (gathers over the short candidate list, not 8 more full passes)
+    limit = max(len(d) - len(marker) + 1, 0)
+    cand = np.flatnonzero(d[:limit] == marker[0])
+    ok = np.ones(len(cand), dtype=bool)
+    for j in range(1, len(marker)):
+        ok &= d[cand + j] == marker[j]
+    hit_pos = cand[ok]
     # first hit within each row
     row_of_hit = np.searchsorted(offs, hit_pos, side="right") - 1
     first = np.full(len(html), -1, dtype=np.int64)
