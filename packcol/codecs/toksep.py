@@ -110,31 +110,14 @@ class TokSepCodec(Codec):
             rank[order] = np.arange(nd, dtype=np.int64)
             idx = rank[idx]
             dictionary = dictionary.take(pa.array(order))
-        cw = bits_needed(max(nd - 1, 0))
         lw = bits_needed(int(counts.max()) if n else 0)
-        # code stream scheme: flat bitpack vs escape-byte (hot codes
-        # < 255 as one byte, the rest as 255 + bit-packed side stream);
-        # deterministic exact-size choice
-        flat_bytes = -(-(ntok * cw) // 64) * 8
-        n_rare = int((idx >= 255).sum()) if (ntok and nd > 255) else 0
-        sw = bits_needed(max(nd - 256, 0))
-        esc_bytes = ntok + -(-(n_rare * sw) // 64) * 8
-        params = {"code_width": cw, "len_width": lw,
-                  "n_tokens": ntok, "n_dict": nd,
-                  "dtype": type_to_str(dtype)}
-        buffers = {"lens": pack(counts.view(np.uint64), lw).tobytes(),
-                   "aux": ipc_serialize_array(dictionary),
-                   "validity": validity}
-        if nd > 255 and esc_bytes < flat_bytes:
-            rare = idx >= 255
-            byte_stream = np.minimum(idx, 255).astype(np.uint8)
-            side = (idx[rare] - 255).astype(np.uint64)
-            params.update(scheme="esc", n_rare=n_rare, side_width=sw)
-            buffers["payload"] = byte_stream.tobytes()
-            buffers["side"] = pack(side, sw).tobytes()
-        else:
-            params["scheme"] = "flat"
-            buffers["payload"] = pack(idx.view(np.uint64), cw).tobytes()
+        from .codestream import encode_code_stream
+        cs_params, buffers = encode_code_stream(idx, nd)
+        params = {"len_width": lw, "n_tokens": ntok, "n_dict": nd,
+                  "dtype": type_to_str(dtype), **cs_params}
+        buffers.update(lens=pack(counts.view(np.uint64), lw).tobytes(),
+                       aux=ipc_serialize_array(dictionary),
+                       validity=validity)
         return EncodedColumn(codec=self.name, n_values=n,
                              params=params, buffers=buffers)
 
@@ -142,18 +125,8 @@ class TokSepCodec(Codec):
         n, p = enc.n_values, enc.params
         dtype = str_to_type(p["dtype"])
         nt = p["n_tokens"]
-        if p.get("scheme") == "esc":
-            b = np.frombuffer(enc.buffers["payload"], dtype=np.uint8)[:nt]
-            side = unpack(
-                np.frombuffer(enc.buffers["side"], dtype=np.uint64),
-                p["side_width"], p["n_rare"]).view(np.int64)
-            idx = b.astype(np.int64)
-            if p["n_rare"]:
-                idx[b == 255] = side + 255
-        else:
-            idx = unpack(
-                np.frombuffer(enc.buffers["payload"], dtype=np.uint64),
-                p["code_width"], nt).view(np.int64)
+        from .codestream import decode_code_stream
+        idx = decode_code_stream(p, enc.buffers, nt)
         counts = unpack(np.frombuffer(enc.buffers["lens"], dtype=np.uint64),
                         p["len_width"], n).view(np.int64)
         dictionary = ipc_deserialize_array(enc.buffers["aux"])

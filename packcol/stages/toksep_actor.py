@@ -179,28 +179,16 @@ class TokSepSharedEncoder:
         else:
             patch = pa.array([], type=pa.large_binary())
         nd = n_shared + len(patch)
-        cw = bits_needed(max(nd - 1, 0))
         lw = bits_needed(int(counts.max()) if n else 0)
-        flat_bytes = -(-(ntok * cw) // 64) * 8
-        n_rare = int((idx >= 255).sum()) if (ntok and nd > 255) else 0
-        sw = bits_needed(max(nd - 256, 0))
-        esc_bytes = ntok + -(-(n_rare * sw) // 64) * 8
-        params = {"code_width": cw, "len_width": lw, "n_tokens": ntok,
-                  "n_dict": nd, "dtype": type_to_str(dtype),
-                  "shared_ref": self.refs[name], "n_shared": n_shared}
-        buffers = {"lens": pack(counts.view(np.uint64), lw).tobytes(),
-                   "aux": ipc_serialize_array(patch),
-                   "validity": validity}
-        if nd > 255 and esc_bytes < flat_bytes:
-            rare = idx >= 255
-            params.update(scheme="esc", n_rare=n_rare, side_width=sw)
-            buffers["payload"] = np.minimum(idx, 255).astype(np.uint8) \
-                .tobytes()
-            buffers["side"] = pack((idx[rare] - 255).astype(np.uint64),
-                                   sw).tobytes()
-        else:
-            params["scheme"] = "flat"
-            buffers["payload"] = pack(idx.view(np.uint64), cw).tobytes()
+        from ..codecs.codestream import encode_code_stream
+        cs_params, buffers = encode_code_stream(idx, nd)
+        params = {"len_width": lw, "n_tokens": ntok, "n_dict": nd,
+                  "dtype": type_to_str(dtype),
+                  "shared_ref": self.refs[name], "n_shared": n_shared,
+                  **cs_params}
+        buffers.update(lens=pack(counts.view(np.uint64), lw).tobytes(),
+                       aux=ipc_serialize_array(patch),
+                       validity=validity)
         return EncodedColumn(codec="toksep", n_values=n,
                              params=params, buffers=buffers)
 
