@@ -440,3 +440,16 @@ def test_toksep_property(xs):
     enc = EncodedColumn.from_row(TokSepCodec().encode(arr).to_row())
     dec = get_codec("toksep").decode(enc)
     assert dec.to_pylist() == arr.to_pylist()
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.integers(min_value=1, max_value=70000),
+       st.lists(st.integers(min_value=0, max_value=69999),
+                min_size=0, max_size=300))
+def test_codestream_roundtrip_property(nd, codes):
+    from packcol.codecs.codestream import (decode_code_stream,
+                                           encode_code_stream)
+    idx = np.array([c % nd for c in codes], dtype=np.int64)
+    params, bufs = encode_code_stream(idx, nd)
+    out = decode_code_stream(params, bufs, len(idx))
+    assert np.array_equal(out, idx)
