@@ -120,3 +120,28 @@ def test_encode_files_shared_vocab(tmp_path, ray_session):
     assert os.path.getmtime(sidecar) == mtime
     assert verify_files(out) == {"rows": 2000, "mismatches": 0}
     assert m2["rows"] == 2000
+
+
+def test_recompact_shared_vocab_dir(tmp_path, ray_session):
+    """Recompacting a shared-vocab store: decode resolves the sidecar,
+    merged parts re-encode self-describing (no sidecar dependency)."""
+    import glob
+    import pyarrow.parquet as pq
+    from packcol.pipelines.compact import recompact
+    from packcol.pipelines.encode_pipeline import encode_files
+    from packcol.stages.encode import decode_rows
+    from packcol.sources.webtext import write_webtext
+    src = str(tmp_path / "wt")
+    write_webtext(src, 1000, 4)
+    out = str(tmp_path / "enc")
+    encode_files(sorted(glob.glob(src + "/*.parquet")), out, resume=False,
+                 target_bytes=1 << 19, shared_vocab_columns=["html"])
+    dest = str(tmp_path / "merged")
+    res = recompact(out, dest, merge_factor=4)
+    assert res["rows"] == 1000
+    # merged parts decode WITHOUT the sidecar present
+    rows = 0
+    for p in sorted(glob.glob(dest + "/*.parquet")):
+        t = decode_rows(pq.read_table(p))   # no base_dir on purpose
+        rows += t.num_rows
+    assert rows == 1000
