@@ -137,6 +137,30 @@ def queries() -> dict[str, Callable[[str], Any]]:
         sf, "documents", ["doc_id", "text"], "tokdict")
     q["toksep_roundtrip_text"] = lambda sf: _roundtrip(
         sf, "documents", ["doc_id", "text"], "toksep")
+
+    def shared_vocab_roundtrip(sf):
+        # shared-vocabulary toksep (stages/toksep_actor.py): sampled
+        # sidecar vocabulary + per-block OOV patch must reconstruct the
+        # column byte-identically
+        import tempfile
+        import pyarrow.parquet as _pq
+        from packcol.codecs import EncodedColumn, get_codec
+        from packcol.stages.toksep_actor import (TokSepSharedEncoder,
+                                                 build_shared_vocab,
+                                                 write_shared_vocab)
+        path = os.path.join(sf, "documents.parquet")
+        out = tempfile.mkdtemp(prefix="packcol_sv_")
+        write_shared_vocab(out, build_shared_vocab([path], ["text"]))
+        t = _pq.read_table(path, columns=["doc_id", "text"])
+        stage = TokSepSharedEncoder(out, ["text"])
+        enc = stage.encode_column(t.column("text").combine_chunks(),
+                                  "text")
+        enc2 = EncodedColumn.from_row(enc.to_row())
+        enc2.base_dir = out
+        dec = get_codec("toksep").decode(enc2)
+        import pyarrow as _pa
+        return _pa.table({"doc_id": t.column("doc_id"), "text": dec})
+    q["shared_vocab_roundtrip"] = shared_vocab_roundtrip
     q["store_roundtrip_props"] = lambda sf: _roundtrip(
         sf, "events", ["event_id", "props"], "store")
     q["decfloat_roundtrip_value"] = lambda sf: _roundtrip(
@@ -1146,7 +1170,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rle_roundtrip_source", "for_roundtrip_ts",
         "bitpack_roundtrip_user", "delta_roundtrip_ts",
         "fsst_roundtrip_text", "tokdict_roundtrip_text",
-        "toksep_roundtrip_text",
+        "toksep_roundtrip_text", "shared_vocab_roundtrip",
         "store_roundtrip_props", "decfloat_roundtrip_value",
         "longest_docs", "english_docs",
         "langid_counts", "fingerprint_checksum",
@@ -1174,6 +1198,7 @@ def oracle_sql() -> dict[str, str]:
         "fsst_roundtrip_text": "SELECT doc_id, text FROM documents",
         "tokdict_roundtrip_text": "SELECT doc_id, text FROM documents",
         "toksep_roundtrip_text": "SELECT doc_id, text FROM documents",
+        "shared_vocab_roundtrip": "SELECT doc_id, text FROM documents",
         "store_roundtrip_props": "SELECT event_id, props FROM events",
         "decfloat_roundtrip_value": "SELECT event_id, value FROM events",
         "auto_roundtrip_documents": "SELECT * FROM documents",
