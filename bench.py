@@ -75,6 +75,26 @@ def _fault_wall_probe() -> float:
     return round(0.125 / dt * 1000, 1)  # MB/s
 
 
+_GATE_MIN_MBPS = float(os.environ.get("GRAFT_GATE_MBPS", "350"))
+
+
+def _gate_phase(extras: dict, budget_s: float = 240) -> float:
+    """Phase-gate for a timed section (VERDICT r3 item 2): bounded wait
+    until the fault wall reads healthy, recording every probe in
+    extras["fault_wall_probes"] so the official number defends itself —
+    a collapsed-box run carries its own probe trail.  Gives up (and
+    lets the section run anyway) after budget_s."""
+    t0 = time.time()
+    trail = extras.setdefault("fault_wall_probes", [])
+    p = _fault_wall_probe()
+    trail.append(p)
+    while p < _GATE_MIN_MBPS and time.time() - t0 < budget_s:
+        time.sleep(10)
+        p = _fault_wall_probe()
+        trail.append(p)
+    return p
+
+
 def main() -> None:
     os.environ.setdefault("ARROW_DEFAULT_MEMORY_POOL", "system")
     import ray
@@ -115,12 +135,19 @@ def main() -> None:
     t_cold, _ = timed(lambda: encode_files(
         paths, ENC_DIR, resume=False, target_bytes=4 << 20))
     extras["cold_first_pass_s"] = round(t_cold, 3)
+    # best-of-K with per-attempt phase gates: 2 attempts when the box is
+    # healthy, a 3rd when any attempt ran in a collapsed phase
     t_enc = float("inf")
-    for _ in range(2):
+    probes = []
+    for attempt in range(3):
+        probes.append(_gate_phase(extras))
         shutil.rmtree(ENC_DIR, ignore_errors=True)
         t, metrics = timed(lambda: encode_files(
             paths, ENC_DIR, resume=False, target_bytes=4 << 20))
         t_enc = min(t_enc, t)
+        if attempt >= 1 and min(probes) >= _GATE_MIN_MBPS:
+            break
+    extras["encode_attempt_probes_MBps"] = probes
     queries["encode_webtext"] = round(t_enc, 3)
     extras["logical_bytes"] = metrics["orig_bytes"]
     extras["encoded_bytes"] = metrics["enc_bytes"]
@@ -129,9 +156,14 @@ def main() -> None:
 
     # --- headline: decode + url-keyed text invariant ----------------------
     t_dec = float("inf")
-    for _ in range(2):
+    probes = []
+    for attempt in range(3):
+        probes.append(_gate_phase(extras, budget_s=120))
         t, inv = timed(lambda: verify_files(ENC_DIR))
         t_dec = min(t_dec, t)
+        if attempt >= 1 and min(probes) >= _GATE_MIN_MBPS:
+            break
+    extras["decode_attempt_probes_MBps"] = probes
     queries["decode_verify_webtext"] = round(t_dec, 3)
     extras["decode_GBps"] = round(metrics["orig_bytes"] / t_dec / 1e9, 3)
     assert inv["mismatches"] == 0, inv
@@ -149,6 +181,7 @@ def main() -> None:
         return
 
     # --- shared-vocab encode (sidecar dictionaries; best-config ratio) ----
+    _gate_phase(extras, budget_s=120)  # one gate for the query suite
     SV_DIR = "/dev/shm/packcol_bench/encoded_sv"
     shutil.rmtree(SV_DIR, ignore_errors=True)
     t_sv = float("inf")

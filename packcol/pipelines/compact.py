@@ -31,7 +31,15 @@ def compact_columns(enc_dir: str, dest_dir: str) -> dict:
 
     The shuffle moves only encoded payloads (already compressed), and
     one groupby key per column keeps the exchange tiny."""
+    import shutil
     os.makedirs(dest_dir, exist_ok=True)
+    # carry the shared-vocabulary sidecar along: shared-ref toksep
+    # blocks resolve params["shared_ref"] relative to the store dir,
+    # so a compacted store must contain the same _shared/ files
+    shared_src = os.path.join(enc_dir, "_shared")
+    if os.path.isdir(shared_src):
+        shutil.copytree(shared_src, os.path.join(dest_dir, "_shared"),
+                        dirs_exist_ok=True)
     files = [os.path.join(enc_dir, f) for f in sorted(os.listdir(enc_dir))
              if f.endswith(".parquet")]
     ds = rd.read_parquet(files)
@@ -97,12 +105,19 @@ def read_column(dest_dir: str, column: str):
         from ..codecs import EncodedColumn, decode_any
         from ..codecs.base import str_to_type
         import json as _json
-        enc_rows = pq.read_table(batch.column("path")[0].as_py())
+        fpath = batch.column("path")[0].as_py()
+        # shared-ref blocks resolve their vocabulary sidecar relative
+        # to the store directory (the _shared/ copy made by
+        # compact_columns)
+        base_dir = os.path.dirname(fpath)
+        enc_rows = pq.read_table(fpath)
         arrays, dtype = [], None
         for i in range(enc_rows.num_rows):
             row = {k: enc_rows.column(k)[i].as_py() for k in
                    ("codec", "n_values", "params", "payload")}
-            a = decode_any(EncodedColumn.from_row(row))
+            enc = EncodedColumn.from_row(row)
+            enc.base_dir = base_dir
+            a = decode_any(enc)
             dtype = a.type
             arrays.append(a)
         if not arrays:

@@ -980,3 +980,30 @@ def interval_count_join(left, right, by, on: str, gap: int,
         return batch.set_column(batch.column_names.index(out_col),
                                 out_col, c)
     return out.map_batches(fill0, batch_format="pyarrow")
+
+
+def global_top_k(ds, sort_cols, ascending, k: int):
+    """Global top-k rows under a lexicographic order, combiner form.
+
+    Top-k is decomposable: the global answer is contained in the union
+    of block-local answers, so each batch keeps only its local top-k
+    (vectorized pandas sort inside ``map_batches``) and the driver
+    merges O(k x batches) partial rows — never the full dataset.
+    Replaces the full-aggregate ``.to_pandas()`` pattern that is
+    unbounded in #distinct keys at web scale (VERDICT r3 items 1-2).
+
+    Returns a pandas DataFrame of exactly ``min(k, total_rows)`` rows,
+    sorted by ``sort_cols`` / ``ascending``.
+    """
+    import pandas as pd
+    sort_cols = list(sort_cols)
+    ascending = list(ascending)
+
+    def partial(df: "pd.DataFrame") -> "pd.DataFrame":
+        return df.sort_values(sort_cols, ascending=ascending,
+                              kind="mergesort").head(k)
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    return parts.sort_values(sort_cols, ascending=ascending,
+                             kind="mergesort").head(k) \
+        .reset_index(drop=True)

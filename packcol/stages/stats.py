@@ -117,9 +117,13 @@ def column_stats(arr: pa.Array) -> dict:
         s["data_bytes"] = int(len(d))
         s["avg_len"] = float(len(d) / n)
         s["entropy"] = byte_entropy(d)
-        sample = d if len(d) <= _ENTROPY_SAMPLE else \
-            d[:: len(d) // _ENTROPY_SAMPLE]
-        present = (np.bincount(sample, minlength=256) > 0) if len(d) else \
+        # presence test over the FULL buffer (one linear pass, same
+        # cost class as the entropy scan): a strided sample can miss
+        # bytes that appear only between strides, which made select.py
+        # over-pick fsst and waste a full-column encode attempt on the
+        # encode_with_guard retry (ADVICE r3)
+        present = (np.bincount(np.ascontiguousarray(d),
+                               minlength=256) > 0) if len(d) else \
             np.zeros(256, dtype=bool)
         s["n_unused_bytes"] = int((~present).sum())
         # trial-encode the string codecs on ONE shared row sample

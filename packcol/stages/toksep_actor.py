@@ -194,6 +194,16 @@ class TokSepSharedEncoder:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         from ..stages.encode import ENC_SCHEMA, content_part_id
+        # this standalone stage encodes exactly self.columns and stamps
+        # n_cols accordingly; extra batch columns would be silently
+        # dropped in a way decode_rows' expect_complete check could not
+        # detect — fail loudly instead (select_columns upstream)
+        if set(batch.column_names) != set(self.columns):
+            raise ValueError(
+                "TokSepSharedEncoder encodes exactly its configured "
+                f"columns {sorted(self.columns)} but the batch has "
+                f"{sorted(batch.column_names)}; select_columns() the "
+                "batch first or configure the missing columns")
         part_id = content_part_id(batch)
         rows = {name: [] for name in ENC_SCHEMA.names}
         for name in self.columns:

@@ -131,3 +131,41 @@ def test_filter_encoded_on_recompacted_store(enc_dir, ray_session,
     exp = decode_files(enc_dir).to_pandas()
     exp = exp[exp["lang"] == "de"]
     assert sorted(got["url"]) == sorted(exp["url"])
+
+
+@pytest.fixture(scope="module")
+def sv_enc_dir(tmp_path_factory, ray_session):
+    """Encoded store with shared-vocab toksep columns (sidecar refs)."""
+    from packcol.pipelines.encode_pipeline import encode_files
+    wt = str(tmp_path_factory.mktemp("wt_sv"))
+    out = str(tmp_path_factory.mktemp("enc_sv"))
+    paths = write_webtext(wt, n_rows=2000, n_parts=2, seed=7)
+    encode_files(paths, out, target_bytes=1 << 19,
+                 shared_vocab_columns=["html", "text"])
+    return out
+
+
+def test_compact_columns_carries_shared_vocab(sv_enc_dir, ray_session,
+                                              tmp_path):
+    """ADVICE r3 (medium): column-major compaction of a shared-vocab
+    store must copy the _shared/ sidecar and decode shared-ref blocks —
+    previously read_column raised 'decode needs base_dir'."""
+    from packcol.pipelines.compact import compact_columns, read_column
+    from packcol.pipelines.encode_pipeline import decode_files
+    dest = str(tmp_path / "cols_sv")
+    compact_columns(sv_enc_dir, dest)
+    assert os.path.isdir(os.path.join(dest, "_shared"))
+    got = read_column(dest, "text").to_pandas()["text"]
+    exp = decode_files(sv_enc_dir).to_pandas()["text"]
+    assert sorted(got) == sorted(exp)
+
+
+def test_shared_encoder_call_rejects_extra_columns(sv_enc_dir):
+    """ADVICE r3 (low): the standalone __call__ stage encodes exactly
+    its configured columns; a batch with extra columns must fail loudly
+    instead of silently dropping them."""
+    from packcol.stages.toksep_actor import TokSepSharedEncoder
+    stage = TokSepSharedEncoder(sv_enc_dir, ["text"])
+    batch = pa.table({"text": ["a b", "c"], "extra": [1, 2]})
+    with pytest.raises(ValueError, match="configured"):
+        stage(batch)
