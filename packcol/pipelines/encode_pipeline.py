@@ -203,10 +203,9 @@ def encode_files(paths: list[str], out_dir: str, resume: bool = True,
             "encoded_rows_this_run": int(mt["rows"].sum())}
 
 
-def read_encoded(out_dir: str) -> "rd.Dataset":
-    files = [os.path.join(out_dir, f) for f in sorted(os.listdir(out_dir))
-             if f.endswith(".parquet")]
-    return rd.read_parquet(files)
+# the generic read side of the store lives in sources/encoded.py:
+# read_encoded(store, columns=..., filter=...) — projection + zone-map
+# pruning + encoded-domain predicates over the decode paths below
 
 
 class DecodePartFile:

@@ -1,0 +1,98 @@
+"""Generic encoded-store source (sources/encoded.py): the store read as
+a first-class Dataset — projection, predicates, schema, heterogeneous
+composition with shared-vocab stores."""
+
+import os
+
+import pyarrow as pa
+import pytest
+
+from packcol.sources.webtext import write_webtext
+
+
+@pytest.fixture(scope="module")
+def store(tmp_path_factory, ray_session):
+    from packcol.pipelines.encode_pipeline import encode_files
+    wt = str(tmp_path_factory.mktemp("wt_src"))
+    out = str(tmp_path_factory.mktemp("store_src"))
+    paths = write_webtext(wt, n_rows=3000, n_parts=3, seed=5)
+    encode_files(paths, out, target_bytes=1 << 19)
+    return wt, out
+
+
+def test_encoded_schema(store):
+    from packcol.sources.encoded import encoded_schema
+    _, out = store
+    sch = encoded_schema(out)
+    assert set(sch.names) == {"url", "warc_ts", "html", "text", "lang"}
+    assert sch.field("warc_ts").type == pa.timestamp("us")
+    assert pa.types.is_large_binary(sch.field("html").type) or \
+        pa.types.is_binary(sch.field("html").type)
+
+
+def test_read_encoded_full_scan_roundtrip(store, ray_session):
+    import ray.data as rd
+    from packcol.sources.encoded import read_encoded
+    wt, out = store
+    got = read_encoded(out).to_pandas().sort_values("url")
+    exp = rd.read_parquet(wt).to_pandas().sort_values("url")
+    assert list(got["text"]) == list(exp["text"])
+    assert list(got["html"]) == list(exp["html"])
+
+
+def test_read_encoded_projection(store, ray_session):
+    from packcol.sources.encoded import read_encoded
+    _, out = store
+    got = read_encoded(out, columns=["url", "lang"]).to_pandas()
+    assert sorted(got.columns) == ["lang", "url"]
+    assert len(got) == 3000
+
+
+def test_read_encoded_eq_filter(store, ray_session):
+    import ray.data as rd
+    from packcol.sources.encoded import read_encoded
+    wt, out = store
+    got = read_encoded(out, columns=["url"],
+                       filter=("lang", "==", "de")).to_pandas()
+    exp = rd.read_parquet(wt).to_pandas()
+    assert sorted(got["url"]) == sorted(exp[exp["lang"] == "de"]["url"])
+
+
+def test_read_encoded_range_filter_default_columns(store, ray_session):
+    """filter without columns= decodes the full schema at matching
+    rows."""
+    import ray.data as rd
+    from packcol.sources.encoded import read_encoded
+    wt, out = store
+    exp = rd.read_parquet(wt).to_pandas()
+    lo = exp["warc_ts"].quantile(0.4).to_pydatetime()
+    hi = exp["warc_ts"].quantile(0.6).to_pydatetime()
+    got = read_encoded(out, filter=("warc_ts", "between", lo, hi)) \
+        .to_pandas()
+    want = exp[(exp["warc_ts"] >= lo) & (exp["warc_ts"] <= hi)]
+    assert set(got.columns) == {"url", "warc_ts", "html", "text", "lang"}
+    assert sorted(got["url"]) == sorted(want["url"])
+
+
+def test_read_encoded_bad_filter_raises(store):
+    from packcol.sources.encoded import read_encoded
+    _, out = store
+    with pytest.raises(ValueError, match="unsupported filter"):
+        read_encoded(out, filter=("lang", "!=", "de"))
+
+
+def test_read_encoded_shared_vocab_store(tmp_path_factory, ray_session):
+    """The generic source resolves shared-vocab sidecar refs (base_dir
+    plumbing through DecodePartFile)."""
+    import ray.data as rd
+    from packcol.pipelines.encode_pipeline import encode_files
+    from packcol.sources.encoded import read_encoded
+    wt = str(tmp_path_factory.mktemp("wt_sv_src"))
+    out = str(tmp_path_factory.mktemp("store_sv_src"))
+    paths = write_webtext(wt, n_rows=1500, n_parts=2, seed=9)
+    encode_files(paths, out, target_bytes=1 << 19,
+                 shared_vocab_columns=["text"])
+    got = read_encoded(out, columns=["url", "text"]).to_pandas() \
+        .sort_values("url")
+    exp = rd.read_parquet(wt).to_pandas().sort_values("url")
+    assert list(got["text"]) == list(exp["text"])
