@@ -316,13 +316,18 @@ def _wait_good_phase(min_mbps: float = 350, timeout_s: float = 480) -> float:
 
 
 def scaling() -> None:
+    # 4x the default input so per-stage fixed overheads amortize and the
+    # measurement reflects steady-state scaling (GRAFT_SCALING_ROWS
+    # overrides; r4 ladders at 16x showed session ramp ~1 s dominating a
+    # 2-3 s 32-CPU leg at 1 GB)
+    scaling_rows = int(os.environ.get(
+        "GRAFT_SCALING_ROWS", 4 * _WEBTEXT_ROWS))
+
     def run(ncpu: int) -> dict:
-        # 4x the default input so per-stage fixed overheads amortize and
-        # the measurement reflects steady-state scaling; each leg waits
-        # for a healthy box phase so legs are comparable
+        # each leg waits for a healthy box phase so legs are comparable
         _wait_good_phase()
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
-                   GRAFT_BENCH_ROWS=str(4 * _WEBTEXT_ROWS),
+                   GRAFT_BENCH_ROWS=str(scaling_rows),
                    GRAFT_HEADLINE_ONLY="1")
         out = subprocess.run([sys.executable, os.path.abspath(__file__)],
                              env=env, capture_output=True, text=True,

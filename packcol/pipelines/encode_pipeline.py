@@ -76,6 +76,42 @@ def plan_partitions(paths: list[str],
     return parts
 
 
+def _cluster_cpus() -> int:
+    import ray
+    try:
+        return int(ray.cluster_resources().get("CPU", 0)) or \
+            (os.cpu_count() or 8)
+    except Exception:
+        return os.cpu_count() or 8
+
+
+def _seed_bins(parts: list[dict], waves: int = 4) -> list[dict]:
+    """LPT bin-pack partition descriptors into O(cluster CPUs) seed
+    items, each carrying a byte-balanced list under ``descs``.
+
+    Two reasons over one-item-per-part (profiled r4, BASELINE.md):
+    (1) `from_items` block-creation cost scales with BLOCK count, not
+    item count (206 blocks cost ~0.45 s of serial driver prologue at
+    32 CPUs — 15% of the encode wall; 64 bins cost ~0.1 s), and at
+    100 TB the plan is ~10^6 descriptors — per-part blocks would be a
+    driver metadata explosion.  (2) fewer tasks amortize dispatch.
+    ``waves`` bins per CPU keeps late-straggler loss bounded at ~1/waves
+    of one task even with byte skew (LPT guarantees bins within ~max
+    part of each other)."""
+    import heapq
+    k = min(len(parts), max(waves * _cluster_cpus(), 16))
+    if k >= len(parts):
+        return [{"descs": [p]} for p in parts]
+    heap = [(0, i) for i in range(k)]
+    heapq.heapify(heap)
+    bins: list[list[dict]] = [[] for _ in range(k)]
+    for p in sorted(parts, key=lambda p: -p.get("bytes", 0)):
+        sz, i = heapq.heappop(heap)
+        bins[i].append(p)
+        heapq.heappush(heap, (sz + p.get("bytes", 0), i))
+    return [{"descs": b} for b in bins if b]
+
+
 # ---------------------------------------------------------------------------
 # checkpointed flagship
 # ---------------------------------------------------------------------------
@@ -107,37 +143,90 @@ class EncodePartitionWriter:
     def __call__(self, batch: pa.Table) -> pa.Table:
         out = {"part_id": [], "rows": [], "orig_bytes": [], "enc_bytes": [],
                "wall_s": []}
-        for d in batch.to_pylist():
-            t0 = time.perf_counter()
-            pf = pq.ParquetFile(d["path"])
-            t = pf.read_row_groups(
-                list(range(d["rg_start"], d["rg_end"] + 1)),
-                columns=self.columns)
-            enc = encode_table(t, part_id=d["part_id"],
-                               codec_overrides=self.codec_overrides,
-                               column_encoders=self._column_encoders())
-            dest = os.path.join(self.out_dir, f"part-{d['part_id']}.parquet")
-            pq.write_table(enc, dest + ".tmp", compression="zstd",
-                           compression_level=3)
-            os.replace(dest + ".tmp", dest)
-            orig = sum(enc.column("orig_bytes").to_pylist())
-            encb = sum(enc.column("enc_bytes").to_pylist())
-            Manifest(self.out_dir).record(d["part_id"], {
-                "input": d["path"], "rg_start": d["rg_start"],
-                "rg_end": d["rg_end"], "rows": t.num_rows,
-                "input_bytes": d.get("input_bytes"),
-                "orig_bytes": orig, "enc_bytes": encb,
-                "zones": compute_zones(t),
-                "codecs": dict(zip(enc.column("column").to_pylist(),
-                                   enc.column("codec").to_pylist())),
-                "params_hash": params_hash(enc),
-                "wall_s": round(time.perf_counter() - t0, 4)})
-            out["part_id"].append(d["part_id"])
-            out["rows"].append(t.num_rows)
-            out["orig_bytes"].append(orig)
-            out["enc_bytes"].append(encb)
-            out["wall_s"].append(time.perf_counter() - t0)
+        # seed rows are either bare descriptors or LPT bins of them
+        # ({"descs": [...]}, see _seed_bins)
+        for row in batch.to_pylist():
+            descs = row["descs"] if "descs" in row else [row]
+            for d in descs:
+                self._encode_one(d, out)
         return pa.table(out)
+
+    def _encode_one(self, d: dict, out: dict) -> None:
+        t0 = time.perf_counter()
+        pf = pq.ParquetFile(d["path"])
+        t = pf.read_row_groups(
+            list(range(d["rg_start"], d["rg_end"] + 1)),
+            columns=self.columns)
+        enc = encode_table(t, part_id=d["part_id"],
+                           codec_overrides=self.codec_overrides,
+                           column_encoders=self._column_encoders())
+        dest = os.path.join(self.out_dir, f"part-{d['part_id']}.parquet")
+        pq.write_table(enc, dest + ".tmp", compression="zstd",
+                       compression_level=3)
+        os.replace(dest + ".tmp", dest)
+        orig = sum(enc.column("orig_bytes").to_pylist())
+        encb = sum(enc.column("enc_bytes").to_pylist())
+        Manifest(self.out_dir).record(d["part_id"], {
+            "input": d["path"], "rg_start": d["rg_start"],
+            "rg_end": d["rg_end"], "rows": t.num_rows,
+            "input_bytes": d.get("input_bytes"),
+            "orig_bytes": orig, "enc_bytes": encb,
+            "zones": compute_zones(t),
+            "codecs": dict(zip(enc.column("column").to_pylist(),
+                               enc.column("codec").to_pylist())),
+            "params_hash": params_hash(enc),
+            "wall_s": round(time.perf_counter() - t0, 4)})
+        out["part_id"].append(d["part_id"])
+        out["rows"].append(t.num_rows)
+        out["orig_bytes"].append(orig)
+        out["enc_bytes"].append(encb)
+        out["wall_s"].append(time.perf_counter() - t0)
+
+
+def store_selection(out_dir: str, paths: list[str],
+                    sample_rows: int = 4096, max_files: int = 2) -> dict:
+    """Codec selection ONCE per STORE from a bounded deterministic
+    sample of the sorted input files, persisted as a
+    ``_selection/codecs.json`` sidecar — the same sample-once /
+    sidecar / reuse-on-resume design as the shared vocabulary
+    (stages/toksep_actor.py) and the reference's sample-don't-scan
+    table build (/root/reference/src/naive_impl/seq_vector/
+    minimizers.rs:38-142).
+
+    Amortization: the per-part stats sampler trial-encodes three string
+    codecs per column, re-deriving the SAME decision for every part of
+    a homogeneous corpus — ~48% of per-part encode wall at 4 MB parts
+    (profiled r4).  With the store-level decision passed as
+    codec_overrides, sibling parts skip that pass entirely; a part
+    where the reused codec fails (true drift) falls back to full
+    per-part selection inside encode_with_guard, and the store-vs-raw
+    size guard still applies per part."""
+    import json as _json
+    spath = os.path.join(out_dir, "_selection", "codecs.json")
+    if os.path.exists(spath):
+        with open(spath) as f:
+            return _json.load(f)["codecs"]
+    from ..stages.select import choose_codec
+    from ..stages.stats import column_stats
+    tabs = []
+    for p in sorted(paths)[:max_files]:
+        pf = pq.ParquetFile(p)
+        if pf.metadata.num_row_groups:
+            tabs.append(pf.read_row_groups([0]).slice(0, sample_rows))
+    if not tabs:
+        return {}
+    t = pa.concat_tables(tabs).combine_chunks()
+    if t.num_rows < 64:  # degenerate sample: keep per-part selection
+        return {}
+    sel = {name: choose_codec(t.column(name).type,
+                              column_stats(t.column(name).combine_chunks()))
+           for name in t.column_names}
+    os.makedirs(os.path.dirname(spath), exist_ok=True)
+    tmp = f"{spath}.tmp{os.getpid()}"
+    with open(tmp, "w") as f:
+        _json.dump({"codecs": sel}, f)
+    os.replace(tmp, spath)  # concurrent writers produce identical content
+    return sel
 
 
 def encode_files(paths: list[str], out_dir: str, resume: bool = True,
@@ -163,6 +252,11 @@ def encode_files(paths: list[str], out_dir: str, resume: bool = True,
         if missing:
             write_shared_vocab(out_dir,
                                build_shared_vocab(sorted(paths), missing))
+    # store-level codec selection sidecar (sample once, reuse per part;
+    # explicit user overrides win)
+    sel = store_selection(out_dir, paths)
+    if sel:
+        codec_overrides = {**sel, **(codec_overrides or {})}
     parts = plan_partitions(paths, target_bytes)
     man = Manifest(out_dir)
     done = man.done_parts() if resume else set()
@@ -179,10 +273,9 @@ def encode_files(paths: list[str], out_dir: str, resume: bool = True,
     todo = [p for p in parts if not _unchanged(p)]
     skipped = len(parts) - len(todo)
     if todo:
-        ds = rd.from_items(todo, override_num_blocks=len(todo))
-        # encode is memory-bandwidth-bound, not core-bound: reserving
-        # several CPUs per task caps concurrent encoders per node so the
-        # stage runs at the bandwidth sweet spot instead of thrashing
+        # byte-balanced seed bins, O(cluster CPUs) blocks (see _seed_bins)
+        seeds = _seed_bins(todo)
+        ds = rd.from_items(seeds, override_num_blocks=len(seeds))
         metrics = ds.map_batches(
             EncodePartitionWriter(out_dir, codec_overrides,
                                   shared_vocab_columns=shared_vocab_columns),
@@ -238,8 +331,12 @@ def decode_files(out_dir: str, concurrency: int | None = None,
     decode a projection only (pruning at the encoded-block level)."""
     files = [{"path": os.path.join(out_dir, f)}
              for f in sorted(os.listdir(out_dir)) if f.endswith(".parquet")]
-    ds = rd.from_items(files, override_num_blocks=max(len(files), 1))
-    return ds.map_batches(DecodePartFile(columns), batch_size=1,
+    # O(cluster CPUs) seed blocks: parts are byte-balanced by plan, so a
+    # contiguous even-count split stays balanced; per-file blocks cost a
+    # serial driver prologue at high part counts (see _seed_bins)
+    nb = min(max(len(files), 1), max(4 * _cluster_cpus(), 16))
+    ds = rd.from_items(files, override_num_blocks=nb)
+    return ds.map_batches(DecodePartFile(columns), batch_size=None,
                           batch_format="pyarrow", num_cpus=cpus_per_task,
                           **({"concurrency": concurrency} if concurrency
                              else {}))
@@ -325,8 +422,9 @@ def verify_files(out_dir: str, cpus_per_task: float = 1) -> dict:
     in one task per part; returns {rows, mismatches}."""
     files = [{"path": os.path.join(out_dir, f)}
              for f in sorted(os.listdir(out_dir)) if f.endswith(".parquet")]
-    ds = rd.from_items(files, override_num_blocks=max(len(files), 1))
-    res = ds.map_batches(DecodeVerifyPart(), batch_size=1,
+    nb = min(max(len(files), 1), max(4 * _cluster_cpus(), 16))
+    ds = rd.from_items(files, override_num_blocks=nb)
+    res = ds.map_batches(DecodeVerifyPart(), batch_size=None,
                          batch_format="pyarrow",
                          num_cpus=cpus_per_task).to_pandas()
     return {"rows": int(res["n"].sum()), "mismatches": int(res["n_bad"].sum())}

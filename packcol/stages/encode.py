@@ -84,7 +84,10 @@ def encode_table(batch: pa.Table, part_id: str | None = None,
                     enc = store
         else:
             override = (codec_overrides or {}).get(name)
-            stats = column_stats(col)
+            # with a valid override the stats/trial-encode pass is pure
+            # overhead (selection is already decided); encode_with_guard
+            # computes full stats lazily iff the override fails
+            stats = None if override is not None else column_stats(col)
             enc = encode_with_guard(col, codec_name=override, stats=stats)
         r = enc.to_row()
         rows["part_id"].append(part_id)

@@ -83,6 +83,21 @@ def main() -> None:
                    choices=["str", "int", "float"],
                    help="predicate value type")
 
+    r = sub.add_parser("read", help="read an encoded store through the "
+                       "generic source (projection + zone pruning + "
+                       "encoded-domain predicate)")
+    r.add_argument("--encoded", required=True)
+    r.add_argument("--columns", help="comma-separated projection")
+    r.add_argument("--where", nargs=2, metavar=("COL", "VAL"),
+                   help="equality predicate")
+    r.add_argument("--between", nargs=3, metavar=("COL", "LO", "HI"),
+                   help="inclusive range predicate")
+    r.add_argument("--type", default="str",
+                   choices=["str", "int", "float"],
+                   help="predicate value type")
+    r.add_argument("--output", help="write to this parquet dir "
+                   "(default: print row count + schema)")
+
     g = sub.add_parser("gen", help="generate synthetic webtext")
     g.add_argument("--output", required=True)
     g.add_argument("--rows", type=int, default=100_000)
@@ -135,6 +150,28 @@ def main() -> None:
             print(json.dumps({"rows": ds.count(), "output": args.output}))
         else:
             print(json.dumps({"rows": ds.count()}))
+    elif args.cmd == "read":
+        from packcol.sources.encoded import read_encoded
+        cast = {"str": str, "int": int, "float": float}[args.type]
+        flt = None
+        if args.where and args.between:
+            sys.exit("at most one of --where / --between")
+        if args.where:
+            flt = (args.where[0], "==", cast(args.where[1]))
+        elif args.between:
+            flt = (args.between[0], "between",
+                   cast(args.between[1]), cast(args.between[2]))
+        ds = read_encoded(args.encoded,
+                          columns=(args.columns.split(",")
+                                   if args.columns else None),
+                          filter=flt)
+        if args.output:
+            ds = ds.materialize()
+            ds.write_parquet(args.output)
+            print(json.dumps({"rows": ds.count(), "output": args.output}))
+        else:
+            print(json.dumps({"rows": ds.count(),
+                              "schema": list(ds.schema().names)}))
     elif args.cmd == "gen":
         from packcol.sources.webtext import write_webtext
         parts = args.parts or max(args.rows // 7500, 1)
