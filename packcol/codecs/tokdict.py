@@ -108,30 +108,38 @@ class TokenDictCodec(Codec):
                      p["code_width"], nt).view(np.int64)
         counts = unpack(np.frombuffer(enc.buffers["lens"], dtype=np.uint64),
                         p["len_width"], n).view(np.int64)
-        # direct buffer construction (no per-token take + binary_join):
-        # interleave (token bytes, optional separator space) as 2·nt
-        # gather entries against the dictionary buffer extended with one
-        # space byte, then run the shared chunked gather kernel
+        # one C++ take over a DOUBLED vocabulary: entries 0..nd-1 are the
+        # plain tokens, nd..2nd-1 the same token with a trailing space —
+        # so code' = code + nd·(token is not row-last) turns the whole
+        # "join tokens with spaces" into a single concatenated gather
+        # (codecs/gather.py::take_concat; the old 2·nt interleaved numpy
+        # gather cost 4-8 index bytes per output byte)
         dd, doffs = buffer_view(dictionary.cast(pa.large_string())) \
             if len(dictionary) else (np.empty(0, np.uint8),
                                      np.zeros(1, np.int64))
-        dlens = np.diff(doffs)
-        ddx = np.concatenate([dd, np.full(1, 32, dtype=np.uint8)])
+        nd = len(dictionary)
+        # spaced copy of the vocab bytes: token i occupies
+        # [o2[i], o2[i+1]) with a space in the last slot
+        o2 = doffs + np.arange(nd + 1, dtype=np.int64)
+        dd2 = np.empty(len(dd) + nd, dtype=np.uint8)
+        tok_mask = np.ones(len(dd2), dtype=bool)
+        tok_mask[o2[1:] - 1] = False
+        dd2[o2[1:] - 1] = 32
+        dd2[tok_mask] = dd
+        vocab2 = pa.Array.from_buffers(
+            pa.large_binary(), 2 * nd,
+            [None,
+             pa.py_buffer(np.concatenate([doffs[:-1], len(dd) + o2])),
+             pa.py_buffer(np.concatenate([dd, dd2]))])
         sep = np.ones(nt, dtype=np.int64)
         ends = np.cumsum(counts)
         if nt:
             sep[ends[counts > 0] - 1] = 0  # no space after row-last token
-        starts2 = np.empty(2 * nt, dtype=np.int64)
-        lens2 = np.empty(2 * nt, dtype=np.int64)
-        starts2[0::2] = doffs[:-1][idx] if nt else 0
-        starts2[1::2] = len(dd)            # the appended space byte
-        lens2[0::2] = dlens[idx] if nt else 0
-        lens2[1::2] = sep
-        from .gather import concat_gather
-        out, cs2 = concat_gather(ddx, starts2, lens2)
+        from .gather import take_concat
+        out, cs2 = take_concat(vocab2, idx + nd * sep)
         tok_row_offs = np.zeros(n + 1, dtype=np.int64)
         np.cumsum(counts, out=tok_row_offs[1:])
-        row_offs = cs2[2 * tok_row_offs]
+        row_offs = cs2[tok_row_offs]
         large = pa.types.is_large_string(dtype)
         off_arr = row_offs.astype(np.int64 if large else np.int32)
         arr = pa.Array.from_buffers(

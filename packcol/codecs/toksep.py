@@ -144,14 +144,11 @@ class TokSepCodec(Codec):
                 [shared.cast(pa.large_binary()),
                  dictionary.cast(pa.large_binary())]) \
                 if len(dictionary) else shared
-        if len(dictionary):
-            dd, doffs = buffer_view(dictionary)
-        else:
-            dd, doffs = np.empty(0, np.uint8), np.zeros(1, np.int64)
-        dlens = np.diff(doffs)
-        # gather token bytes (chunked, cache-resident — codecs/gather.py)
-        from .gather import concat_gather
-        out, cs = concat_gather(dd, doffs[:-1][idx], dlens[idx])
+        # gather token bytes via Arrow take: the take result's data
+        # buffer IS the concatenation and its offsets the cumulative
+        # lengths, all in C++ (codecs/gather.py::take_concat)
+        from .gather import take_concat
+        out, cs = take_concat(dictionary, idx)
         # row offsets: token-level cumsum sliced at row boundaries
         tok_row_offs = np.zeros(n + 1, dtype=np.int64)
         np.cumsum(counts, out=tok_row_offs[1:])

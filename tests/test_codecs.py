@@ -453,3 +453,40 @@ def test_codestream_roundtrip_property(nd, codes):
     params, bufs = encode_code_stream(idx, nd)
     out = decode_code_stream(params, bufs, len(idx))
     assert np.array_equal(out, idx)
+
+
+def test_take_concat_matches_concat_gather():
+    """The Arrow-take gather and the generic numpy gather agree
+    byte-for-byte (take_concat replaced concat_gather in the token
+    codecs' decode hot path, round 4)."""
+    from packcol.codecs.gather import concat_gather, take_concat
+    rng = np.random.default_rng(7)
+    toks = ["".join(rng.choice(list("abcdef"), rng.integers(0, 9)))
+            for _ in range(200)]  # includes empty tokens
+    vocab = pa.array(toks, type=pa.large_binary())
+    idx = rng.integers(0, len(toks), 5000).astype(np.int64)
+    from packcol.codecs.fsst import buffer_view
+    dd, doffs = buffer_view(vocab)
+    out_a, cs_a = concat_gather(dd, doffs[:-1][idx], np.diff(doffs)[idx])
+    out_b, cs_b = take_concat(vocab, idx)
+    assert np.array_equal(cs_a, cs_b)
+    assert np.array_equal(out_a, out_b)
+    # sliced (non-zero offset) dictionary
+    out_c, cs_c = take_concat(vocab.slice(0)[:], idx)
+    assert np.array_equal(out_a, out_c) and np.array_equal(cs_a, cs_c)
+    # empty idx / empty dictionary
+    o, c = take_concat(vocab, np.empty(0, np.int64))
+    assert len(o) == 0 and list(c) == [0]
+    o, c = take_concat(pa.array([], type=pa.large_binary()),
+                       np.empty(0, np.int64))
+    assert len(o) == 0 and list(c) == [0]
+
+
+def test_tokdict_doubled_vocab_rows():
+    """tokdict decode via the doubled (token | token+space) vocabulary:
+    empty rows, single-token rows, and trailing-space-free joins."""
+    from packcol.codecs import get_codec
+    from packcol.codecs.tokdict import TokenDictCodec
+    arr = pa.array(["", "one", "a b", "x y z", None, "", "a a a a"])
+    enc = EncodedColumn.from_row(TokenDictCodec().encode(arr).to_row())
+    assert get_codec(enc.codec).decode(enc).to_pylist() == arr.to_pylist()
