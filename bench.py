@@ -135,19 +135,24 @@ def main() -> None:
     t_cold, _ = timed(lambda: encode_files(
         paths, ENC_DIR, resume=False, target_bytes=4 << 20))
     extras["cold_first_pass_s"] = round(t_cold, 3)
-    # best-of-K with per-attempt phase gates: 2 attempts when the box is
-    # healthy, a 3rd when any attempt ran in a collapsed phase
+    # best-of-adaptive-K with per-attempt phase gates: stop once TWO
+    # attempts agree within 20% of the best (a collapse that straddles
+    # one attempt can then never set the record), cap at 5; per-attempt
+    # times recorded so the official number defends itself
     t_enc = float("inf")
-    probes = []
-    for attempt in range(3):
+    probes, attempts = [], []
+    for attempt in range(5):
         probes.append(_gate_phase(extras))
         shutil.rmtree(ENC_DIR, ignore_errors=True)
         t, metrics = timed(lambda: encode_files(
             paths, ENC_DIR, resume=False, target_bytes=4 << 20))
         t_enc = min(t_enc, t)
-        if attempt >= 1 and min(probes) >= _GATE_MIN_MBPS:
+        attempts.append(round(t, 3))
+        if attempt >= 1 and min(probes) >= _GATE_MIN_MBPS \
+                and sorted(attempts)[1] <= 1.2 * t_enc:
             break
     extras["encode_attempt_probes_MBps"] = probes
+    extras["encode_attempts_s"] = attempts
     queries["encode_webtext"] = round(t_enc, 3)
     extras["logical_bytes"] = metrics["orig_bytes"]
     extras["encoded_bytes"] = metrics["enc_bytes"]
@@ -156,14 +161,17 @@ def main() -> None:
 
     # --- headline: decode + url-keyed text invariant ----------------------
     t_dec = float("inf")
-    probes = []
-    for attempt in range(3):
+    probes, attempts = [], []
+    for attempt in range(5):
         probes.append(_gate_phase(extras, budget_s=120))
         t, inv = timed(lambda: verify_files(ENC_DIR))
         t_dec = min(t_dec, t)
-        if attempt >= 1 and min(probes) >= _GATE_MIN_MBPS:
+        attempts.append(round(t, 3))
+        if attempt >= 1 and min(probes) >= _GATE_MIN_MBPS \
+                and sorted(attempts)[1] <= 1.2 * t_dec:
             break
     extras["decode_attempt_probes_MBps"] = probes
+    extras["decode_attempts_s"] = attempts
     queries["decode_verify_webtext"] = round(t_dec, 3)
     extras["decode_GBps"] = round(metrics["orig_bytes"] / t_dec / 1e9, 3)
     assert inv["mismatches"] == 0, inv
