@@ -108,3 +108,108 @@ def read_encoded_blocks(store_dir: str) -> "rd.Dataset":
     """Raw encoded-block rows (part_id/column/codec/params/payload) —
     the physical view, for compaction / stats tooling."""
     return rd.read_parquet(_part_files(store_dir))
+
+
+def store_stats(store_dir: str) -> dict:
+    """Metadata-only store summary from the per-partition lineage
+    manifests — zero payload bytes read, O(parts) tiny JSON.  This is
+    the 100 TB answer to "how big / what codecs / what ranges": the
+    same manifests that make encodes resumable double as the store's
+    statistics catalog (rows, logical/encoded bytes, per-column codec
+    histogram, global zone spans)."""
+    from ..state.manifest import Manifest
+    mans = Manifest(store_dir).load_all()
+    codec_hist: dict[str, dict[str, int]] = {}
+    zones: dict[str, dict] = {}
+    rows = orig = enc = 0
+    for m in mans:
+        rows += m.get("rows", 0)
+        orig += m.get("orig_bytes", 0)
+        enc += m.get("enc_bytes", 0)
+        for col, codec in m.get("codecs", {}).items():
+            codec_hist.setdefault(col, {})
+            codec_hist[col][codec] = codec_hist[col].get(codec, 0) + 1
+        for col, z in (m.get("zones") or {}).items():
+            cur = zones.get(col)
+            if cur is None:
+                zones[col] = dict(z)
+            elif cur.get("kind") == z.get("kind"):
+                cur["min"] = min(cur["min"], z["min"])
+                cur["max"] = max(cur["max"], z["max"])
+    disk = sum(os.path.getsize(p) for p in _part_files(store_dir))
+    return {"parts": len(mans), "rows": rows, "orig_bytes": orig,
+            "enc_bytes": enc, "disk_bytes": disk,
+            "ratio": round(orig / enc, 4) if enc else None,
+            "codecs": codec_hist, "zones": zones}
+
+
+class _CountPart:
+    """Task: matching-row COUNT of one encoded part — evaluates the
+    predicate on packed codes (codecs/access.py) and never decodes any
+    values.  Selective counts at open scale read only the filter
+    column's blocks of the zone-surviving parts."""
+
+    def __init__(self, column: str, op: str, vals: tuple):
+        self.column, self.op, self.vals = column, op, vals
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..codecs import EncodedColumn
+        from ..codecs.access import filter_eq, filter_range
+        n = 0
+        for p in batch.column("path").to_pylist():
+            enc_rows = pq.read_table(p)
+            names = enc_rows.column("column").to_pylist()
+            if self.column not in names:
+                continue  # heterogeneous store: part holds another table
+            i = names.index(self.column)
+            enc = EncodedColumn.from_row(
+                {k: enc_rows.column(k)[i].as_py() for k in
+                 ("codec", "n_values", "params", "payload")})
+            enc.base_dir = os.path.dirname(p)
+            mask = filter_eq(enc, self.vals[0]) if self.op == "eq" \
+                else filter_range(enc, self.vals[0], self.vals[1])
+            n += int(mask.sum())
+        return pa.table({"n": pa.array([n], pa.int64())})
+
+
+def count_encoded(store_dir: str, filter: tuple | None = None) -> int:
+    """COUNT over the encoded store.
+
+    Without a filter this is pure metadata (sum of manifest row
+    counts; parts missing a manifest fall back to one n_values
+    metadata read — the payload parquet column is never touched).
+    With a filter, manifest zone maps prune parts driver-side and the
+    residual parts mask-sum on packed codes without decoding."""
+    from ..state.manifest import Manifest
+    if filter is None:
+        man = Manifest(store_dir)
+        done = man.done_parts()
+        total = sum(man.load(p).get("rows", 0) for p in sorted(done))
+        for path in _part_files(store_dir):
+            f = os.path.basename(path)
+            part_id = f[len("part-"):-len(".parquet")] \
+                if f.startswith("part-") else None
+            if part_id in done:
+                continue
+            t = pq.read_table(path, columns=["column", "n_values"])
+            if t.num_rows:  # rows of the part = n_values of any block
+                total += int(t.column("n_values")[0].as_py())
+        return total
+    from ..pipelines.encode_pipeline import _surviving_parts
+    col, op, *vals = filter
+    if op in ("==", "eq") and len(vals) == 1:
+        files, norm = _surviving_parts(store_dir, col, vals[0], vals[0]), \
+            ("eq", (vals[0],))
+    elif op in ("between", "range") and len(vals) == 2:
+        files, norm = _surviving_parts(store_dir, col, *vals), \
+            ("range", tuple(vals))
+    else:
+        raise ValueError(
+            f"unsupported filter {filter!r}: expected (col, '==', v) or "
+            "(col, 'between', lo, hi)")
+    if not files:
+        return 0
+    ds = rd.from_items(files, override_num_blocks=len(files))
+    out = ds.map_batches(_CountPart(col, *norm), batch_size=None,
+                         batch_format="pyarrow")
+    return int(out.sum("n") or 0)

@@ -98,6 +98,19 @@ def main() -> None:
     r.add_argument("--output", help="write to this parquet dir "
                    "(default: print row count + schema)")
 
+    s = sub.add_parser("stats", help="metadata-only store summary from "
+                       "the lineage manifests (no payload reads)")
+    s.add_argument("--encoded", required=True)
+
+    n = sub.add_parser("count", help="COUNT over the store: manifest-"
+                       "only without a predicate; zone-pruned packed-"
+                       "code mask-sum with one (never decodes values)")
+    n.add_argument("--encoded", required=True)
+    n.add_argument("--where", nargs=2, metavar=("COL", "VAL"))
+    n.add_argument("--between", nargs=3, metavar=("COL", "LO", "HI"))
+    n.add_argument("--type", default="str",
+                   choices=["str", "int", "float"])
+
     g = sub.add_parser("gen", help="generate synthetic webtext")
     g.add_argument("--output", required=True)
     g.add_argument("--rows", type=int, default=100_000)
@@ -172,6 +185,21 @@ def main() -> None:
         else:
             print(json.dumps({"rows": ds.count(),
                               "schema": list(ds.schema().names)}))
+    elif args.cmd == "stats":
+        from packcol.sources.encoded import store_stats
+        print(json.dumps(store_stats(args.encoded)))
+    elif args.cmd == "count":
+        from packcol.sources.encoded import count_encoded
+        cast = {"str": str, "int": int, "float": float}[args.type]
+        flt = None
+        if args.where and args.between:
+            sys.exit("at most one of --where / --between")
+        if args.where:
+            flt = (args.where[0], "==", cast(args.where[1]))
+        elif args.between:
+            flt = (args.between[0], "between",
+                   cast(args.between[1]), cast(args.between[2]))
+        print(json.dumps({"rows": count_encoded(args.encoded, flt)}))
     elif args.cmd == "gen":
         from packcol.sources.webtext import write_webtext
         parts = args.parts or max(args.rows // 7500, 1)

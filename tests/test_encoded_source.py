@@ -96,3 +96,41 @@ def test_read_encoded_shared_vocab_store(tmp_path_factory, ray_session):
         .sort_values("url")
     exp = rd.read_parquet(wt).to_pandas().sort_values("url")
     assert list(got["text"]) == list(exp["text"])
+
+
+def test_store_stats_metadata_only(store):
+    """store_stats aggregates the lineage manifests: totals match the
+    store, codec histogram and zone spans cover every column."""
+    import ray.data as rd
+    from packcol.sources.encoded import store_stats
+    wt, out = store
+    st = store_stats(out)
+    exp_rows = rd.read_parquet(wt).count()
+    assert st["rows"] == exp_rows
+    assert st["parts"] > 1
+    assert st["enc_bytes"] < st["orig_bytes"]
+    assert st["ratio"] > 1
+    assert set(st["codecs"]) == {"url", "warc_ts", "html", "text", "lang"}
+    # lang is short strings -> zoned; global span must cover every part
+    assert st["zones"]["lang"]["min"] <= st["zones"]["lang"]["max"]
+    assert st["zones"]["warc_ts"]["kind"] == "i64"
+
+
+def test_count_encoded(store, ray_session):
+    """count without a predicate is manifest-only; with predicates it
+    matches the decoded truth without decoding values."""
+    import ray.data as rd
+    from packcol.sources.encoded import count_encoded
+    wt, out = store
+    exp = rd.read_parquet(wt).to_pandas()
+    assert count_encoded(out) == len(exp)
+    assert count_encoded(out, ("lang", "==", "de")) == \
+        int((exp["lang"] == "de").sum())
+    lo = exp["warc_ts"].quantile(0.3).to_pydatetime()
+    hi = exp["warc_ts"].quantile(0.7).to_pydatetime()
+    assert count_encoded(out, ("warc_ts", "between", lo, hi)) == \
+        int(((exp["warc_ts"] >= lo) & (exp["warc_ts"] <= hi)).sum())
+    # a predicate outside every zone prunes to 0 without any task
+    assert count_encoded(out, ("lang", "==", "zz-nonexistent")) == 0
+    with pytest.raises(ValueError, match="unsupported filter"):
+        count_encoded(out, ("lang", "!=", "de"))
