@@ -79,8 +79,11 @@ class RecompactGroup:
             part_id = row["new_part_id"]
             enc = encode_table(merged, part_id=part_id)
             dest = os.path.join(self.dest_dir, f"part-{part_id}.parquet")
+            # per-block row groups, same rationale as the encode writer
             pq.write_table(enc, dest + ".tmp", compression="zstd",
-                           compression_level=3)
+                           compression_level=3, row_group_size=1,
+                           use_dictionary=False,
+                           write_statistics=["column"])
             os.replace(dest + ".tmp", dest)
             orig = sum(enc.column("orig_bytes").to_pylist())
             encb = sum(enc.column("enc_bytes").to_pylist())

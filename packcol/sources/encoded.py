@@ -157,7 +157,10 @@ class _CountPart:
         from ..codecs.access import filter_eq, filter_range
         n = 0
         for p in batch.column("path").to_pylist():
-            enc_rows = pq.read_table(p)
+            # per-block row-group layout: only the filter column's
+            # payload pages are read
+            enc_rows = pq.read_table(
+                p, filters=[("column", "==", self.column)])
             names = enc_rows.column("column").to_pylist()
             if self.column not in names:
                 continue  # heterogeneous store: part holds another table

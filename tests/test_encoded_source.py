@@ -134,3 +134,24 @@ def test_count_encoded(store, ray_session):
     assert count_encoded(out, ("lang", "==", "zz-nonexistent")) == 0
     with pytest.raises(ValueError, match="unsupported filter"):
         count_encoded(out, ("lang", "!=", "de"))
+
+
+def test_per_block_row_groups_prune_projection(store, ray_session):
+    """Part files carry one row group per encoded block, so a
+    projection read prunes other columns' payload pages at the parquet
+    layer (column-store behavior inside each part)."""
+    import pyarrow.parquet as pq
+    from packcol.sources.encoded import read_encoded
+    wt, out = store
+    part = next(os.path.join(out, f) for f in sorted(os.listdir(out))
+                if f.endswith(".parquet"))
+    md = pq.ParquetFile(part).metadata
+    assert md.num_row_groups == md.num_rows  # one group per block
+    got = pq.read_table(part, filters=[("column", "in", ["lang"])])
+    assert got.column("column").to_pylist() == ["lang"]
+    # decoded projection still matches the source
+    import ray.data as rd
+    exp = rd.read_parquet(wt).to_pandas().sort_values("url")
+    prj = read_encoded(out, columns=["url", "lang"]).to_pandas() \
+        .sort_values("url")
+    assert list(prj["lang"]) == list(exp["lang"])
