@@ -704,6 +704,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                     ["event_id", "ts"])
     q["filter_encoded_ts_range"] = filter_encoded_ts
 
+    def filter_encoded_conj(sf):
+        # conjunction pushdown: eq + range AND-ed on packed codes,
+        # survivor parts = intersection of per-predicate zone prunes
+        from datetime import datetime
+        from packcol.sources.encoded import read_encoded
+        out = _encoded_store(sf, "events")
+        return read_encoded(
+            out, columns=["event_id", "user_id", "ts"],
+            filter=[("user_id", "between", 3, 9),
+                    ("ts", "between", datetime(2024, 1, 5),
+                     datetime(2024, 1, 12))])
+    q["filter_encoded_conj"] = filter_encoded_conj
+
     # --- joins (pipelines/join.py): broadcast fact⋈dim, anti, shuffle ----
     def orders_by_nation(sf):
         import pyarrow.parquet as pq
@@ -1223,8 +1236,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dict_roundtrip_lang", "token_count",
         "quality_features", "canonical_text",
         #   embedding_norm: green r1+r2+r3 (exiled r4 to make room for
-        #   ann_lsh_exact)
-        "embedding_norm",
+        #   ann_lsh_exact); events_hourly: green r1+r2+r3 (exiled r4 to
+        #   make room for filter_encoded_conj)
+        "embedding_norm", "events_hourly",
         # (a) rows-only by design
         "minhash_pairs_est", "simhash_pairs_hamming", "langid",
         "fingerprint", "embedding_dedup_lsh", "ann_ivf", "ann_lsh",
@@ -1394,6 +1408,10 @@ def oracle_sql() -> dict[str, str]:
             "WHERE user_id BETWEEN 3 AND 9"),
         "filter_encoded_ts_range": (
             "SELECT event_id, ts FROM events WHERE ts BETWEEN "
+            "TIMESTAMP '2024-01-05' AND TIMESTAMP '2024-01-12'"),
+        "filter_encoded_conj": (
+            "SELECT event_id, user_id, ts FROM events "
+            "WHERE user_id BETWEEN 3 AND 9 AND ts BETWEEN "
             "TIMESTAMP '2024-01-05' AND TIMESTAMP '2024-01-12'"),
         # NB every SUM of an integer below is wrapped in an outer CAST:
         # DuckDB SUM(BIGINT) returns HUGEINT, which pandas renders as

@@ -447,11 +447,15 @@ class EncodedFilterPart:
     The 100 TB shape for selective point queries over the encoded store."""
 
     def __init__(self, column: str, value, out_columns: list[str],
-                 op: str = "eq", value2=None):
-        self.column = column
-        self.value = value
-        self.value2 = value2
-        self.op = op  # "eq" | "range" (value..value2 inclusive)
+                 op: str = "eq", value2=None,
+                 preds: list[tuple] | None = None):
+        # preds: normalized [(col, "eq", v, v) | (col, "range", lo, hi)]
+        # conjunction; the single (column, op, value[, value2]) form is
+        # kept as the common one-predicate spelling
+        if preds is None:
+            preds = [(column, op, value,
+                      value if op == "eq" else value2)]
+        self.preds = preds
         self.out_columns = out_columns
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -461,7 +465,8 @@ class EncodedFilterPart:
         from ..codecs.base import str_to_type
         from ..codecs.access import filter_eq, filter_range
         outs, out_types = [], {}
-        needed = sorted({self.column, *self.out_columns})
+        pred_cols = {c for c, *_ in self.preds}
+        needed = sorted(pred_cols | set(self.out_columns))
         for p in batch.column("path").to_pylist():
             # row-group pruning on the per-block layout: only the
             # filter + output columns' payload pages are read
@@ -469,20 +474,25 @@ class EncodedFilterPart:
             names = enc_rows.column("column").to_pylist()
             enc_of = {}
             for i, name in enumerate(names):
-                if name == self.column or name in self.out_columns:
+                if name in pred_cols or name in self.out_columns:
                     enc_of[name] = EncodedColumn.from_row(
                         {k: enc_rows.column(k)[i].as_py() for k in
                          ("codec", "n_values", "params", "payload")})
-            if self.column not in enc_of or \
+                    enc_of[name].base_dir = os.path.dirname(p)
+            if any(c not in enc_of for c in pred_cols) or \
                     any(n not in enc_of for n in self.out_columns):
                 continue  # heterogeneous store: part holds another table
             for name in self.out_columns:  # remember types for empty blocks
                 dt = enc_of[name].params.get("dtype")
                 if dt is not None:
                     out_types[name] = str_to_type(dt)
-            mask = filter_eq(enc_of[self.column], self.value) \
-                if self.op == "eq" else \
-                filter_range(enc_of[self.column], self.value, self.value2)
+            mask = None
+            for col, op, lo, hi in self.preds:
+                m = filter_eq(enc_of[col], lo) if op == "eq" \
+                    else filter_range(enc_of[col], lo, hi)
+                mask = m if mask is None else (mask & m)
+                if not mask.any():
+                    break
             if not mask.any():
                 continue
             sel = pa.array(np.flatnonzero(mask))
@@ -595,6 +605,27 @@ def filter_encoded(out_dir: str, column: str, value,
     ds = rd.from_items(files, override_num_blocks=len(files))
     return ds.map_batches(EncodedFilterPart(column, value, out_columns),
                           batch_size=1, batch_format="pyarrow")
+
+
+def filter_encoded_multi(out_dir: str, preds: list[tuple],
+                         out_columns: list[str]) -> "rd.Dataset":
+    """Conjunction (AND) of eq/range predicates pushed into the encoded
+    store: zone maps prune a part when ANY predicate's zone disproves
+    it (intersection of per-predicate survivor sets), then per-part
+    masks AND on packed codes and only the surviving rows of
+    `out_columns` decode.  preds: normalized
+    ``[(col, "eq", v, v) | (col, "range", lo, hi)]``."""
+    paths = None
+    for col, op, lo, hi in preds:
+        surv = {f["path"] for f in _surviving_parts(out_dir, col, lo, hi)}
+        paths = surv if paths is None else (paths & surv)
+    files = [{"path": p} for p in sorted(paths or ())]
+    if not files:  # every part pruned — provably empty result
+        return rd.from_arrow(_typed_empty(out_dir, out_columns))
+    ds = rd.from_items(files, override_num_blocks=len(files))
+    return ds.map_batches(
+        EncodedFilterPart(None, None, out_columns, preds=preds),
+        batch_size=1, batch_format="pyarrow")
 
 
 def filter_encoded_range(out_dir: str, column: str, lo, hi,

@@ -33,6 +33,9 @@ domain can evaluate without decoding):
                  filter=("lang", "==", "de"))             # point
     read_encoded(store, columns=[...],
                  filter=("ts", "between", lo, hi))        # inclusive
+    read_encoded(store, columns=[...],
+                 filter=[("lang", "==", "de"),
+                         ("user_id", "between", 3, 9)])   # conjunction
 """
 
 from __future__ import annotations
@@ -81,9 +84,11 @@ def read_encoded(store_dir: str, *, columns: list[str] | None = None,
     source form of ``decode_files`` / ``filter_encoded*``.
 
     ``filter`` is ``(column, "==", value)`` or
-    ``(column, "between", lo, hi)`` (inclusive).  The filter column
+    ``(column, "between", lo, hi)`` (inclusive), or a LIST of those
+    for a conjunction (every predicate must hold).  Filter columns
     need not be in ``columns``."""
     from ..pipelines.encode_pipeline import (decode_files, filter_encoded,
+                                             filter_encoded_multi,
                                              filter_encoded_range)
     if filter is None:
         return decode_files(store_dir, columns=columns,
@@ -93,15 +98,29 @@ def read_encoded(store_dir: str, *, columns: list[str] | None = None,
         encoded_schema(store_dir).names
     if not out_columns:
         raise ValueError(f"no encoded parts found in {store_dir}")
-    col, op, *vals = filter
-    if op in ("==", "eq") and len(vals) == 1:
-        return filter_encoded(store_dir, col, vals[0], list(out_columns))
-    if op in ("between", "range") and len(vals) == 2:
-        return filter_encoded_range(store_dir, col, vals[0], vals[1],
-                                    list(out_columns))
-    raise ValueError(
-        f"unsupported filter {filter!r}: expected (col, '==', v) or "
-        "(col, 'between', lo, hi)")
+
+    def _norm(f):
+        col, op, *vals = f
+        if op in ("==", "eq") and len(vals) == 1:
+            return (col, "eq", vals[0], vals[0])
+        if op in ("between", "range") and len(vals) == 2:
+            return (col, "range", vals[0], vals[1])
+        raise ValueError(
+            f"unsupported filter {f!r}: expected (col, '==', v) or "
+            "(col, 'between', lo, hi)")
+
+    if isinstance(filter, list):
+        preds = [_norm(f) for f in filter]
+        if len(preds) == 1:
+            filter = tuple(filter[0])
+        else:
+            return filter_encoded_multi(store_dir, preds,
+                                        list(out_columns))
+    col, op, lo, hi = _norm(filter)
+    if op == "eq":
+        return filter_encoded(store_dir, col, lo, list(out_columns))
+    return filter_encoded_range(store_dir, col, lo, hi,
+                                list(out_columns))
 
 
 def read_encoded_blocks(store_dir: str) -> "rd.Dataset":
@@ -145,32 +164,41 @@ def store_stats(store_dir: str) -> dict:
 
 class _CountPart:
     """Task: matching-row COUNT of one encoded part — evaluates the
-    predicate on packed codes (codecs/access.py) and never decodes any
-    values.  Selective counts at open scale read only the filter
-    column's blocks of the zone-surviving parts."""
+    predicate conjunction on packed codes (codecs/access.py) and never
+    decodes any values.  Selective counts at open scale read only the
+    filter columns' blocks of the zone-surviving parts."""
 
-    def __init__(self, column: str, op: str, vals: tuple):
-        self.column, self.op, self.vals = column, op, vals
+    def __init__(self, preds: list[tuple]):
+        self.preds = preds  # [(col, "eq"|"range", lo, hi)]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         from ..codecs import EncodedColumn
         from ..codecs.access import filter_eq, filter_range
+        cols = sorted({c for c, *_ in self.preds})
         n = 0
         for p in batch.column("path").to_pylist():
-            # per-block row-group layout: only the filter column's
+            # per-block row-group layout: only the filter columns'
             # payload pages are read
             enc_rows = pq.read_table(
-                p, filters=[("column", "==", self.column)])
+                p, filters=[("column", "in", cols)])
             names = enc_rows.column("column").to_pylist()
-            if self.column not in names:
+            if any(c not in names for c in cols):
                 continue  # heterogeneous store: part holds another table
-            i = names.index(self.column)
-            enc = EncodedColumn.from_row(
-                {k: enc_rows.column(k)[i].as_py() for k in
-                 ("codec", "n_values", "params", "payload")})
-            enc.base_dir = os.path.dirname(p)
-            mask = filter_eq(enc, self.vals[0]) if self.op == "eq" \
-                else filter_range(enc, self.vals[0], self.vals[1])
+            enc_of = {}
+            for c in cols:
+                i = names.index(c)
+                enc = EncodedColumn.from_row(
+                    {k: enc_rows.column(k)[i].as_py() for k in
+                     ("codec", "n_values", "params", "payload")})
+                enc.base_dir = os.path.dirname(p)
+                enc_of[c] = enc
+            mask = None
+            for col, op, lo, hi in self.preds:
+                m = filter_eq(enc_of[col], lo) if op == "eq" \
+                    else filter_range(enc_of[col], lo, hi)
+                mask = m if mask is None else (mask & m)
+                if not mask.any():
+                    break
             n += int(mask.sum())
         return pa.table({"n": pa.array([n], pa.int64())})
 
@@ -199,20 +227,27 @@ def count_encoded(store_dir: str, filter: tuple | None = None) -> int:
                 total += int(t.column("n_values")[0].as_py())
         return total
     from ..pipelines.encode_pipeline import _surviving_parts
-    col, op, *vals = filter
-    if op in ("==", "eq") and len(vals) == 1:
-        files, norm = _surviving_parts(store_dir, col, vals[0], vals[0]), \
-            ("eq", (vals[0],))
-    elif op in ("between", "range") and len(vals) == 2:
-        files, norm = _surviving_parts(store_dir, col, *vals), \
-            ("range", tuple(vals))
-    else:
+
+    def _norm(f):
+        col, op, *vals = f
+        if op in ("==", "eq") and len(vals) == 1:
+            return (col, "eq", vals[0], vals[0])
+        if op in ("between", "range") and len(vals) == 2:
+            return (col, "range", vals[0], vals[1])
         raise ValueError(
-            f"unsupported filter {filter!r}: expected (col, '==', v) or "
+            f"unsupported filter {f!r}: expected (col, '==', v) or "
             "(col, 'between', lo, hi)")
+
+    preds = [_norm(f) for f in filter] if isinstance(filter, list) \
+        else [_norm(filter)]
+    paths = None
+    for col, _, lo, hi in preds:
+        surv = {f["path"] for f in _surviving_parts(store_dir, col, lo, hi)}
+        paths = surv if paths is None else (paths & surv)
+    files = [{"path": p} for p in sorted(paths or ())]
     if not files:
         return 0
     ds = rd.from_items(files, override_num_blocks=len(files))
-    out = ds.map_batches(_CountPart(col, *norm), batch_size=None,
+    out = ds.map_batches(_CountPart(preds), batch_size=None,
                          batch_format="pyarrow")
     return int(out.sum("n") or 0)

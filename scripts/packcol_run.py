@@ -39,6 +39,28 @@ def _ray_init(num_cpus: int | None):
     return ray
 
 
+def _build_preds(args):
+    """CLI --where/--between (both repeatable) → read_encoded filter:
+    None, a single predicate tuple, or a list (conjunction)."""
+    def _auto(v):
+        for t in (int, float):
+            try:
+                return t(v)
+            except ValueError:
+                pass
+        return v
+    cast = {"str": str, "int": int, "float": float,
+            "auto": _auto}[args.type]
+    preds: list[tuple] = []
+    for w in args.where or []:
+        preds.append((w[0], "==", cast(w[1])))
+    for b in args.between or []:
+        preds.append((b[0], "between", cast(b[1]), cast(b[2])))
+    if not preds:
+        return None
+    return preds[0] if len(preds) == 1 else preds
+
+
 def main() -> None:
     p = argparse.ArgumentParser(prog="packcol")
     p.add_argument("--num-cpus", type=int, default=None)
@@ -89,12 +111,14 @@ def main() -> None:
     r.add_argument("--encoded", required=True)
     r.add_argument("--columns", help="comma-separated projection")
     r.add_argument("--where", nargs=2, metavar=("COL", "VAL"),
-                   help="equality predicate")
+                   action="append",
+                   help="equality predicate (repeatable: AND)")
     r.add_argument("--between", nargs=3, metavar=("COL", "LO", "HI"),
-                   help="inclusive range predicate")
+                   action="append",
+                   help="inclusive range predicate (repeatable: AND)")
     r.add_argument("--type", default="str",
-                   choices=["str", "int", "float"],
-                   help="predicate value type")
+                   choices=["str", "int", "float", "auto"],
+                   help="predicate value type (auto: int, float, str)")
     r.add_argument("--output", help="write to this parquet dir "
                    "(default: print row count + schema)")
 
@@ -106,10 +130,12 @@ def main() -> None:
                        "only without a predicate; zone-pruned packed-"
                        "code mask-sum with one (never decodes values)")
     n.add_argument("--encoded", required=True)
-    n.add_argument("--where", nargs=2, metavar=("COL", "VAL"))
-    n.add_argument("--between", nargs=3, metavar=("COL", "LO", "HI"))
+    n.add_argument("--where", nargs=2, metavar=("COL", "VAL"),
+                   action="append")
+    n.add_argument("--between", nargs=3, metavar=("COL", "LO", "HI"),
+                   action="append")
     n.add_argument("--type", default="str",
-                   choices=["str", "int", "float"])
+                   choices=["str", "int", "float", "auto"])
 
     g = sub.add_parser("gen", help="generate synthetic webtext")
     g.add_argument("--output", required=True)
@@ -165,15 +191,7 @@ def main() -> None:
             print(json.dumps({"rows": ds.count()}))
     elif args.cmd == "read":
         from packcol.sources.encoded import read_encoded
-        cast = {"str": str, "int": int, "float": float}[args.type]
-        flt = None
-        if args.where and args.between:
-            sys.exit("at most one of --where / --between")
-        if args.where:
-            flt = (args.where[0], "==", cast(args.where[1]))
-        elif args.between:
-            flt = (args.between[0], "between",
-                   cast(args.between[1]), cast(args.between[2]))
+        flt = _build_preds(args)
         ds = read_encoded(args.encoded,
                           columns=(args.columns.split(",")
                                    if args.columns else None),
@@ -190,16 +208,8 @@ def main() -> None:
         print(json.dumps(store_stats(args.encoded)))
     elif args.cmd == "count":
         from packcol.sources.encoded import count_encoded
-        cast = {"str": str, "int": int, "float": float}[args.type]
-        flt = None
-        if args.where and args.between:
-            sys.exit("at most one of --where / --between")
-        if args.where:
-            flt = (args.where[0], "==", cast(args.where[1]))
-        elif args.between:
-            flt = (args.between[0], "between",
-                   cast(args.between[1]), cast(args.between[2]))
-        print(json.dumps({"rows": count_encoded(args.encoded, flt)}))
+        print(json.dumps(
+            {"rows": count_encoded(args.encoded, _build_preds(args))}))
     elif args.cmd == "gen":
         from packcol.sources.webtext import write_webtext
         parts = args.parts or max(args.rows // 7500, 1)
