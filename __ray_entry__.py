@@ -717,6 +717,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
                      datetime(2024, 1, 12))])
     q["filter_encoded_conj"] = filter_encoded_conj
 
+    def clustered_filter_range(sf):
+        # sort-clustered physical layout: zone maps on the cluster key
+        # become disjoint, so this range probe reads O(1) parts
+        from packcol.pipelines.cluster import cluster_store
+        from packcol.sources.encoded import read_encoded
+        src = _encoded_store(sf, "events")
+        dst = src + "_by_user"
+        cluster_store(src, dst, "user_id")  # marker-resumable
+        return read_encoded(dst, columns=["event_id", "user_id"],
+                            filter=("user_id", "between", 3, 9))
+    q["clustered_filter_range"] = clustered_filter_range
+
     # --- joins (pipelines/join.py): broadcast fact⋈dim, anti, shuffle ----
     def orders_by_nation(sf):
         import pyarrow.parquet as pq
@@ -1236,9 +1248,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dict_roundtrip_lang", "token_count",
         "quality_features", "canonical_text",
         #   embedding_norm: green r1+r2+r3 (exiled r4 to make room for
-        #   ann_lsh_exact); events_hourly: green r1+r2+r3 (exiled r4 to
-        #   make room for filter_encoded_conj)
-        "embedding_norm", "events_hourly",
+        #   ann_lsh_exact); events_hourly / stats_documents: green
+        #   r1+r2+r3 (exiled r4 to make room for filter_encoded_conj
+        #   and clustered_filter_range)
+        "embedding_norm", "events_hourly", "stats_documents",
         # (a) rows-only by design
         "minhash_pairs_est", "simhash_pairs_hamming", "langid",
         "fingerprint", "embedding_dedup_lsh", "ann_ivf", "ann_lsh",
@@ -1413,6 +1426,9 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_id, user_id, ts FROM events "
             "WHERE user_id BETWEEN 3 AND 9 AND ts BETWEEN "
             "TIMESTAMP '2024-01-05' AND TIMESTAMP '2024-01-12'"),
+        "clustered_filter_range": (
+            "SELECT event_id, user_id FROM events "
+            "WHERE user_id BETWEEN 3 AND 9"),
         # NB every SUM of an integer below is wrapped in an outer CAST:
         # DuckDB SUM(BIGINT) returns HUGEINT, which pandas renders as
         # float64 and the driver's dtype-sensitive hash then mismatches

@@ -1,0 +1,138 @@
+"""Sort-clustered re-encode of an encoded store.
+
+Zone maps only prune when the data is CLUSTERED on the filter key: a
+store written in arrival order has every part spanning nearly the full
+key domain, so an eq/range probe must read every part no matter how
+good the per-part metadata is.  ``cluster_store`` fixes the physical
+layout the Ray-Data way:
+
+    read_encoded (streaming decode, no materialization)
+      -> Dataset.sort(key)            # the one all-to-all this needs
+        -> map_batches(ClusterPartWriter, batch_size=rows_per_part)
+
+The sort is the documented inherent shuffle (same class as the
+window/bucketed sorts); everything after it is embarrassingly
+parallel.  Output parts hold contiguous key ranges, so their manifest
+zones on the key are (near-)disjoint — an eq probe then survives to
+O(1) parts instead of O(parts), and every ``filter_encoded*`` /
+``count_encoded`` / ``read_encoded(filter=...)`` call on the clustered
+store prunes at the driver from tiny JSON.
+
+Sorting also helps the CODECS: a sorted key column is delta/RLE
+heaven, and low-cardinality payload columns gain longer runs, so the
+per-part auto-selection (stages/select.py) is re-run from scratch on
+the sorted blocks rather than copying the source store's choices.
+
+This is the generalization of the reference's "canonical form first,
+then pack" discipline (normalize the layout so downstream stages get
+the cheap case: /root/reference/src/kmer.rs to_canonical) applied to
+whole-table physical design.
+
+100 TB notes: rows_per_part is derived from the store's own manifest
+stats so parts land at ``target_bytes`` logical regardless of row
+width; part ids are content-derived (stages/encode.py::
+content_part_id), so task retries rewrite the same file atomically
+instead of duplicating; the driver never sees data, only the tiny
+per-part metrics rows.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+import ray.data as rd
+
+from ..state.manifest import Manifest, compute_zones, params_hash
+
+
+class ClusterPartWriter:
+    """Stateless task: one sorted batch -> encoded part + manifest
+    record (same on-disk contract as EncodePartitionWriter).  Retry-safe:
+    the part id is a pure function of the batch content and the write is
+    an atomic rename."""
+
+    def __init__(self, out_dir: str, key: str):
+        self.out_dir = out_dir
+        self.key = key
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..stages.encode import content_part_id, encode_table
+        t0 = time.perf_counter()
+        part_id = "c-" + content_part_id(batch)
+        enc = encode_table(batch, part_id=part_id)
+        dest = os.path.join(self.out_dir, f"part-{part_id}.parquet")
+        # one row group per encoded block: projection / predicate reads
+        # prune other columns' payload pages (see EncodePartitionWriter)
+        pq.write_table(enc, dest + ".tmp", compression="zstd",
+                       compression_level=3, row_group_size=1,
+                       use_dictionary=False, write_statistics=["column"])
+        os.replace(dest + ".tmp", dest)
+        orig = sum(enc.column("orig_bytes").to_pylist())
+        encb = sum(enc.column("enc_bytes").to_pylist())
+        Manifest(self.out_dir).record(part_id, {
+            "rows": batch.num_rows, "orig_bytes": orig,
+            "enc_bytes": encb, "zones": compute_zones(batch),
+            "codecs": dict(zip(enc.column("column").to_pylist(),
+                               enc.column("codec").to_pylist())),
+            "params_hash": params_hash(enc),
+            "clustered_on": self.key,
+            "wall_s": round(time.perf_counter() - t0, 4)})
+        return pa.table({"part_id": [part_id],
+                         "rows": [batch.num_rows],
+                         "orig_bytes": [orig], "enc_bytes": [encb]})
+
+
+def key_zone_overlap(store_dir: str, key: str) -> dict:
+    """Clustering quality from manifests alone: sort the per-part key
+    zones and count adjacent overlaps.  0 overlapping pairs == an eq
+    probe can only ever survive in one part (plus exact-boundary
+    ties)."""
+    zones = [m["zones"][key] for m in Manifest(store_dir).load_all()
+             if m.get("zones", {}).get(key)]
+    zones.sort(key=lambda z: (z["min"], z["max"]))
+    overlaps, hi = 0, None
+    for z in zones:
+        if hi is not None and z["min"] < hi:
+            overlaps += 1
+        hi = z["max"] if hi is None else max(hi, z["max"])
+    return {"parts_zoned": len(zones), "overlapping_parts": overlaps}
+
+
+def cluster_store(store_dir: str, dest_dir: str, key: str,
+                  target_bytes: int = 64 << 20,
+                  resume: bool = True) -> dict:
+    """Re-cluster an encoded store on ``key`` into ``dest_dir``.
+
+    One distributed sort; decoded rows stream straight from the decode
+    tasks into the sort and out through part writers — nothing
+    materializes on the driver.  ``resume=True`` makes re-calls a no-op
+    once the marker is present (the sort's batch boundaries are not
+    bitwise-reproducible across sessions, so resume is all-or-nothing
+    at store granularity, unlike encode_files' per-part resume)."""
+    from ..sources.encoded import read_encoded, store_stats
+    marker = os.path.join(dest_dir, "_CLUSTERED")
+    if resume and os.path.exists(marker):
+        st = store_stats(dest_dir)
+        return {**st, "skipped": True,
+                **key_zone_overlap(dest_dir, key)}
+    os.makedirs(dest_dir, exist_ok=True)
+    src = store_stats(store_dir)
+    row_bytes = max(1, (src["orig_bytes"] or 1) // max(src["rows"], 1))
+    rows_per_part = max(256, int(target_bytes // row_bytes))
+    ds = read_encoded(store_dir).sort(key)
+    metrics = ds.map_batches(ClusterPartWriter(dest_dir, key),
+                             batch_size=rows_per_part,
+                             batch_format="pyarrow").to_pandas()
+    with open(marker + ".tmp", "w") as f:
+        f.write(key)
+    os.replace(marker + ".tmp", marker)
+    orig = int(metrics["orig_bytes"].sum())
+    enc = int(metrics["enc_bytes"].sum())
+    return {"parts": len(metrics), "rows": int(metrics["rows"].sum()),
+            "orig_bytes": orig, "enc_bytes": enc,
+            "ratio": round(orig / enc, 4) if enc else None,
+            "skipped": False, **key_zone_overlap(dest_dir, key)}

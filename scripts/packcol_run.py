@@ -122,6 +122,15 @@ def main() -> None:
     r.add_argument("--output", help="write to this parquet dir "
                    "(default: print row count + schema)")
 
+    cl = sub.add_parser("cluster", help="sort-clustered re-encode: one "
+                        "distributed sort on KEY, then parts with "
+                        "(near-)disjoint key zones so eq/range pushdown "
+                        "prunes to O(1) parts")
+    cl.add_argument("--encoded", required=True)
+    cl.add_argument("--output", required=True)
+    cl.add_argument("--key", required=True)
+    cl.add_argument("--target-bytes", type=int, default=64 << 20)
+
     s = sub.add_parser("stats", help="metadata-only store summary from "
                        "the lineage manifests (no payload reads)")
     s.add_argument("--encoded", required=True)
@@ -203,6 +212,11 @@ def main() -> None:
         else:
             print(json.dumps({"rows": ds.count(),
                               "schema": list(ds.schema().names)}))
+    elif args.cmd == "cluster":
+        from packcol.pipelines.cluster import cluster_store
+        print(json.dumps(cluster_store(
+            args.encoded, args.output, args.key,
+            target_bytes=args.target_bytes)))
     elif args.cmd == "stats":
         from packcol.sources.encoded import store_stats
         print(json.dumps(store_stats(args.encoded)))
