@@ -337,10 +337,17 @@ def scaling() -> None:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
                    GRAFT_BENCH_ROWS=str(scaling_rows),
                    GRAFT_HEADLINE_ONLY="1")
-        out = subprocess.run([sys.executable, os.path.abspath(__file__)],
-                             env=env, capture_output=True, text=True,
-                             check=True).stdout
-        return json.loads(out.strip().splitlines()[-1])
+        last = None
+        for _ in range(3):  # sandbox Ray core aborts: retry the leg
+            r = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--inner"],
+                env=env, capture_output=True, text=True)
+            last = r
+            if r.returncode == 0:
+                return json.loads(r.stdout.strip().splitlines()[-1])
+        raise RuntimeError(
+            f"scaling leg ncpu={ncpu} failed 3x: rc={last.returncode}\n"
+            f"{(last.stderr or '')[-2000:]}")
 
     # Two N-vs-4N pairs, reported transparently.  (2,8) is the primary
     # sandbox stand-in for N vs 4N nodes: on a real cluster each node
@@ -374,8 +381,32 @@ def scaling() -> None:
     }))
 
 
+def _supervised_main() -> None:
+    """Run main() in a child process and retry on failure.  Ray
+    core-worker aborts (e.g. 'Check failed: it != submissible_tasks_'
+    killed a BENCH_r04 candidate run mid-flight) take the whole process
+    down without a Python traceback, and the exit code is not reliably
+    a signal status — so ANY nonzero exit retries, bounded at 3
+    attempts (a deterministic failure still surfaces, just after two
+    extra tries).  The child's stdout passes through, so the official
+    one-JSON-line contract is unchanged."""
+    rc = 1
+    for attempt in range(3):
+        r = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--inner"],
+            text=True)
+        rc = r.returncode
+        if rc == 0:
+            return
+        print(f"bench attempt {attempt + 1} exited {rc} "
+              "(Ray core abort or failure); retrying", file=sys.stderr)
+    sys.exit(rc)
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         scaling()
-    else:
+    elif "--inner" in sys.argv:
         main()
+    else:
+        _supervised_main()
