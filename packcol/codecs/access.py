@@ -134,6 +134,49 @@ def filter_eq(enc: EncodedColumn, value) -> np.ndarray:
     return mask
 
 
+def filter_in(enc: EncodedColumn, values) -> np.ndarray:
+    """Mask of rows whose value is in `values` (an IN-list), computed on
+    codes / deltas like filter_eq — one np.isin over the packed stream
+    instead of len(values) eq passes."""
+    valid = validity_from_bytes(enc.buffers.get("validity", b""),
+                                enc.n_values)
+    import pyarrow.compute as pc
+    if enc.codec == "dict":
+        dictionary = ipc_deserialize_array(enc.buffers["aux"])
+        idx = pc.index_in(pa.array(list(values), type=dictionary.type),
+                          value_set=dictionary)
+        codes = np.array([i for i in idx.to_pylist() if i is not None],
+                         dtype=np.uint64)
+        if len(codes) == 0:
+            return np.zeros(enc.n_values, dtype=bool)
+        mask = np.isin(_dict_codes(enc), codes)
+    elif enc.codec in ("for", "bitpack") and \
+            enc.params.get("dtype") != "uint64":
+        p = enc.params
+        from .bitpack import unpack
+        base = int(p["base"])
+        cap = (1 << p["width"]) - 1 if p["width"] < 64 else (1 << 64) - 1
+        targets = []
+        for v in values:
+            t = _predicate_int(v, p.get("dtype")) - base
+            if 0 <= t <= cap:
+                targets.append(t)
+        if not targets:
+            return np.zeros(enc.n_values, dtype=bool)
+        words = np.frombuffer(enc.buffers["payload"], dtype=np.uint64)
+        mask = np.isin(unpack(words, p["width"], enc.n_values),
+                       np.array(targets, dtype=np.uint64))
+    else:
+        from .base import decode_any
+        arr = decode_any(enc)
+        return pc.is_in(arr, value_set=pa.array(list(values),
+                                                type=arr.type)) \
+            .fill_null(False).to_numpy(zero_copy_only=False)
+    if valid is not None:
+        mask &= valid
+    return mask
+
+
 def filter_range(enc: EncodedColumn, lo, hi) -> np.ndarray:
     """Mask of lo <= value <= hi computed in the ENCODED domain:
 

@@ -123,11 +123,13 @@ class EncodePartitionWriter:
 
     def __init__(self, out_dir: str, codec_overrides: dict | None = None,
                  columns: list[str] | None = None,
-                 shared_vocab_columns: list[str] | None = None):
+                 shared_vocab_columns: list[str] | None = None,
+                 bloom_columns: list[str] | str | None = "auto"):
         self.out_dir = out_dir
         self.codec_overrides = codec_overrides
         self.columns = columns
         self.shared_vocab_columns = shared_vocab_columns
+        self.bloom_columns = bloom_columns
         self._shared = None  # lazy: one sidecar load per worker process
 
     def _column_encoders(self) -> dict | None:
@@ -172,12 +174,15 @@ class EncodePartitionWriter:
         os.replace(dest + ".tmp", dest)
         orig = sum(enc.column("orig_bytes").to_pylist())
         encb = sum(enc.column("enc_bytes").to_pylist())
+        zones = compute_zones(t)
+        blooms = self._build_blooms(t, zones, d["part_id"])
         Manifest(self.out_dir).record(d["part_id"], {
             "input": d["path"], "rg_start": d["rg_start"],
             "rg_end": d["rg_end"], "rows": t.num_rows,
             "input_bytes": d.get("input_bytes"),
             "orig_bytes": orig, "enc_bytes": encb,
-            "zones": compute_zones(t),
+            "blooms": blooms,
+            "zones": zones,
             "codecs": dict(zip(enc.column("column").to_pylist(),
                                enc.column("codec").to_pylist())),
             "params_hash": params_hash(enc),
@@ -187,6 +192,30 @@ class EncodePartitionWriter:
         out["orig_bytes"].append(orig)
         out["enc_bytes"].append(encb)
         out["wall_s"].append(time.perf_counter() - t0)
+
+    def _build_blooms(self, t: pa.Table, zones: dict,
+                      part_id: str) -> list[str]:
+        """Point-lookup bloom sidecar for this part (state/bloom.py):
+        "auto" = unzoned key-shaped string columns (url-ish); an
+        explicit list covers any hashable column.  Returns the covered
+        column names (recorded in the manifest for store_stats)."""
+        from ..state.bloom import (auto_bloom_columns, build_bloom,
+                                   _hash_kind, save_blooms)
+        if self.bloom_columns is None:
+            return []
+        cols = auto_bloom_columns(t, zones) \
+            if self.bloom_columns == "auto" else [
+                c for c in self.bloom_columns if c in t.column_names]
+        blooms = {}
+        for c in cols:
+            kind = _hash_kind(t.column(c).type)
+            if kind is None:
+                continue
+            b = build_bloom(t.column(c), kind)
+            if b is not None:
+                blooms[c] = b
+        save_blooms(self.out_dir, part_id, blooms)
+        return sorted(blooms)
 
 
 def store_selection(out_dir: str, paths: list[str],
@@ -240,7 +269,8 @@ def encode_files(paths: list[str], out_dir: str, resume: bool = True,
                  codec_overrides: dict | None = None,
                  concurrency: int | None = None,
                  cpus_per_task: float = 1,
-                 shared_vocab_columns: list[str] | None = None) -> dict:
+                 shared_vocab_columns: list[str] | None = None,
+                 bloom_columns: list[str] | str | None = "auto") -> dict:
     """Checkpointed encode of parquet files → encoded parts + manifest.
 
     Returns aggregate metrics {parts, rows, orig_bytes, enc_bytes, ratio,
@@ -284,7 +314,8 @@ def encode_files(paths: list[str], out_dir: str, resume: bool = True,
         ds = rd.from_items(seeds, override_num_blocks=len(seeds))
         metrics = ds.map_batches(
             EncodePartitionWriter(out_dir, codec_overrides,
-                                  shared_vocab_columns=shared_vocab_columns),
+                                  shared_vocab_columns=shared_vocab_columns,
+                                  bloom_columns=bloom_columns),
             batch_size=1, batch_format="pyarrow", num_cpus=cpus_per_task,
             **({"concurrency": concurrency} if concurrency else {}))
         mt = metrics.to_pandas()  # tiny: one row per partition
@@ -463,11 +494,13 @@ class EncodedFilterPart:
         import pyarrow.compute as pc
         from ..codecs import EncodedColumn, decode_any
         from ..codecs.base import str_to_type
-        from ..codecs.access import filter_eq, filter_range
+        from ..codecs.access import filter_eq, filter_in, filter_range
         outs, out_types = [], {}
         pred_cols = {c for c, *_ in self.preds}
         needed = sorted(pred_cols | set(self.out_columns))
         for p in batch.column("path").to_pylist():
+            if _bloom_disproves(p, self.preds):
+                continue  # ~KB sidecar read; part parquet never touched
             # row-group pruning on the per-block layout: only the
             # filter + output columns' payload pages are read
             enc_rows = pq.read_table(p, filters=[("column", "in", needed)])
@@ -488,8 +521,12 @@ class EncodedFilterPart:
                     out_types[name] = str_to_type(dt)
             mask = None
             for col, op, lo, hi in self.preds:
-                m = filter_eq(enc_of[col], lo) if op == "eq" \
-                    else filter_range(enc_of[col], lo, hi)
+                if op == "eq":
+                    m = filter_eq(enc_of[col], lo)
+                elif op == "in":
+                    m = filter_in(enc_of[col], lo)
+                else:
+                    m = filter_range(enc_of[col], lo, hi)
                 mask = m if mask is None else (mask & m)
                 if not mask.any():
                     break
@@ -567,6 +604,77 @@ def _surviving_parts(out_dir: str, column: str, lo, hi) -> list[dict]:
     return files
 
 
+def _pred_survivors(out_dir: str, pred: tuple) -> list[dict]:
+    """Zone-surviving parts for one normalized predicate
+    ``(col, "eq"|"range"|"in", lo, hi)``.  IN-lists prune on the
+    conservative [min, max] envelope of the value set; an unorderable
+    set simply keeps every part (never lossy)."""
+    col, op, lo, hi = pred
+    if op == "in":
+        try:
+            lo, hi = min(lo), max(lo)
+        except (TypeError, ValueError):
+            return [{"path": os.path.join(out_dir, f)}
+                    for f in sorted(os.listdir(out_dir))
+                    if f.endswith(".parquet")]
+    return _surviving_parts(out_dir, col, lo, hi)
+
+
+_BLOOM_DRIVER_CAP = 4096
+
+
+def _bloom_probe_sets(preds: list[tuple]) -> list[tuple]:
+    """(col, values-as-Arrow) for the bloomable predicates (eq / in)."""
+    out = []
+    for col, op, lo, hi in preds:
+        if op not in ("eq", "in"):
+            continue
+        vals = list(lo) if op == "in" else [lo]
+        try:
+            out.append((col, pa.array(vals)))
+        except (pa.ArrowInvalid, pa.ArrowNotImplementedError, TypeError):
+            continue  # unhashable predicate type: bloom never prunes
+    return out
+
+
+def _bloom_disproves(path: str, preds: list[tuple]) -> bool:
+    """Task-side bloom check for one part file: True when some eq/IN
+    predicate provably has no match (sidecar read only, ~KB; the part's
+    parquet is never opened).  Missing sidecar → False (scan)."""
+    from ..state.bloom import bloom_may_contain
+    base = os.path.basename(path)
+    if not base.startswith("part-"):
+        return False
+    part_id = base[len("part-"):-len(".parquet")]
+    store_dir = os.path.dirname(path)
+    return any(not bloom_may_contain(store_dir, part_id, col, vals)
+               for col, vals in _bloom_probe_sets(preds))
+
+
+def _bloom_prune(out_dir: str, files: list[dict],
+                 preds: list[tuple]) -> list[dict]:
+    """Driver-side bloom probe over the zone-surviving part set
+    (state/bloom.py sidecars): drops parts an eq/IN predicate provably
+    misses BEFORE any task is scheduled.  Bounded at _BLOOM_DRIVER_CAP
+    parts — beyond that the same probe runs distributed inside the scan
+    tasks (_bloom_disproves), so the driver never reads O(parts)
+    sidecars at open scale."""
+    probe = _bloom_probe_sets(preds)
+    if not probe or len(files) > _BLOOM_DRIVER_CAP:
+        return files
+    from ..state.bloom import bloom_may_contain
+    out = []
+    for f in files:
+        base = os.path.basename(f["path"])
+        if base.startswith("part-"):
+            part_id = base[len("part-"):-len(".parquet")]
+            if any(not bloom_may_contain(out_dir, part_id, col, vals)
+                   for col, vals in probe):
+                continue
+        out.append(f)
+    return out
+
+
 def _typed_empty(out_dir: str, out_columns: list[str]) -> pa.Table:
     """Empty result with the SAME schema the unpruned path would
     produce: column dtypes come from any part's stored params (one
@@ -596,10 +704,11 @@ def _typed_empty(out_dir: str, out_columns: list[str]) -> pa.Table:
 def filter_encoded(out_dir: str, column: str, value,
                    out_columns: list[str]) -> "rd.Dataset":
     """Equality predicate pushed into the encoded store: manifest zone
-    maps prune whole parts driver-side (tiny JSON, no data reads), then
-    the filter runs on packed codes; only matching rows of
-    `out_columns` are decoded."""
-    files = _surviving_parts(out_dir, column, value, value)
+    maps + bloom sidecars prune whole parts driver-side (tiny JSON /
+    ~KB bit arrays, no data reads), then the filter runs on packed
+    codes; only matching rows of `out_columns` are decoded."""
+    files = _bloom_prune(out_dir, _surviving_parts(
+        out_dir, column, value, value), [(column, "eq", value, value)])
     if not files:  # every part pruned — provably empty result
         return rd.from_arrow(_typed_empty(out_dir, out_columns))
     ds = rd.from_items(files, override_num_blocks=len(files))
@@ -611,15 +720,17 @@ def filter_encoded_multi(out_dir: str, preds: list[tuple],
                          out_columns: list[str]) -> "rd.Dataset":
     """Conjunction (AND) of eq/range predicates pushed into the encoded
     store: zone maps prune a part when ANY predicate's zone disproves
-    it (intersection of per-predicate survivor sets), then per-part
-    masks AND on packed codes and only the surviving rows of
-    `out_columns` decode.  preds: normalized
-    ``[(col, "eq", v, v) | (col, "range", lo, hi)]``."""
+    it (intersection of per-predicate survivor sets) and bloom sidecars
+    disprove eq/IN point sets, then per-part masks AND on packed codes
+    and only the surviving rows of `out_columns` decode.  preds:
+    normalized ``[(col, "eq", v, v) | (col, "range", lo, hi) |
+    (col, "in", values, None)]``."""
     paths = None
-    for col, op, lo, hi in preds:
-        surv = {f["path"] for f in _surviving_parts(out_dir, col, lo, hi)}
+    for pred in preds:
+        surv = {f["path"] for f in _pred_survivors(out_dir, pred)}
         paths = surv if paths is None else (paths & surv)
-    files = [{"path": p} for p in sorted(paths or ())]
+    files = _bloom_prune(out_dir,
+                         [{"path": p} for p in sorted(paths or ())], preds)
     if not files:  # every part pruned — provably empty result
         return rd.from_arrow(_typed_empty(out_dir, out_columns))
     ds = rd.from_items(files, override_num_blocks=len(files))

@@ -34,8 +34,15 @@ domain can evaluate without decoding):
     read_encoded(store, columns=[...],
                  filter=("ts", "between", lo, hi))        # inclusive
     read_encoded(store, columns=[...],
+                 filter=("url", "in", [u1, u2]))          # IN-list
+    read_encoded(store, columns=[...],
                  filter=[("lang", "==", "de"),
                          ("user_id", "between", 3, 9)])   # conjunction
+
+Point predicates (eq / in) additionally prune via the per-part bloom
+sidecars (state/bloom.py) — the path that makes a ``url == x`` lookup
+on an arrival-ordered store O(matching parts), since url zones don't
+exist (long-string columns are not zone-mapped).
 """
 
 from __future__ import annotations
@@ -53,6 +60,23 @@ def _part_files(store_dir: str) -> list[str]:
     return [os.path.join(store_dir, f)
             for f in sorted(os.listdir(store_dir))
             if f.endswith(".parquet")]
+
+
+def _norm_pred(f) -> tuple:
+    """User predicate → normalized (col, op, lo, hi):
+    ``(col, "==", v)`` → eq, ``(col, "between", lo, hi)`` → range,
+    ``(col, "in", values)`` → in (lo = value tuple, hi = None)."""
+    col, op, *vals = f
+    if op in ("==", "eq") and len(vals) == 1:
+        return (col, "eq", vals[0], vals[0])
+    if op in ("between", "range") and len(vals) == 2:
+        return (col, "range", vals[0], vals[1])
+    if op == "in" and len(vals) == 1 and \
+            isinstance(vals[0], (list, tuple, set, frozenset)):
+        return (col, "in", tuple(vals[0]), None)
+    raise ValueError(
+        f"unsupported filter {f!r}: expected (col, '==', v), "
+        "(col, 'between', lo, hi) or (col, 'in', [v, ...])")
 
 
 def encoded_schema(store_dir: str) -> pa.Schema:
@@ -83,10 +107,11 @@ def read_encoded(store_dir: str, *, columns: list[str] | None = None,
     """Dataset of decoded rows from an encoded store — the generic
     source form of ``decode_files`` / ``filter_encoded*``.
 
-    ``filter`` is ``(column, "==", value)`` or
-    ``(column, "between", lo, hi)`` (inclusive), or a LIST of those
-    for a conjunction (every predicate must hold).  Filter columns
-    need not be in ``columns``."""
+    ``filter`` is ``(column, "==", value)``,
+    ``(column, "between", lo, hi)`` (inclusive) or
+    ``(column, "in", [v, ...])``, or a LIST of those for a conjunction
+    (every predicate must hold).  Filter columns need not be in
+    ``columns``."""
     from ..pipelines.encode_pipeline import (decode_files, filter_encoded,
                                              filter_encoded_multi,
                                              filter_encoded_range)
@@ -99,24 +124,11 @@ def read_encoded(store_dir: str, *, columns: list[str] | None = None,
     if not out_columns:
         raise ValueError(f"no encoded parts found in {store_dir}")
 
-    def _norm(f):
-        col, op, *vals = f
-        if op in ("==", "eq") and len(vals) == 1:
-            return (col, "eq", vals[0], vals[0])
-        if op in ("between", "range") and len(vals) == 2:
-            return (col, "range", vals[0], vals[1])
-        raise ValueError(
-            f"unsupported filter {f!r}: expected (col, '==', v) or "
-            "(col, 'between', lo, hi)")
-
-    if isinstance(filter, list):
-        preds = [_norm(f) for f in filter]
-        if len(preds) == 1:
-            filter = tuple(filter[0])
-        else:
-            return filter_encoded_multi(store_dir, preds,
-                                        list(out_columns))
-    col, op, lo, hi = _norm(filter)
+    preds = [_norm_pred(f) for f in filter] if isinstance(filter, list) \
+        else [_norm_pred(filter)]
+    if len(preds) > 1 or preds[0][1] == "in":
+        return filter_encoded_multi(store_dir, preds, list(out_columns))
+    col, op, lo, hi = preds[0]
     if op == "eq":
         return filter_encoded(store_dir, col, lo, list(out_columns))
     return filter_encoded_range(store_dir, col, lo, hi,
@@ -140,6 +152,7 @@ def store_stats(store_dir: str) -> dict:
     mans = Manifest(store_dir).load_all()
     codec_hist: dict[str, dict[str, int]] = {}
     zones: dict[str, dict] = {}
+    bloom_parts: dict[str, int] = {}
     rows = orig = enc = 0
     for m in mans:
         rows += m.get("rows", 0)
@@ -148,6 +161,8 @@ def store_stats(store_dir: str) -> dict:
         for col, codec in m.get("codecs", {}).items():
             codec_hist.setdefault(col, {})
             codec_hist[col][codec] = codec_hist[col].get(codec, 0) + 1
+        for col in m.get("blooms") or ():
+            bloom_parts[col] = bloom_parts.get(col, 0) + 1
         for col, z in (m.get("zones") or {}).items():
             cur = zones.get(col)
             if cur is None:
@@ -159,7 +174,8 @@ def store_stats(store_dir: str) -> dict:
     return {"parts": len(mans), "rows": rows, "orig_bytes": orig,
             "enc_bytes": enc, "disk_bytes": disk,
             "ratio": round(orig / enc, 4) if enc else None,
-            "codecs": codec_hist, "zones": zones}
+            "codecs": codec_hist, "zones": zones,
+            "blooms": bloom_parts}
 
 
 class _CountPart:
@@ -173,10 +189,13 @@ class _CountPart:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         from ..codecs import EncodedColumn
-        from ..codecs.access import filter_eq, filter_range
+        from ..codecs.access import filter_eq, filter_in, filter_range
+        from ..pipelines.encode_pipeline import _bloom_disproves
         cols = sorted({c for c, *_ in self.preds})
         n = 0
         for p in batch.column("path").to_pylist():
+            if _bloom_disproves(p, self.preds):
+                continue  # sidecar-only read, provably zero matches
             # per-block row-group layout: only the filter columns'
             # payload pages are read
             enc_rows = pq.read_table(
@@ -194,8 +213,12 @@ class _CountPart:
                 enc_of[c] = enc
             mask = None
             for col, op, lo, hi in self.preds:
-                m = filter_eq(enc_of[col], lo) if op == "eq" \
-                    else filter_range(enc_of[col], lo, hi)
+                if op == "eq":
+                    m = filter_eq(enc_of[col], lo)
+                elif op == "in":
+                    m = filter_in(enc_of[col], lo)
+                else:
+                    m = filter_range(enc_of[col], lo, hi)
                 mask = m if mask is None else (mask & m)
                 if not mask.any():
                     break
@@ -226,25 +249,16 @@ def count_encoded(store_dir: str, filter: tuple | None = None) -> int:
             if t.num_rows:  # rows of the part = n_values of any block
                 total += int(t.column("n_values")[0].as_py())
         return total
-    from ..pipelines.encode_pipeline import _surviving_parts
+    from ..pipelines.encode_pipeline import _bloom_prune, _pred_survivors
 
-    def _norm(f):
-        col, op, *vals = f
-        if op in ("==", "eq") and len(vals) == 1:
-            return (col, "eq", vals[0], vals[0])
-        if op in ("between", "range") and len(vals) == 2:
-            return (col, "range", vals[0], vals[1])
-        raise ValueError(
-            f"unsupported filter {f!r}: expected (col, '==', v) or "
-            "(col, 'between', lo, hi)")
-
-    preds = [_norm(f) for f in filter] if isinstance(filter, list) \
-        else [_norm(filter)]
+    preds = [_norm_pred(f) for f in filter] if isinstance(filter, list) \
+        else [_norm_pred(filter)]
     paths = None
-    for col, _, lo, hi in preds:
-        surv = {f["path"] for f in _surviving_parts(store_dir, col, lo, hi)}
+    for pred in preds:
+        surv = {f["path"] for f in _pred_survivors(store_dir, pred)}
         paths = surv if paths is None else (paths & surv)
-    files = [{"path": p} for p in sorted(paths or ())]
+    files = _bloom_prune(store_dir,
+                         [{"path": p} for p in sorted(paths or ())], preds)
     if not files:
         return 0
     ds = rd.from_items(files, override_num_blocks=len(files))

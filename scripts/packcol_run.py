@@ -40,8 +40,9 @@ def _ray_init(num_cpus: int | None):
 
 
 def _build_preds(args):
-    """CLI --where/--between (both repeatable) → read_encoded filter:
-    None, a single predicate tuple, or a list (conjunction)."""
+    """CLI --where/--between/--where-in (all repeatable) →
+    read_encoded filter: None, a single predicate tuple, or a list
+    (conjunction)."""
     def _auto(v):
         for t in (int, float):
             try:
@@ -56,6 +57,8 @@ def _build_preds(args):
         preds.append((w[0], "==", cast(w[1])))
     for b in args.between or []:
         preds.append((b[0], "between", cast(b[1]), cast(b[2])))
+    for w in getattr(args, "where_in", None) or []:
+        preds.append((w[0], "in", [cast(v) for v in w[1].split(",")]))
     if not preds:
         return None
     return preds[0] if len(preds) == 1 else preds
@@ -76,6 +79,10 @@ def main() -> None:
                         "sampled token vocabulary written as a sidecar "
                         "(stages/toksep_actor.py) instead of per-part "
                         "dictionaries")
+    e.add_argument("--bloom", default="auto", metavar="auto|none|COLS",
+                   help="per-part bloom sidecars for point-lookup part "
+                        "pruning (state/bloom.py): auto = hashable "
+                        "key-shaped columns, none, or a comma list")
 
     v = sub.add_parser("verify", help="decode-verify an encoded dir")
     v.add_argument("--encoded", required=True)
@@ -116,6 +123,10 @@ def main() -> None:
     r.add_argument("--between", nargs=3, metavar=("COL", "LO", "HI"),
                    action="append",
                    help="inclusive range predicate (repeatable: AND)")
+    r.add_argument("--where-in", nargs=2, metavar=("COL", "V1,V2,..."),
+                   action="append",
+                   help="IN-list predicate, comma-separated values "
+                   "(repeatable: AND); bloom-pruned for point sets")
     r.add_argument("--type", default="str",
                    choices=["str", "int", "float", "auto"],
                    help="predicate value type (auto: int, float, str)")
@@ -143,6 +154,8 @@ def main() -> None:
                    action="append")
     n.add_argument("--between", nargs=3, metavar=("COL", "LO", "HI"),
                    action="append")
+    n.add_argument("--where-in", nargs=2, metavar=("COL", "V1,V2,..."),
+                   action="append")
     n.add_argument("--type", default="str",
                    choices=["str", "int", "float", "auto"])
 
@@ -159,11 +172,14 @@ def main() -> None:
         paths = sorted(glob.glob(args.input))
         if not paths:
             sys.exit(f"no files match {args.input}")
+        bloom = "auto" if args.bloom == "auto" else (
+            None if args.bloom == "none" else args.bloom.split(","))
         m = encode_files(paths, args.output, resume=not args.no_resume,
                          target_bytes=args.target_mb << 20,
                          shared_vocab_columns=(
                              args.shared_vocab.split(",")
-                             if args.shared_vocab else None))
+                             if args.shared_vocab else None),
+                         bloom_columns=bloom)
         print(json.dumps(m))
     elif args.cmd == "verify":
         from packcol.pipelines.encode_pipeline import verify_files
