@@ -717,6 +717,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
                      datetime(2024, 1, 12))])
     q["filter_encoded_conj"] = filter_encoded_conj
 
+    def filter_encoded_in(sf):
+        # IN-list pushdown: bloom sidecars prune parts for point sets
+        # (zone maps can't on unclustered keys); surviving parts mask
+        # packed codes directly — int bitpack AND string dict columns
+        from packcol.sources.encoded import read_encoded
+        out = _encoded_store(sf, "events")
+        return read_encoded(
+            out, columns=["event_id", "user_id", "event_type"],
+            filter=[("user_id", "in", [2, 7, 11]),
+                    ("event_type", "in", ["click", "purchase"])])
+    q["filter_encoded_in"] = filter_encoded_in
+
     def clustered_filter_range(sf):
         # sort-clustered physical layout: zone maps on the cluster key
         # become disjoint, so this range probe reads O(1) parts
@@ -1250,8 +1262,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         #   embedding_norm: green r1+r2+r3 (exiled r4 to make room for
         #   ann_lsh_exact); events_hourly / stats_documents: green
         #   r1+r2+r3 (exiled r4 to make room for filter_encoded_conj
-        #   and clustered_filter_range)
+        #   and clustered_filter_range); ann_topk: green r1+r2+r3
+        #   (exiled r4 for filter_encoded_in — the ANN family keeps two
+        #   exactness-forced head anchors, ann_ivf_exact + ann_lsh_exact)
         "embedding_norm", "events_hourly", "stats_documents",
+        "ann_topk",
         # (a) rows-only by design
         "minhash_pairs_est", "simhash_pairs_hamming", "langid",
         "fingerprint", "embedding_dedup_lsh", "ann_ivf", "ann_lsh",
@@ -1426,6 +1441,10 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_id, user_id, ts FROM events "
             "WHERE user_id BETWEEN 3 AND 9 AND ts BETWEEN "
             "TIMESTAMP '2024-01-05' AND TIMESTAMP '2024-01-12'"),
+        "filter_encoded_in": (
+            "SELECT event_id, user_id, event_type FROM events "
+            "WHERE user_id IN (2, 7, 11) "
+            "AND event_type IN ('click', 'purchase')"),
         "clustered_filter_range": (
             "SELECT event_id, user_id FROM events "
             "WHERE user_id BETWEEN 3 AND 9"),

@@ -95,7 +95,13 @@ def _predicate_int(value, dtype_str: str | None) -> int:
         return int(value)
     from .forpack import to_int64_numpy
     t = str_to_type(dtype_str) if dtype_str else None
-    return int(to_int64_numpy(pa.array([value], type=t))[0])
+    try:
+        return int(to_int64_numpy(pa.array([value], type=t))[0])
+    except (pa.ArrowInvalid, pa.ArrowTypeError) as e:
+        raise TypeError(
+            f"predicate value {value!r} ({type(value).__name__}) is not "
+            f"comparable with this column's logical type "
+            f"{dtype_str or 'int64'}; pass a value of that type") from e
 
 
 def filter_eq(enc: EncodedColumn, value) -> np.ndarray:

@@ -90,9 +90,17 @@ def encoded_schema(store_dir: str) -> pa.Schema:
         for name, params in zip(meta.column("column").to_pylist(),
                                 meta.column("params").to_pylist()):
             if name not in fields:
-                dt = json.loads(params).get("dtype")
+                p = json.loads(params)
+                dt = p.get("dtype")
                 if dt is not None:
-                    fields[name] = str_to_type(dt)
+                    try:
+                        fields[name] = str_to_type(dt)
+                    except ValueError:  # pre-r4 store-codec blocks
+                        pass
+                elif p.get("dtype_ipc"):  # nested logical types
+                    sch = pa.ipc.read_schema(pa.BufferReader(
+                        bytes.fromhex(p["dtype_ipc"])))
+                    fields[name] = sch.field(0).type
         # a complete part names every column; heterogeneous stores
         # (mixed tables) keep scanning until no new names appear
         if meta.num_rows and len(fields) >= meta.num_rows:

@@ -89,6 +89,20 @@ def encode_table(batch: pa.Table, part_id: str | None = None,
             # computes full stats lazily iff the override fails
             stats = None if override is not None else column_stats(col)
             enc = encode_with_guard(col, codec_name=override, stats=stats)
+        if "dtype" not in enc.params and "dtype_ipc" not in enc.params:
+            # every block records its logical type so encoded_schema()
+            # is complete regardless of codec (the store codec carries
+            # it only inside the IPC payload, which metadata-only reads
+            # never touch); nested types aren't str_to_type-parseable,
+            # so they ride as a serialized one-field IPC schema instead
+            from ..codecs.base import str_to_type, type_to_str
+            ds = type_to_str(col.type)
+            try:
+                str_to_type(ds)
+                enc.params["dtype"] = ds
+            except ValueError:
+                enc.params["dtype_ipc"] = pa.schema(
+                    [(name, col.type)]).serialize().to_pybytes().hex()
         r = enc.to_row()
         rows["part_id"].append(part_id)
         rows["column"].append(name)

@@ -39,10 +39,43 @@ def _ray_init(num_cpus: int | None):
     return ray
 
 
+def _schema_cast(store_dir: str):
+    """Literal coercion driven by the store's own logical schema: the
+    manifests know each column's Arrow type, so '--where user_id 7'
+    probes an int64 column with int 7, not the string '7'."""
+    import pyarrow as pa
+    from packcol.sources.encoded import encoded_schema
+    schema = encoded_schema(store_dir)
+
+    def cast(col: str, v: str):
+        if col not in schema.names:
+            raise SystemExit(
+                f"unknown column {col!r}; store has {schema.names}")
+        t = schema.field(col).type
+        try:
+            if pa.types.is_integer(t):
+                return int(v)
+            if pa.types.is_floating(t):
+                return float(v)
+            if pa.types.is_boolean(t):
+                return v.lower() in ("1", "true", "t", "yes")
+            if pa.types.is_timestamp(t) or pa.types.is_date(t):
+                from datetime import datetime
+                dt = datetime.fromisoformat(v)
+                return dt.date() if pa.types.is_date(t) else dt
+        except ValueError:
+            raise SystemExit(
+                f"predicate value {v!r} is not a valid {t} "
+                f"(column {col!r})")
+        return v
+    return cast
+
+
 def _build_preds(args):
     """CLI --where/--between/--where-in (all repeatable) →
     read_encoded filter: None, a single predicate tuple, or a list
-    (conjunction)."""
+    (conjunction).  --type schema (the default) coerces literals to
+    each column's logical type from the store manifests."""
     def _auto(v):
         for t in (int, float):
             try:
@@ -50,15 +83,21 @@ def _build_preds(args):
             except ValueError:
                 pass
         return v
-    cast = {"str": str, "int": int, "float": float,
-            "auto": _auto}[args.type]
+    if args.type == "schema":
+        cast = _schema_cast(args.encoded)
+    else:
+        c = {"str": str, "int": int, "float": float,
+             "auto": _auto}[args.type]
+        cast = lambda col, v: c(v)  # noqa: E731
     preds: list[tuple] = []
     for w in args.where or []:
-        preds.append((w[0], "==", cast(w[1])))
+        preds.append((w[0], "==", cast(w[0], w[1])))
     for b in args.between or []:
-        preds.append((b[0], "between", cast(b[1]), cast(b[2])))
+        preds.append((b[0], "between", cast(b[0], b[1]),
+                      cast(b[0], b[2])))
     for w in getattr(args, "where_in", None) or []:
-        preds.append((w[0], "in", [cast(v) for v in w[1].split(",")]))
+        preds.append((w[0], "in",
+                      [cast(w[0], v) for v in w[1].split(",")]))
     if not preds:
         return None
     return preds[0] if len(preds) == 1 else preds
@@ -108,9 +147,10 @@ def main() -> None:
                    help="comma-separated output columns")
     f.add_argument("--output", help="write matches to this parquet dir "
                    "(default: print row count only)")
-    f.add_argument("--type", default="str",
-                   choices=["str", "int", "float"],
-                   help="predicate value type")
+    f.add_argument("--type", default="schema",
+                   choices=["schema", "str", "int", "float"],
+                   help="predicate value type (schema: coerce to the "
+                   "column's logical type from the store manifests)")
 
     r = sub.add_parser("read", help="read an encoded store through the "
                        "generic source (projection + zone pruning + "
@@ -127,9 +167,10 @@ def main() -> None:
                    action="append",
                    help="IN-list predicate, comma-separated values "
                    "(repeatable: AND); bloom-pruned for point sets")
-    r.add_argument("--type", default="str",
-                   choices=["str", "int", "float", "auto"],
-                   help="predicate value type (auto: int, float, str)")
+    r.add_argument("--type", default="schema",
+                   choices=["schema", "str", "int", "float", "auto"],
+                   help="predicate value type (schema: coerce to the "
+                   "column's logical type from the store manifests)")
     r.add_argument("--output", help="write to this parquet dir "
                    "(default: print row count + schema)")
 
@@ -156,8 +197,8 @@ def main() -> None:
                    action="append")
     n.add_argument("--where-in", nargs=2, metavar=("COL", "V1,V2,..."),
                    action="append")
-    n.add_argument("--type", default="str",
-                   choices=["str", "int", "float", "auto"])
+    n.add_argument("--type", default="schema",
+                   choices=["schema", "str", "int", "float", "auto"])
 
     g = sub.add_parser("gen", help="generate synthetic webtext")
     g.add_argument("--output", required=True)
@@ -195,17 +236,22 @@ def main() -> None:
     elif args.cmd == "filter":
         from packcol.pipelines.encode_pipeline import (
             filter_encoded, filter_encoded_range)
-        cast = {"str": str, "int": int, "float": float}[args.type]
+        if args.type == "schema":
+            cast = _schema_cast(args.encoded)
+        else:
+            c = {"str": str, "int": int, "float": float}[args.type]
+            cast = lambda col, v: c(v)  # noqa: E731
         cols = args.out_columns.split(",")
         if (args.eq is None) == (args.range is None):
             sys.exit("exactly one of --eq / --range is required")
         if args.eq is not None:
-            ds = filter_encoded(args.encoded, args.column, cast(args.eq),
-                                cols)
+            ds = filter_encoded(args.encoded, args.column,
+                                cast(args.column, args.eq), cols)
         else:
             ds = filter_encoded_range(args.encoded, args.column,
-                                      cast(args.range[0]),
-                                      cast(args.range[1]), cols)
+                                      cast(args.column, args.range[0]),
+                                      cast(args.column, args.range[1]),
+                                      cols)
         if args.output:
             # materialize once: a lazy Dataset would re-run the whole
             # filter pipeline for write_parquet and again for count()

@@ -226,3 +226,81 @@ def test_per_block_row_groups_prune_projection(store, ray_session):
     prj = read_encoded(out, columns=["url", "lang"]).to_pandas() \
         .sort_values("url")
     assert list(prj["lang"]) == list(exp["lang"])
+
+
+def _cli_module():
+    import importlib.util
+    path = os.path.join(os.path.dirname(__file__), "..", "scripts",
+                        "packcol_run.py")
+    spec = importlib.util.spec_from_file_location("packcol_run", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_cli_schema_cast(store, tmp_path, ray_session):
+    """CLI literals coerce to the column's logical type from the store
+    manifests: '--where user_id 7' must probe int 7, '--between ts
+    2024-01-05 ...' a datetime — not the raw strings (r4 CLI bug)."""
+    import datetime
+
+    import pyarrow.parquet as pq
+    from packcol.pipelines.encode_pipeline import encode_files
+    from packcol.sources.encoded import count_encoded
+
+    cli = _cli_module()
+    _, out = store
+    cast = cli._schema_cast(out)
+    ts = cast("warc_ts", "2024-01-05T06:30:00")
+    assert isinstance(ts, datetime.datetime)
+    assert cast("lang", "de") == "de"
+    with pytest.raises(SystemExit, match="unknown column"):
+        cast("nope", "1")
+
+    # int + float coercion on an events-shaped store
+    t = pa.table({"user_id": pa.array([1, 7, 7, 9], type=pa.int64()),
+                  "value": pa.array([0.5, 1.5, 2.5, 3.5])})
+    src = tmp_path / "ints.parquet"
+    pq.write_table(t, src)
+    st2 = str(tmp_path / "store_ints")
+    encode_files([str(src)], st2)
+    cast2 = cli._schema_cast(st2)
+    assert cast2("user_id", "7") == 7
+    assert cast2("value", "1.5") == 1.5
+    with pytest.raises(SystemExit, match="not a valid"):
+        cast2("user_id", "seven")
+
+    # end-to-end: _build_preds(schema mode) drives count_encoded
+    import argparse
+    args = argparse.Namespace(type="schema", encoded=st2,
+                              where=[["user_id", "7"]], between=None,
+                              where_in=[["value", "1.5,3.5"]])
+    preds = cli._build_preds(args)
+    assert preds == [("user_id", "==", 7), ("value", "in", [1.5, 3.5])]
+    assert count_encoded(st2, preds) == 1
+
+
+def test_encoded_schema_complete_any_codec(tmp_path, ray_session):
+    """encoded_schema must report EVERY column's logical type no matter
+    which codec won — incl. the store (IPC passthrough) codec, whose
+    payload is never touched by metadata-only reads, and nested types,
+    which ride as a serialized one-field IPC schema (r4 fix: store-codec
+    blocks used to stamp no dtype, yielding empty/partial schemas)."""
+    import pyarrow.parquet as pq
+    from packcol.pipelines.encode_pipeline import encode_files
+    from packcol.sources.encoded import encoded_schema
+
+    t = pa.table({
+        "user_id": pa.array([1, 7, 7, 9], type=pa.int64()),
+        "value": pa.array([0.5, 1.5, 2.5, 3.5]),
+        "emb": pa.array([[0.1, 0.2]] * 4, type=pa.list_(pa.float32())),
+    })
+    src = tmp_path / "mixed.parquet"
+    pq.write_table(t, src)
+    out = str(tmp_path / "store_mixed")
+    encode_files([str(src)], out)
+    sch = encoded_schema(out)
+    assert set(sch.names) == {"user_id", "value", "emb"}
+    assert sch.field("user_id").type == pa.int64()
+    assert sch.field("value").type == pa.float64()
+    assert sch.field("emb").type == pa.list_(pa.float32())
