@@ -729,6 +729,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
                     ("event_type", "in", ["click", "purchase"])])
     q["filter_encoded_in"] = filter_encoded_in
 
+    def agg_encoded_events(sf):
+        # aggregate pushdown over the encoded store: predicate masks on
+        # packed codes, dict group column aggregates on integer codes
+        # (only distinct group values decode), partials merge in one
+        # distributed groupby — the decoded table never exists
+        from packcol.sources.encoded import agg_encoded
+        out = _encoded_store(sf, "events")
+        return agg_encoded(
+            out, group_by="event_type",
+            aggs={"n": ("count",), "vmin": ("min", "value"),
+                  "vmax": ("max", "value")},
+            filter=("user_id", "between", 3, 9))
+    q["agg_encoded_events"] = agg_encoded_events
+
     def clustered_filter_range(sf):
         # sort-clustered physical layout: zone maps on the cluster key
         # become disjoint, so this range probe reads O(1) parts
@@ -1264,9 +1278,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         #   r1+r2+r3 (exiled r4 to make room for filter_encoded_conj
         #   and clustered_filter_range); ann_topk: green r1+r2+r3
         #   (exiled r4 for filter_encoded_in — the ANN family keeps two
-        #   exactness-forced head anchors, ann_ivf_exact + ann_lsh_exact)
+        #   exactness-forced head anchors, ann_ivf_exact + ann_lsh_exact);
+        #   dedup_exact: green r1+r2+r3 (exiled r4 for
+        #   agg_encoded_events — the dedup family keeps minhash_pairs,
+        #   simhash_pairs, ngram_dedup, curate_* green in the head)
         "embedding_norm", "events_hourly", "stats_documents",
-        "ann_topk",
+        "ann_topk", "dedup_exact",
         # (a) rows-only by design
         "minhash_pairs_est", "simhash_pairs_hamming", "langid",
         "fingerprint", "embedding_dedup_lsh", "ann_ivf", "ann_lsh",
@@ -1445,6 +1462,10 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_id, user_id, event_type FROM events "
             "WHERE user_id IN (2, 7, 11) "
             "AND event_type IN ('click', 'purchase')"),
+        "agg_encoded_events": (
+            "SELECT event_type, COUNT(*) AS n, MIN(value) AS vmin, "
+            "MAX(value) AS vmax FROM events "
+            "WHERE user_id BETWEEN 3 AND 9 GROUP BY event_type"),
         "clustered_filter_range": (
             "SELECT event_id, user_id FROM events "
             "WHERE user_id BETWEEN 3 AND 9"),

@@ -273,3 +273,216 @@ def count_encoded(store_dir: str, filter: tuple | None = None) -> int:
     out = ds.map_batches(_CountPart(preds), batch_size=None,
                          batch_format="pyarrow")
     return int(out.sum("n") or 0)
+
+
+class _AggPart:
+    """Task: grouped partial aggregates of one encoded part.
+
+    The encoded-domain wins, in priority order:
+
+    * predicate masks evaluate on packed codes (never decode the
+      filter columns);
+    * a dict-codec group column groups on its INT CODES — only the
+      per-part dictionary's distinct values decode (late
+      materialization: O(groups) string decodes, not O(rows));
+    * count-only aggregates decode no value column at all.
+
+    Emits one partial row per (part, group): ``{group, __p__<out>...}``.
+    The caller merges partials with a distributed Ray groupby, so
+    driver state is never O(groups)."""
+
+    def __init__(self, group_by: str | None, aggs: dict,
+                 preds: list[tuple]):
+        self.group_by = group_by
+        self.aggs = aggs          # {out: ("count",) | (fn, col)}
+        self.preds = preds        # normalized, possibly []
+
+    def _partial_specs(self):
+        """pyarrow group_by aggregation specs (deduped) + the result
+        column each output draws from."""
+        specs, src = [], {}
+        for out, spec in self.aggs.items():
+            if spec[0] == "count" and len(spec) == 1:
+                s, name = ([], "count_all"), "count_all"
+            else:
+                fn, col = spec[0], spec[1]
+                s, name = (col, fn), f"{col}_{fn}"
+            if s not in specs:
+                specs.append(s)
+            src[out] = name
+        return specs, src
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import numpy as np
+        from ..codecs import EncodedColumn, decode_any
+        from ..codecs.access import _dict_codes
+        from ..codecs.access import filter_eq, filter_in, filter_range
+        from ..codecs.base import str_to_type
+        from ..codecs.dictionary import ipc_deserialize_array
+        from ..pipelines.encode_pipeline import _bloom_disproves
+
+        pred_cols = {c for c, *_ in self.preds}
+        val_cols = {s[1] for s in self.aggs.values() if len(s) > 1}
+        needed = sorted(pred_cols | val_cols |
+                        ({self.group_by} if self.group_by else set()))
+        specs, src = self._partial_specs()
+        outs, out_types = [], {}
+        for p in batch.column("path").to_pylist():
+            if self.preds and _bloom_disproves(p, self.preds):
+                continue
+            if not needed:
+                # global COUNT(*) with no filter: the part's row count
+                # is any block's n_values — metadata columns only, the
+                # payload pages are never read
+                meta = pq.read_table(p, columns=["n_values"])
+                if meta.num_rows:
+                    outs.append(pa.table(
+                        {f"__p__{out}": pa.array(
+                            [int(meta.column("n_values")[0].as_py())],
+                            pa.int64())
+                         for out in self.aggs}))
+                continue
+            enc_rows = pq.read_table(p, filters=[("column", "in", needed)])
+            names = enc_rows.column("column").to_pylist()
+            if any(c not in names for c in needed):
+                continue  # heterogeneous store: part holds another table
+            enc_of = {}
+            for i, name in enumerate(names):
+                enc_of[name] = EncodedColumn.from_row(
+                    {k: enc_rows.column(k)[i].as_py() for k in
+                     ("codec", "n_values", "params", "payload")})
+                enc_of[name].base_dir = os.path.dirname(p)
+            mask = None
+            for col, op, lo, hi in self.preds:
+                if op == "eq":
+                    m = filter_eq(enc_of[col], lo)
+                elif op == "in":
+                    m = filter_in(enc_of[col], lo)
+                else:
+                    m = filter_range(enc_of[col], lo, hi)
+                mask = m if mask is None else (mask & m)
+                if not mask.any():
+                    break
+            if mask is not None and not mask.any():
+                continue
+            sel = pa.array(np.flatnonzero(mask)) if mask is not None \
+                else None
+
+            # group key: dict codes when null-free (decode only the
+            # distinct values after aggregation), else decoded values
+            mapping = None
+            if self.group_by is None:
+                n = enc_of[needed[0]].n_values if needed else 0
+                n_rows = int(mask.sum()) if mask is not None else n
+                garr = pa.array(np.zeros(n_rows, dtype=np.int64))
+            else:
+                genc = enc_of[self.group_by]
+                if genc.codec == "dict" and \
+                        not genc.buffers.get("validity", b""):
+                    codes = _dict_codes(genc).astype(np.int64,
+                                                     copy=False)
+                    garr = pa.array(codes)
+                    mapping = ipc_deserialize_array(genc.buffers["aux"])
+                else:
+                    garr = decode_any(genc)
+                if sel is not None:
+                    garr = garr.take(sel)
+            cols = {"__g": garr}
+            for c in sorted(val_cols):
+                arr = decode_any(enc_of[c])
+                cols[c] = arr.take(sel) if sel is not None else arr
+                out_types[c] = cols[c].type
+            part = pa.table(cols).group_by("__g").aggregate(specs)
+            if mapping is not None:
+                part = part.set_column(
+                    part.schema.get_field_index("__g"), "__g",
+                    mapping.take(part.column("__g")))
+            if self.group_by is not None:
+                dt = enc_of[self.group_by].params.get("dtype")
+                if dt is not None:
+                    out_types[self.group_by] = str_to_type(dt)
+            outs.append(self._rename(part, src))
+        if not outs:
+            return self._typed_empty(src, out_types)
+        return pa.concat_tables(outs, promote_options="permissive")
+
+    def _rename(self, part: pa.Table, src: dict) -> pa.Table:
+        cols = {}
+        if self.group_by is not None:
+            cols[self.group_by] = part.column("__g")
+        for out, name in src.items():
+            cols[f"__p__{out}"] = part.column(name)
+        return pa.table(cols)
+
+    def _typed_empty(self, src: dict, out_types: dict) -> pa.Table:
+        fields = {}
+        if self.group_by is not None:
+            fields[self.group_by] = out_types.get(self.group_by,
+                                                  pa.string())
+        for out, spec in self.aggs.items():
+            if spec[0] == "count":
+                fields[f"__p__{out}"] = pa.int64()
+            else:
+                fields[f"__p__{out}"] = out_types.get(spec[1],
+                                                      pa.float64())
+        return pa.table({n: pa.array([], type=t)
+                         for n, t in fields.items()})
+
+
+def agg_encoded(store_dir: str, *, group_by: str | None = None,
+                aggs: dict, filter: tuple | None = None):
+    """Grouped aggregates over the encoded store WITHOUT a table scan
+    of decoded rows.
+
+    ``aggs`` maps output column name → ``("count",)`` (COUNT(*)),
+    ``("count", col)`` (non-null count), or ``("sum"|"min"|"max",
+    col)``.  Nulls follow SQL semantics (sum/min/max ignore them).
+    Integer sums stay int64 — overflow is the caller's concern, as in
+    pyarrow.
+
+    The scan prunes parts via zone maps + bloom sidecars when
+    ``filter`` is given, evaluates the predicate on packed codes,
+    groups dict-codec columns on their integer codes (decoding only
+    the distinct group values), and skips value decodes entirely for
+    count-only aggregates.  Partials merge with one distributed Ray
+    groupby over O(parts x groups) tiny rows — no driver-side group
+    state.
+
+    Returns a ``ray.data.Dataset`` with columns ``[group_by, *aggs]``
+    (or a one-row Dataset without ``group_by``)."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    from ..pipelines.encode_pipeline import _bloom_prune, _pred_survivors
+
+    for out, spec in aggs.items():
+        if spec[0] not in ("count", "sum", "min", "max"):
+            raise ValueError(f"unsupported aggregate {spec[0]!r}")
+        if spec[0] != "count" and len(spec) != 2:
+            raise ValueError(f"{out}: {spec[0]} needs a column")
+
+    preds = ([] if filter is None else
+             [_norm_pred(f) for f in filter] if isinstance(filter, list)
+             else [_norm_pred(filter)])
+    paths = None
+    for pred in preds:
+        surv = {f["path"] for f in _pred_survivors(store_dir, pred)}
+        paths = surv if paths is None else (paths & surv)
+    if paths is None:
+        paths = set(_part_files(store_dir))
+    files = [{"path": p} for p in sorted(paths)]
+    if preds:
+        files = _bloom_prune(store_dir, files, preds)
+    task = _AggPart(group_by, aggs, preds)
+    if not files:
+        empty = task._typed_empty(task._partial_specs()[1], {})
+        ds = rd.from_arrow(empty)
+    else:
+        ds = rd.from_items(files, override_num_blocks=len(files)) \
+            .map_batches(task, batch_size=None, batch_format="pyarrow")
+    merge = {"count": Sum, "sum": Sum, "min": Min, "max": Max}
+    ray_aggs = [merge[spec[0]](on=f"__p__{out}", alias_name=out)
+                for out, spec in aggs.items()]
+    if group_by is None:
+        return ds.groupby(None).aggregate(*ray_aggs)
+    out = ds.groupby(group_by).aggregate(*ray_aggs)
+    return out.select_columns([group_by, *aggs.keys()])

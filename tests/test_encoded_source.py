@@ -304,3 +304,54 @@ def test_encoded_schema_complete_any_codec(tmp_path, ray_session):
     assert sch.field("user_id").type == pa.int64()
     assert sch.field("value").type == pa.float64()
     assert sch.field("emb").type == pa.list_(pa.float32())
+
+
+def test_agg_encoded(store, ray_session):
+    """Grouped aggregates over the encoded store: dict group columns
+    aggregate on integer codes (only distinct group values decode),
+    count-only aggs decode no value column, predicates mask on packed
+    codes, partials merge in a distributed groupby."""
+    import ray.data as rd
+    from packcol.sources.encoded import agg_encoded
+    wt, out = store
+    exp = rd.read_parquet(wt).to_pandas()
+
+    # grouped count + min/max on a timestamp value column
+    got = agg_encoded(out, group_by="lang",
+                      aggs={"n": ("count",),
+                            "first_ts": ("min", "warc_ts"),
+                            "last_ts": ("max", "warc_ts")}) \
+        .to_pandas().sort_values("lang").reset_index(drop=True)
+    ref = exp.groupby("lang").agg(
+        n=("lang", "size"), first_ts=("warc_ts", "min"),
+        last_ts=("warc_ts", "max")).reset_index() \
+        .sort_values("lang").reset_index(drop=True)
+    assert got["lang"].tolist() == ref["lang"].tolist()
+    assert got["n"].tolist() == ref["n"].tolist()
+    assert got["first_ts"].tolist() == ref["first_ts"].tolist()
+    assert got["last_ts"].tolist() == ref["last_ts"].tolist()
+
+    # filtered grouped count (zone/bloom prune + code-level mask)
+    lo = exp["warc_ts"].quantile(0.3).to_pydatetime()
+    hi = exp["warc_ts"].quantile(0.7).to_pydatetime()
+    got = agg_encoded(out, group_by="lang", aggs={"n": ("count",)},
+                      filter=("warc_ts", "between", lo, hi)) \
+        .to_pandas().sort_values("lang").reset_index(drop=True)
+    sub = exp[(exp["warc_ts"] >= lo) & (exp["warc_ts"] <= hi)]
+    ref = sub.groupby("lang").size()
+    assert dict(zip(got["lang"], got["n"])) == ref.to_dict()
+
+    # global: count without any payload read; min/max with
+    got = agg_encoded(out, aggs={"n": ("count",),
+                                 "last_ts": ("max", "warc_ts")}) \
+        .to_pandas()
+    assert got["n"].iloc[0] == len(exp)
+    assert got["last_ts"].iloc[0] == exp["warc_ts"].max()
+
+    # empty result: impossible predicate prunes every part driver-side
+    got = agg_encoded(out, group_by="lang", aggs={"n": ("count",)},
+                      filter=("lang", "==", "zz-nope")).to_pandas()
+    assert len(got) == 0
+
+    with pytest.raises(ValueError, match="unsupported aggregate"):
+        agg_encoded(out, aggs={"x": ("avg", "warc_ts")})
