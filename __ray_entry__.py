@@ -743,6 +743,29 @@ def queries() -> dict[str, Callable[[str], Any]]:
             filter=("user_id", "between", 3, 9))
     q["agg_encoded_events"] = agg_encoded_events
 
+    def agg_encoded_minmax(sf):
+        # metadata-only aggregates: unfiltered ungrouped COUNT/MIN/MAX
+        # answered from the lineage manifests' zone maps alone (exact
+        # per-part min/max) — zero part-file reads, O(parts) tiny JSON
+        from packcol.sources.encoded import agg_encoded
+        out = _encoded_store(sf, "events")
+        return agg_encoded(
+            out, aggs={"n": ("count",),
+                       "min_user": ("min", "user_id"),
+                       "max_user": ("max", "user_id"),
+                       "first_ts": ("min", "ts"),
+                       "last_ts": ("max", "ts")})
+    q["agg_encoded_minmax"] = agg_encoded_minmax
+
+    def distinct_encoded_lang(sf):
+        # DISTINCT from the encoded domain: dict-codec parts answer
+        # from their dictionaries (zero row decodes), merged by one
+        # distributed groupby — driver state never O(distinct)
+        from packcol.sources.encoded import distinct_encoded
+        out = _encoded_store(sf, "documents")
+        return distinct_encoded(out, "lang")
+    q["distinct_encoded_lang"] = distinct_encoded_lang
+
     def clustered_filter_range(sf):
         # sort-clustered physical layout: zone maps on the cluster key
         # become disjoint, so this range probe reads O(1) parts
@@ -1284,6 +1307,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         #   simhash_pairs, ngram_dedup, curate_* green in the head)
         "embedding_norm", "events_hourly", "stats_documents",
         "ann_topk", "dedup_exact",
+        #   embedding_dedup / token_histogram: green r1+r2+r3 (exiled
+        #   r4 for agg_encoded_minmax + distinct_encoded_lang — the
+        #   embedding family keeps ann_ivf_exact/ann_lsh_exact in the
+        #   head; global_top_k stays covered by events_top_users)
+        "embedding_dedup", "token_histogram",
         # (a) rows-only by design
         "minhash_pairs_est", "simhash_pairs_hamming", "langid",
         "fingerprint", "embedding_dedup_lsh", "ann_ivf", "ann_lsh",
@@ -1466,6 +1494,11 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_type, COUNT(*) AS n, MIN(value) AS vmin, "
             "MAX(value) AS vmax FROM events "
             "WHERE user_id BETWEEN 3 AND 9 GROUP BY event_type"),
+        "agg_encoded_minmax": (
+            "SELECT COUNT(*) AS n, MIN(user_id) AS min_user, "
+            "MAX(user_id) AS max_user, MIN(ts) AS first_ts, "
+            "MAX(ts) AS last_ts FROM events"),
+        "distinct_encoded_lang": "SELECT DISTINCT lang FROM documents",
         "clustered_filter_range": (
             "SELECT event_id, user_id FROM events "
             "WHERE user_id BETWEEN 3 AND 9"),

@@ -463,6 +463,10 @@ def agg_encoded(store_dir: str, *, group_by: str | None = None,
     preds = ([] if filter is None else
              [_norm_pred(f) for f in filter] if isinstance(filter, list)
              else [_norm_pred(filter)])
+    if group_by is None and not preds:
+        fast = _agg_from_manifests(store_dir, aggs)
+        if fast is not None:
+            return rd.from_arrow(fast)
     paths = None
     for pred in preds:
         surv = {f["path"] for f in _pred_survivors(store_dir, pred)}
@@ -486,3 +490,162 @@ def agg_encoded(store_dir: str, *, group_by: str | None = None,
         return ds.groupby(None).aggregate(*ray_aggs)
     out = ds.groupby(group_by).aggregate(*ray_aggs)
     return out.select_columns([group_by, *aggs.keys()])
+
+
+def _int64_zone_value(v: int, target: pa.DataType) -> pa.Array:
+    """One physical-int64 zone bound as a 1-element array of the
+    column's logical type (the unit `compute_zones` recorded it in)."""
+    arr = pa.array([v], pa.int64())
+    try:
+        return arr.cast(target)
+    except pa.ArrowNotImplementedError:
+        # date32 and friends only cast from their exact-width int
+        return arr.cast(pa.int32()).cast(target)
+
+
+def _agg_from_manifests(store_dir: str, aggs: dict):
+    """Unfiltered, ungrouped COUNT(*)/MIN/MAX answered purely from the
+    per-partition lineage manifests — zero part-file reads of any kind
+    (the zone maps are EXACT per-part min/max, not sketches).  Returns
+    a one-row ``pa.Table`` typed like the scan path, or None when the
+    metadata cannot prove the answer (a part without a manifest, a
+    column some part did not zone-map — e.g. long strings, uint64,
+    all-null parts — or a SUM / non-null COUNT, which manifests don't
+    record): the caller falls back to the encoded-domain scan."""
+    from ..state.manifest import Manifest
+
+    for spec in aggs.values():
+        if spec[0] == "sum" or (spec[0] == "count" and len(spec) > 1):
+            return None
+    man = Manifest(store_dir)
+    done = man.done_parts()
+    ids = []
+    for path in _part_files(store_dir):
+        f = os.path.basename(path)
+        if not f.startswith("part-"):
+            return None
+        pid = f[len("part-"):-len(".parquet")]
+        if pid not in done:
+            return None  # unmanifested part: metadata can't speak for it
+        ids.append(pid)
+    mans = [man.load(p) for p in sorted(ids)] if ids else \
+        [man.load(p) for p in sorted(done)]
+    if not mans:
+        return None
+    need = {spec[1] for spec in aggs.values() if spec[0] in ("min", "max")}
+    rows = 0
+    zlo: dict[str, object] = {}
+    zhi: dict[str, object] = {}
+    kind: dict[str, dict] = {}
+    for m in mans:
+        if "rows" not in m:
+            return None
+        rows += int(m["rows"])
+        zones = m.get("zones") or {}
+        for col in need:
+            z = zones.get(col)
+            if z is None or (col in kind and
+                             kind[col]["kind"] != z["kind"]):
+                return None  # un-mapped part could hold the true extreme
+            kind.setdefault(col, z)
+            zlo[col] = z["min"] if col not in zlo else min(zlo[col],
+                                                           z["min"])
+            zhi[col] = z["max"] if col not in zhi else max(zhi[col],
+                                                           z["max"])
+    schema = encoded_schema(store_dir) if need else None
+    cols = {}
+    for out, spec in aggs.items():
+        if spec[0] == "count":
+            cols[out] = pa.array([rows], pa.int64())
+            continue
+        col = spec[1]
+        v = zlo[col] if spec[0] == "min" else zhi[col]
+        z = kind[col]
+        if col in schema.names:
+            target = schema.field(col).type
+        elif z["kind"] == "i64" and z.get("dt"):
+            # part files gone (metadata-only store): the zone itself
+            # recorded the logical type it was measured in
+            from ..codecs.base import str_to_type
+            target = str_to_type(z["dt"])
+        else:
+            target = pa.float64() if z["kind"] == "f64" else pa.string()
+        if z["kind"] == "i64":
+            cols[out] = _int64_zone_value(int(v), target)
+        else:  # "f64" / "str": zone stores the logical value directly
+            cols[out] = pa.array([v], type=target)
+    return pa.table(cols)
+
+
+class _DistinctPart:
+    """Task: distinct values of one column within one encoded part.
+
+    dict-codec blocks answer from their dictionary alone — the vocab
+    IS the part's distinct non-null set (``pc.dictionary_encode``
+    built it from the part's values), so no row decodes and no take
+    gather happen; a non-empty validity bitmap contributes the null.
+    Other codecs decode the single column and ``pc.unique`` it.
+    Emits O(distinct-per-part) rows; the caller merges with one
+    distributed groupby."""
+
+    def __init__(self, column: str, dtype: pa.DataType):
+        self.column = column
+        self.dtype = dtype
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        from ..codecs import EncodedColumn, decode_any
+        from ..codecs.base import str_to_type
+        from ..codecs.dictionary import ipc_deserialize_array
+        outs = []
+        for p in batch.column("path").to_pylist():
+            enc_rows = pq.read_table(
+                p, filters=[("column", "==", self.column)])
+            for i in range(enc_rows.num_rows):
+                enc = EncodedColumn.from_row(
+                    {k: enc_rows.column(k)[i].as_py() for k in
+                     ("codec", "n_values", "params", "payload")})
+                enc.base_dir = os.path.dirname(p)
+                if enc.codec == "dict":
+                    vals = ipc_deserialize_array(enc.buffers["aux"])
+                    dt = enc.params.get("dtype")
+                    if dt is not None:
+                        vals = vals.cast(str_to_type(dt))
+                    if isinstance(vals, pa.ChunkedArray):
+                        vals = vals.combine_chunks()
+                    if enc.buffers.get("validity", b""):
+                        vals = pa.concat_arrays(
+                            [vals, pa.nulls(1, vals.type)])
+                else:
+                    arr = decode_any(enc)
+                    if isinstance(arr, pa.ChunkedArray):
+                        arr = arr.combine_chunks()
+                    vals = pc.unique(arr)
+                outs.append(pa.table({self.column: vals}))
+        if not outs:
+            return pa.table({self.column: pa.array([], self.dtype)})
+        return pa.concat_tables(outs, promote_options="permissive")
+
+
+def distinct_encoded(store_dir: str, column: str) -> "rd.Dataset":
+    """SELECT DISTINCT ``column`` over the encoded store.
+
+    Per-part distinct sets come from the encoded domain (dict blocks:
+    the dictionary itself, zero value decodes — see ``_DistinctPart``),
+    then ONE distributed groupby merges them; driver state is never
+    O(distinct).  Returns a one-column ``ray.data.Dataset``."""
+    from ray.data.aggregate import Count
+    schema = encoded_schema(store_dir)
+    if column not in schema.names:
+        raise ValueError(f"unknown column {column!r}; store has "
+                         f"{schema.names}")
+    files = [{"path": p} for p in _part_files(store_dir)]
+    if not files:
+        return rd.from_arrow(
+            pa.table({column: pa.array([], schema.field(column).type)}))
+    ds = rd.from_items(files, override_num_blocks=len(files)) \
+        .map_batches(_DistinctPart(column, schema.field(column).type),
+                     batch_size=None, batch_format="pyarrow")
+    return ds.groupby(column).aggregate(Count()) \
+        .select_columns([column])

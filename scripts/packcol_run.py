@@ -200,6 +200,14 @@ def main() -> None:
     n.add_argument("--type", default="schema",
                    choices=["schema", "str", "int", "float", "auto"])
 
+    di = sub.add_parser("distinct", help="SELECT DISTINCT over the "
+                        "store: dict parts answer from their "
+                        "dictionaries (no row decodes)")
+    di.add_argument("--encoded", required=True)
+    di.add_argument("--column", required=True)
+    di.add_argument("--limit", type=int, default=20,
+                    help="values printed (count is always exact)")
+
     g = sub.add_parser("gen", help="generate synthetic webtext")
     g.add_argument("--output", required=True)
     g.add_argument("--rows", type=int, default=100_000)
@@ -286,6 +294,15 @@ def main() -> None:
         from packcol.sources.encoded import count_encoded
         print(json.dumps(
             {"rows": count_encoded(args.encoded, _build_preds(args))}))
+    elif args.cmd == "distinct":
+        from packcol.sources.encoded import distinct_encoded
+        # materialize the RESULT (O(distinct), not O(rows)) so count
+        # and the value sample don't re-execute the scan
+        ds = distinct_encoded(args.encoded, args.column).materialize()
+        vals = [r[args.column] for r in ds.take(args.limit)]
+        print(json.dumps({"column": args.column,
+                          "n_distinct": ds.count(),
+                          "values": [str(v) for v in vals]}))
     elif args.cmd == "gen":
         from packcol.sources.webtext import write_webtext
         parts = args.parts or max(args.rows // 7500, 1)

@@ -355,3 +355,87 @@ def test_agg_encoded(store, ray_session):
 
     with pytest.raises(ValueError, match="unsupported aggregate"):
         agg_encoded(out, aggs={"x": ("avg", "warc_ts")})
+
+
+def test_agg_from_manifests_metadata_only(store, tmp_path, ray_session):
+    """Unfiltered ungrouped COUNT/MIN/MAX answer from manifests alone:
+    with every part FILE deleted (manifests kept), the answers still
+    come out — proof no part bytes are read on the fast path."""
+    import shutil
+
+    import ray.data as rd
+    from packcol.sources.encoded import agg_encoded
+    wt, out = store
+    exp = rd.read_parquet(wt).to_pandas()
+    ghost = str(tmp_path / "ghost_store")
+    shutil.copytree(out, ghost)
+    removed = 0
+    for f in os.listdir(ghost):
+        if f.endswith(".parquet"):
+            os.remove(os.path.join(ghost, f))
+            removed += 1
+    assert removed > 1
+    got = agg_encoded(ghost, aggs={"n": ("count",),
+                                   "first_ts": ("min", "warc_ts"),
+                                   "last_ts": ("max", "warc_ts")}) \
+        .to_pandas()
+    assert got["n"].iloc[0] == len(exp)
+    assert got["first_ts"].iloc[0] == exp["warc_ts"].min()
+    assert got["last_ts"].iloc[0] == exp["warc_ts"].max()
+
+
+def test_agg_from_manifests_fallback_paths(store, ray_session):
+    """Shapes the manifests can't prove fall back to the scan and stay
+    correct: SUM (not recorded), MIN on a long-string column (not
+    zone-mapped), and a store with an unmanifested part."""
+    import ray.data as rd
+    from packcol.sources.encoded import _agg_from_manifests, agg_encoded
+    wt, out = store
+    exp = rd.read_parquet(wt).to_pandas()
+    # sum: no metadata answer, scan path must produce it
+    assert _agg_from_manifests(out, {"s": ("sum", "warc_ts")}) is None
+    # binary payloads are never zone-mapped -> metadata refuses
+    assert _agg_from_manifests(out, {"m": ("min", "html")}) is None
+    # short strings ARE zone-mapped: str zones answer MIN exactly
+    fast = _agg_from_manifests(out, {"m": ("min", "url")})
+    assert fast is not None and fast.column("m")[0].as_py() == \
+        exp["url"].min()
+    got = agg_encoded(out, aggs={"m": ("min", "url")}).to_pandas()
+    assert got["m"].iloc[0] == exp["url"].min()
+
+
+def test_distinct_encoded_dict_and_decode_paths(store, ray_session):
+    """DISTINCT over a dict-codec column comes from the per-part
+    dictionaries (no row decodes); over a non-dict column it decodes
+    and uniques per part.  Both merge in one distributed groupby."""
+    import ray.data as rd
+    from packcol.sources.encoded import distinct_encoded
+    wt, out = store
+    exp = rd.read_parquet(wt).to_pandas()
+    got = sorted(distinct_encoded(out, "lang").to_pandas()["lang"])
+    assert got == sorted(exp["lang"].unique())
+    # url: fsst/toksep-coded long strings -> per-part decode + unique
+    got = sorted(distinct_encoded(out, "url").to_pandas()["url"])
+    assert got == sorted(exp["url"].unique())
+    with pytest.raises(ValueError, match="unknown column"):
+        distinct_encoded(out, "nope")
+
+
+def test_distinct_encoded_includes_null(tmp_path, ray_session):
+    """A dict column with nulls contributes the null exactly once
+    (vocabularies hold only non-null values; the validity bitmap is
+    the null witness)."""
+    import pyarrow.parquet as pq
+
+    from packcol.pipelines.encode_pipeline import encode_files
+    from packcol.sources.encoded import distinct_encoded
+    src = tmp_path / "nulls.parquet"
+    pq.write_table(pa.table({
+        "k": pa.array((["a", "b", None] * 200)),
+        "v": pa.array(list(range(600))),
+    }), str(src))
+    out = str(tmp_path / "store_nulls")
+    encode_files([str(src)], out)
+    got = distinct_encoded(out, "k").to_pandas()["k"].tolist()
+    assert sorted(x for x in got if x is not None) == ["a", "b"]
+    assert sum(1 for x in got if x is None) == 1
