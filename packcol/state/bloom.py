@@ -44,6 +44,14 @@ import pyarrow as pa
 
 HASH_BYTES = 0  # string / binary: rolling-hash fingerprint of the bytes
 HASH_I64 = 1    # int-like: splitmix64 of the physical int64
+# string / binary: splitmix64 chain over (length, first 16 B, last 16 B)
+# — O(64 B) scratch per row regardless of row length, vs the rolling
+# hash's ~24 B of scratch per INPUT byte.  Middle-only differences
+# collide, which for a bloom is just a false positive (wasted scan,
+# never a false negative).  New sidecars build with this; the probe
+# side dispatches on the kind RECORDED in each sidecar, so stores
+# written before the change keep pruning correctly.
+HASH_BYTES_SAMPLED = 2
 
 BLOOM_DIR = "_bloom"
 _BITS_PER_KEY = 10        # with k=7 → ~0.8% false-positive rate
@@ -59,21 +67,51 @@ def _hash_kind(typ: pa.DataType) -> int | None:
     from ..codecs.forpack import is_int_like
     if pa.types.is_string(typ) or pa.types.is_large_string(typ) or \
             pa.types.is_binary(typ) or pa.types.is_large_binary(typ):
-        return HASH_BYTES
+        return HASH_BYTES_SAMPLED
     if is_int_like(typ) and not pa.types.is_uint64(typ):
         return HASH_I64
     return None
 
 
+def _sampled_fingerprint(arr: pa.Array) -> np.ndarray:
+    """(length, head 16 B, tail 16 B) → splitmix64 chain, O(64 B)
+    scratch per row.  Probe and build hash single scalars and full
+    columns through the same code, so they agree by construction."""
+    from ..functions.text import _filled_view, _splitmix64
+    d, offs = _filled_view(arr)
+    n = len(offs) - 1
+    lens = (offs[1:] - offs[:-1]).astype(np.uint64)
+    fp = _splitmix64(lens)
+    if len(d):
+        W = 16
+        steps = np.arange(W, dtype=offs.dtype)[None, :]
+        base = offs[:-1][:, None] + steps
+        head = np.where(base < offs[1:][:, None],
+                        d[np.minimum(base, len(d) - 1)], 0) \
+            .astype(np.uint8)
+        base = offs[1:][:, None] - W + steps
+        tail = np.where(base >= offs[:-1][:, None],
+                        d[np.clip(base, 0, len(d) - 1)], 0) \
+            .astype(np.uint8)
+        hw = np.ascontiguousarray(head).view(np.uint64)  # (n, 2)
+        tw = np.ascontiguousarray(tail).view(np.uint64)
+        for c in range(2):
+            fp = _splitmix64(fp ^ hw[:, c])
+            fp = _splitmix64(fp ^ tw[:, c])
+    return fp
+
+
 def _fingerprint(arr: pa.Array, kind: int) -> np.ndarray:
     """uint64 fingerprint per value; nulls produce arbitrary values the
     caller must mask out (a null never equals a predicate scalar)."""
-    if kind == HASH_BYTES:
-        from ..functions.text import fingerprints
+    if kind in (HASH_BYTES, HASH_BYTES_SAMPLED):
         if pa.types.is_binary(arr.type):  # same layout: zero-copy view
             arr = arr.view(pa.string())
         elif pa.types.is_large_binary(arr.type):
             arr = arr.view(pa.large_string())
+        if kind == HASH_BYTES_SAMPLED:
+            return _sampled_fingerprint(arr)
+        from ..functions.text import fingerprints
         return fingerprints(arr)
     from ..codecs.forpack import to_int64_numpy
     from ..functions.text import _splitmix64
@@ -112,9 +150,12 @@ def build_bloom(arr: pa.Array, kind: int) -> dict | None:
     m_bits = 1 << max(int(n * _BITS_PER_KEY - 1).bit_length(), 6)
     m_bits = min(m_bits, _MAX_BITS)
     pos = _positions(fp, m_bits).ravel()
-    bits = np.zeros(m_bits >> 3, dtype=np.uint8)
-    np.bitwise_or.at(bits, pos >> np.uint64(3),
-                     np.uint8(1) << (pos & np.uint64(7)).astype(np.uint8))
+    # boolean scatter + packbits beats np.bitwise_or.at ~10x (ufunc.at
+    # is a per-element Python-C roundtrip; fancy bool assignment and
+    # packbits are single C passes over ≤1 MB)
+    bset = np.zeros(m_bits, dtype=bool)
+    bset[pos.astype(np.int64)] = True
+    bits = np.packbits(bset, bitorder="little")
     # "dt" pins the hash's physical domain: an int-like probe must cast
     # the predicate scalar to the COLUMN's type before fingerprinting
     # (a timestamp[us] probe against a timestamp[ns] bloom would hash a
@@ -152,7 +193,7 @@ def auto_bloom_columns(t: pa.Table, zones: dict) -> list[str]:
         kind = _hash_kind(col.type)
         if kind is None or len(col) == 0 or col.null_count == len(col):
             continue
-        if kind == HASH_BYTES:
+        if kind in (HASH_BYTES, HASH_BYTES_SAMPLED):
             mean = pc.mean(pc.binary_length(col)).as_py()
             if mean is None or mean > _AUTO_MAX_MEAN_LEN:
                 continue

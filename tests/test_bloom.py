@@ -203,3 +203,34 @@ def test_bloom_columns_opt_out_and_explicit(tmp_path_factory, ray_session):
     got = read_encoded(out_none, columns=["url"],
                        filter=("url", "==", url)).to_pandas()
     assert list(got["url"]) == [url]
+
+
+def test_sampled_hash_build_and_legacy_probe_compat():
+    """New sidecars build with HASH_BYTES_SAMPLED; a sidecar recorded
+    with the legacy rolling-hash kind still probes correctly (the
+    probe dispatches on the kind stored IN the sidecar)."""
+    from packcol.state.bloom import (HASH_BYTES_SAMPLED, _hash_kind,
+                                     build_bloom, probe_bloom)
+    vals = pa.array([f"https://h{i}.example.com/p/{i*7}" for i in
+                     range(500)] + ["", "x", "y" * 40])
+    assert _hash_kind(vals.type) == HASH_BYTES_SAMPLED
+    for kind in (HASH_BYTES, HASH_BYTES_SAMPLED):
+        b = build_bloom(vals, kind)
+        assert b["hash"] == kind
+        # zero false negatives on every inserted value, either kind
+        assert probe_bloom(b, vals).all()
+        misses = pa.array([f"https://miss{i}.other.org/{i}"
+                           for i in range(2000)])
+        fpr = probe_bloom(b, misses).mean()
+        assert fpr < 0.05, (kind, fpr)
+
+
+def test_sampled_hash_distinguishes_head_tail_len():
+    """The sampled fingerprint separates values differing in length,
+    head, or tail (middle-only differences MAY collide by design)."""
+    from packcol.state.bloom import _sampled_fingerprint
+    vals = pa.array(["abcdef", "abcdeg", "xbcdef", "abcdef0",
+                     "a" * 100, "a" * 101, "b" + "a" * 99,
+                     "a" * 99 + "b", ""])
+    fp = _sampled_fingerprint(vals)
+    assert len(set(fp.tolist())) == len(vals)
