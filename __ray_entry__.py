@@ -743,6 +743,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
             filter=("user_id", "between", 3, 9))
     q["agg_encoded_events"] = agg_encoded_events
 
+    def filter_encoded_or(sf):
+        # disjunction pushdown: survivor parts = UNION of per-disjunct
+        # zone/bloom survivors, masks OR on packed codes
+        from packcol.sources.encoded import read_encoded
+        out = _encoded_store(sf, "events")
+        return read_encoded(
+            out, columns=["event_id", "user_id", "event_type"],
+            filter_any=[("user_id", "between", 0, 2),
+                        ("event_type", "==", "error")])
+    q["filter_encoded_or"] = filter_encoded_or
+
     def agg_encoded_minmax(sf):
         # metadata-only aggregates: unfiltered ungrouped COUNT/MIN/MAX
         # answered from the lineage manifests' zone maps alone (exact
@@ -1310,8 +1321,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         #   embedding_dedup / token_histogram: green r1+r2+r3 (exiled
         #   r4 for agg_encoded_minmax + distinct_encoded_lang — the
         #   embedding family keeps ann_ivf_exact/ann_lsh_exact in the
-        #   head; global_top_k stays covered by events_top_users)
-        "embedding_dedup", "token_histogram",
+        #   head; global_top_k stays covered by events_top_users);
+        #   filter_encoded_ts_range: green r2+r3 (exiled r4 for
+        #   filter_encoded_or — range pushdown stays covered by
+        #   filter_encoded_range/conj/clustered in the head)
+        "embedding_dedup", "token_histogram", "filter_encoded_ts_range",
         # (a) rows-only by design
         "minhash_pairs_est", "simhash_pairs_hamming", "langid",
         "fingerprint", "embedding_dedup_lsh", "ann_ivf", "ann_lsh",
@@ -1494,6 +1508,9 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_type, COUNT(*) AS n, MIN(value) AS vmin, "
             "MAX(value) AS vmax FROM events "
             "WHERE user_id BETWEEN 3 AND 9 GROUP BY event_type"),
+        "filter_encoded_or": (
+            "SELECT event_id, user_id, event_type FROM events "
+            "WHERE user_id BETWEEN 0 AND 2 OR event_type = 'error'"),
         "agg_encoded_minmax": (
             "SELECT COUNT(*) AS n, MIN(user_id) AS min_user, "
             "MAX(user_id) AS max_user, MIN(ts) AS first_ts, "

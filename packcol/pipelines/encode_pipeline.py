@@ -479,15 +479,18 @@ class EncodedFilterPart:
 
     def __init__(self, column: str, value, out_columns: list[str],
                  op: str = "eq", value2=None,
-                 preds: list[tuple] | None = None):
+                 preds: list[tuple] | None = None, mode: str = "and"):
         # preds: normalized [(col, "eq", v, v) | (col, "range", lo, hi)]
-        # conjunction; the single (column, op, value[, value2]) form is
-        # kept as the common one-predicate spelling
+        # combined per `mode` ("and" conjunction / "or" disjunction);
+        # the single (column, op, value[, value2]) form is kept as the
+        # common one-predicate spelling
         if preds is None:
             preds = [(column, op, value,
                       value if op == "eq" else value2)]
+        assert mode in ("and", "or"), mode
         self.preds = preds
         self.out_columns = out_columns
+        self.mode = mode
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         import numpy as np
@@ -499,7 +502,15 @@ class EncodedFilterPart:
         pred_cols = {c for c, *_ in self.preds}
         needed = sorted(pred_cols | set(self.out_columns))
         for p in batch.column("path").to_pylist():
-            if _bloom_disproves(p, self.preds):
+            if self.mode == "and":
+                skip = _bloom_disproves(p, self.preds)
+            else:
+                # OR: skippable only when EVERY disjunct is bloomable
+                # and each is individually disproven
+                skip = all(op in ("eq", "in")
+                           for _, op, *_ in self.preds) and \
+                    all(_bloom_disproves(p, [pr]) for pr in self.preds)
+            if skip:
                 continue  # ~KB sidecar read; part parquet never touched
             # row-group pruning on the per-block layout: only the
             # filter + output columns' payload pages are read
@@ -527,9 +538,16 @@ class EncodedFilterPart:
                     m = filter_in(enc_of[col], lo)
                 else:
                     m = filter_range(enc_of[col], lo, hi)
-                mask = m if mask is None else (mask & m)
-                if not mask.any():
-                    break
+                if mask is None:
+                    mask = m
+                elif self.mode == "and":
+                    mask = mask & m
+                else:
+                    mask = mask | m
+                if self.mode == "and" and not mask.any():
+                    break  # conjunction already provably empty
+                if self.mode == "or" and mask.all():
+                    break  # disjunction already provably full
             if not mask.any():
                 continue
             sel = pa.array(np.flatnonzero(mask))
@@ -736,6 +754,29 @@ def filter_encoded_multi(out_dir: str, preds: list[tuple],
     ds = rd.from_items(files, override_num_blocks=len(files))
     return ds.map_batches(
         EncodedFilterPart(None, None, out_columns, preds=preds),
+        batch_size=1, batch_format="pyarrow")
+
+
+def filter_encoded_any(out_dir: str, preds: list[tuple],
+                       out_columns: list[str]) -> "rd.Dataset":
+    """Disjunction (OR) of eq/range/IN predicates pushed into the
+    encoded store.  A part survives when ANY disjunct's evidence allows
+    it — the survivor set is the UNION over predicates of (zone
+    survivors ∩ bloom-kept) — and per-part masks OR on packed codes;
+    only rows matching some disjunct decode.  preds: normalized as in
+    :func:`filter_encoded_multi`."""
+    keep: set[str] = set()
+    for pred in preds:
+        surv = _bloom_prune(out_dir, _pred_survivors(out_dir, pred),
+                            [pred])
+        keep |= {f["path"] for f in surv}
+    if not keep:  # every disjunct disproven on every part
+        return rd.from_arrow(_typed_empty(out_dir, out_columns))
+    files = [{"path": p} for p in sorted(keep)]
+    ds = rd.from_items(files, override_num_blocks=len(files))
+    return ds.map_batches(
+        EncodedFilterPart(None, None, out_columns, preds=preds,
+                          mode="or"),
         batch_size=1, batch_format="pyarrow")
 
 

@@ -110,6 +110,7 @@ def encoded_schema(store_dir: str) -> pa.Schema:
 
 def read_encoded(store_dir: str, *, columns: list[str] | None = None,
                  filter: tuple | None = None,
+                 filter_any: list | None = None,
                  concurrency: int | None = None,
                  cpus_per_task: float = 1) -> "rd.Dataset":
     """Dataset of decoded rows from an encoded store — the generic
@@ -118,12 +119,18 @@ def read_encoded(store_dir: str, *, columns: list[str] | None = None,
     ``filter`` is ``(column, "==", value)``,
     ``(column, "between", lo, hi)`` (inclusive) or
     ``(column, "in", [v, ...])``, or a LIST of those for a conjunction
-    (every predicate must hold).  Filter columns need not be in
+    (every predicate must hold).  ``filter_any`` is a list of the same
+    shapes combined as a DISJUNCTION (any predicate may hold); the two
+    are mutually exclusive.  Filter columns need not be in
     ``columns``."""
     from ..pipelines.encode_pipeline import (decode_files, filter_encoded,
+                                             filter_encoded_any,
                                              filter_encoded_multi,
                                              filter_encoded_range)
-    if filter is None:
+    if filter is not None and filter_any is not None:
+        raise ValueError("pass filter= (AND) or filter_any= (OR), "
+                         "not both")
+    if filter is None and filter_any is None:
         return decode_files(store_dir, columns=columns,
                             concurrency=concurrency,
                             cpus_per_task=cpus_per_task)
@@ -132,6 +139,12 @@ def read_encoded(store_dir: str, *, columns: list[str] | None = None,
     if not out_columns:
         raise ValueError(f"no encoded parts found in {store_dir}")
 
+    if filter_any is not None:
+        if not isinstance(filter_any, list):  # single-predicate OR
+            filter_any = [filter_any]
+        return filter_encoded_any(
+            store_dir, [_norm_pred(f) for f in filter_any],
+            list(out_columns))
     preds = [_norm_pred(f) for f in filter] if isinstance(filter, list) \
         else [_norm_pred(filter)]
     if len(preds) > 1 or preds[0][1] == "in":

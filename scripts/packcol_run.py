@@ -171,6 +171,9 @@ def main() -> None:
                    choices=["schema", "str", "int", "float", "auto"],
                    help="predicate value type (schema: coerce to the "
                    "column's logical type from the store manifests)")
+    r.add_argument("--any", action="store_true",
+                   help="combine the predicates as a DISJUNCTION (OR) "
+                   "instead of the default conjunction")
     r.add_argument("--output", help="write to this parquet dir "
                    "(default: print row count + schema)")
 
@@ -271,10 +274,12 @@ def main() -> None:
     elif args.cmd == "read":
         from packcol.sources.encoded import read_encoded
         flt = _build_preds(args)
+        disj = getattr(args, "any", False)
         ds = read_encoded(args.encoded,
                           columns=(args.columns.split(",")
                                    if args.columns else None),
-                          filter=flt)
+                          filter=None if disj else flt,
+                          filter_any=flt if disj else None)
         if args.output:
             ds = ds.materialize()
             ds.write_parquet(args.output)

@@ -439,3 +439,36 @@ def test_distinct_encoded_includes_null(tmp_path, ray_session):
     got = distinct_encoded(out, "k").to_pandas()["k"].tolist()
     assert sorted(x for x in got if x is not None) == ["a", "b"]
     assert sum(1 for x in got if x is None) == 1
+
+
+def test_read_encoded_disjunction(store, ray_session):
+    """filter_any= is an OR: a row matching ANY predicate returns;
+    survivor parts = union of per-predicate zone/bloom survivors."""
+    import ray.data as rd
+    from packcol.sources.encoded import read_encoded
+    wt, out = store
+    exp = rd.read_parquet(wt).to_pandas()
+    lo = exp["warc_ts"].quantile(0.8).to_pydatetime()
+    hi = exp["warc_ts"].max().to_pydatetime()
+    got = read_encoded(out, columns=["url", "lang", "warc_ts"],
+                       filter_any=[("lang", "==", "de"),
+                                   ("warc_ts", "between", lo, hi)]) \
+        .to_pandas()
+    want = exp[(exp["lang"] == "de") |
+               ((exp["warc_ts"] >= lo) & (exp["warc_ts"] <= hi))]
+    assert sorted(got["url"]) == sorted(want["url"])
+    # OR of two impossible disjuncts -> typed empty, no tasks
+    got = read_encoded(out, columns=["url"],
+                       filter_any=[("lang", "==", "zz"),
+                                   ("lang", "==", "qq")]).to_pandas()
+    assert len(got) == 0
+    # IN-list disjunct ORs with an eq disjunct
+    some = sorted(exp["url"])[:3]
+    got = read_encoded(out, columns=["url", "lang"],
+                       filter_any=[("url", "in", some),
+                                   ("lang", "==", "de")]).to_pandas()
+    want = exp[exp["url"].isin(some) | (exp["lang"] == "de")]
+    assert sorted(got["url"]) == sorted(want["url"])
+    with pytest.raises(ValueError, match="not both"):
+        read_encoded(out, filter=("lang", "==", "de"),
+                     filter_any=[("lang", "==", "de")])
