@@ -205,8 +205,9 @@ class _CountPart:
     decodes any values.  Selective counts at open scale read only the
     filter columns' blocks of the zone-surviving parts."""
 
-    def __init__(self, preds: list[tuple]):
-        self.preds = preds  # [(col, "eq"|"range", lo, hi)]
+    def __init__(self, preds: list[tuple], mode: str = "and"):
+        self.preds = preds  # [(col, "eq"|"range"|"in", lo, hi)]
+        self.mode = mode    # "and" conjunction / "or" disjunction
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         from ..codecs import EncodedColumn
@@ -215,7 +216,13 @@ class _CountPart:
         cols = sorted({c for c, *_ in self.preds})
         n = 0
         for p in batch.column("path").to_pylist():
-            if _bloom_disproves(p, self.preds):
+            if self.mode == "and":
+                skip = _bloom_disproves(p, self.preds)
+            else:  # OR: every disjunct must be bloomable AND disproven
+                skip = all(op in ("eq", "in")
+                           for _, op, *_ in self.preds) and \
+                    all(_bloom_disproves(p, [pr]) for pr in self.preds)
+            if skip:
                 continue  # sidecar-only read, provably zero matches
             # per-block row-group layout: only the filter columns'
             # payload pages are read
@@ -240,23 +247,35 @@ class _CountPart:
                     m = filter_in(enc_of[col], lo)
                 else:
                     m = filter_range(enc_of[col], lo, hi)
-                mask = m if mask is None else (mask & m)
-                if not mask.any():
+                if mask is None:
+                    mask = m
+                elif self.mode == "and":
+                    mask = mask & m
+                else:
+                    mask = mask | m
+                if self.mode == "and" and not mask.any():
+                    break
+                if self.mode == "or" and mask.all():
                     break
             n += int(mask.sum())
         return pa.table({"n": pa.array([n], pa.int64())})
 
 
-def count_encoded(store_dir: str, filter: tuple | None = None) -> int:
+def count_encoded(store_dir: str, filter: tuple | None = None,
+                  filter_any: list | None = None) -> int:
     """COUNT over the encoded store.
 
     Without a filter this is pure metadata (sum of manifest row
     counts; parts missing a manifest fall back to one n_values
     metadata read — the payload parquet column is never touched).
-    With a filter, manifest zone maps prune parts driver-side and the
-    residual parts mask-sum on packed codes without decoding."""
+    With ``filter`` (AND) / ``filter_any`` (OR), manifest zone maps +
+    bloom sidecars prune parts driver-side and the residual parts
+    mask-sum on packed codes without decoding."""
     from ..state.manifest import Manifest
-    if filter is None:
+    if filter is not None and filter_any is not None:
+        raise ValueError("pass filter= (AND) or filter_any= (OR), "
+                         "not both")
+    if filter is None and filter_any is None:
         man = Manifest(store_dir)
         done = man.done_parts()
         total = sum(man.load(p).get("rows", 0) for p in sorted(done))
@@ -272,18 +291,31 @@ def count_encoded(store_dir: str, filter: tuple | None = None) -> int:
         return total
     from ..pipelines.encode_pipeline import _bloom_prune, _pred_survivors
 
-    preds = [_norm_pred(f) for f in filter] if isinstance(filter, list) \
-        else [_norm_pred(filter)]
-    paths = None
-    for pred in preds:
-        surv = {f["path"] for f in _pred_survivors(store_dir, pred)}
-        paths = surv if paths is None else (paths & surv)
-    files = _bloom_prune(store_dir,
-                         [{"path": p} for p in sorted(paths or ())], preds)
+    if filter_any is not None:
+        if not isinstance(filter_any, list):
+            filter_any = [filter_any]
+        preds = [_norm_pred(f) for f in filter_any]
+        keep: set[str] = set()
+        for pred in preds:  # union of per-disjunct zone∩bloom survivors
+            surv = _bloom_prune(store_dir,
+                                _pred_survivors(store_dir, pred), [pred])
+            keep |= {f["path"] for f in surv}
+        files = [{"path": p} for p in sorted(keep)]
+        mode = "or"
+    else:
+        preds = [_norm_pred(f) for f in filter] \
+            if isinstance(filter, list) else [_norm_pred(filter)]
+        paths = None
+        for pred in preds:
+            surv = {f["path"] for f in _pred_survivors(store_dir, pred)}
+            paths = surv if paths is None else (paths & surv)
+        files = _bloom_prune(
+            store_dir, [{"path": p} for p in sorted(paths or ())], preds)
+        mode = "and"
     if not files:
         return 0
     ds = rd.from_items(files, override_num_blocks=len(files))
-    out = ds.map_batches(_CountPart(preds), batch_size=None,
+    out = ds.map_batches(_CountPart(preds, mode), batch_size=None,
                          batch_format="pyarrow")
     return int(out.sum("n") or 0)
 

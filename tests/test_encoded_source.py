@@ -472,3 +472,27 @@ def test_read_encoded_disjunction(store, ray_session):
     with pytest.raises(ValueError, match="not both"):
         read_encoded(out, filter=("lang", "==", "de"),
                      filter_any=[("lang", "==", "de")])
+
+
+def test_count_encoded_disjunction(store, ray_session):
+    """count_encoded(filter_any=) mask-sums the OR on packed codes —
+    matches the decoded truth; AND+OR on the same preds bracket it."""
+    import ray.data as rd
+    from packcol.sources.encoded import count_encoded
+    wt, out = store
+    exp = rd.read_parquet(wt).to_pandas()
+    lo = exp["warc_ts"].quantile(0.85).to_pydatetime()
+    hi = exp["warc_ts"].max().to_pydatetime()
+    preds = [("lang", "==", "de"), ("warc_ts", "between", lo, hi)]
+    n_or = count_encoded(out, filter_any=preds)
+    n_and = count_encoded(out, filter=preds)
+    truth_or = int(((exp["lang"] == "de") |
+                    ((exp["warc_ts"] >= lo) &
+                     (exp["warc_ts"] <= hi))).sum())
+    truth_and = int(((exp["lang"] == "de") &
+                     (exp["warc_ts"] >= lo) &
+                     (exp["warc_ts"] <= hi)).sum())
+    assert n_or == truth_or and n_and == truth_and
+    assert n_and <= n_or
+    with pytest.raises(ValueError, match="not both"):
+        count_encoded(out, filter=preds[0], filter_any=preds)
