@@ -743,6 +743,27 @@ def queries() -> dict[str, Callable[[str], Any]]:
             filter=("user_id", "between", 3, 9))
     q["agg_encoded_events"] = agg_encoded_events
 
+    def store_sink_roundtrip(sf):
+        # write_encoded: ANY Dataset (here: a filtered projection — a
+        # pipeline result, not a file) streams into a store readable by
+        # the full source surface; content-addressed parts, manifests,
+        # zones, blooms
+        import hashlib
+        import pyarrow.compute as pcc
+        from packcol.pipelines.encode_pipeline import write_encoded
+        from packcol.sources.encoded import read_encoded
+        from packcol.sources.parquet import read_parquet_clean
+        tag = hashlib.sha1(os.path.abspath(sf).encode()).hexdigest()[:10]
+        dst = os.path.join("/tmp", f"packcol_sink_docs_{tag}")
+        if not os.path.isdir(dst):  # content-addressed: re-runs no-op
+            src = read_parquet_clean(
+                os.path.join(sf, "documents.parquet"),
+                columns=["doc_id", "lang", "n_chars"],
+                filter=(pcc.field("lang") == "en"))
+            write_encoded(src, dst)
+        return read_encoded(dst, columns=["doc_id", "lang", "n_chars"])
+    q["store_sink_roundtrip"] = store_sink_roundtrip
+
     def filter_encoded_or(sf):
         # disjunction pushdown: survivor parts = UNION of per-disjunct
         # zone/bloom survivors, masks OR on packed codes
@@ -1324,8 +1345,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         #   head; global_top_k stays covered by events_top_users);
         #   filter_encoded_ts_range: green r2+r3 (exiled r4 for
         #   filter_encoded_or — range pushdown stays covered by
-        #   filter_encoded_range/conj/clustered in the head)
+        #   filter_encoded_range/conj/clustered in the head);
+        #   auto_roundtrip_embeddings: green r2+r3 (exiled r4 for
+        #   store_sink_roundtrip — nested/store-codec roundtrips stay
+        #   covered by auto_roundtrip_documents + store_roundtrip tests)
         "embedding_dedup", "token_histogram", "filter_encoded_ts_range",
+        "auto_roundtrip_embeddings",
         # (a) rows-only by design
         "minhash_pairs_est", "simhash_pairs_hamming", "langid",
         "fingerprint", "embedding_dedup_lsh", "ann_ivf", "ann_lsh",
@@ -1508,6 +1533,9 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_type, COUNT(*) AS n, MIN(value) AS vmin, "
             "MAX(value) AS vmax FROM events "
             "WHERE user_id BETWEEN 3 AND 9 GROUP BY event_type"),
+        "store_sink_roundtrip": (
+            "SELECT doc_id, lang, n_chars FROM documents "
+            "WHERE lang = 'en'"),
         "filter_encoded_or": (
             "SELECT event_id, user_id, event_type FROM events "
             "WHERE user_id BETWEEN 0 AND 2 OR event_type = 'error'"),

@@ -195,27 +195,34 @@ class EncodePartitionWriter:
 
     def _build_blooms(self, t: pa.Table, zones: dict,
                       part_id: str) -> list[str]:
-        """Point-lookup bloom sidecar for this part (state/bloom.py):
-        "auto" = unzoned key-shaped string columns (url-ish); an
-        explicit list covers any hashable column.  Returns the covered
-        column names (recorded in the manifest for store_stats)."""
-        from ..state.bloom import (auto_bloom_columns, build_bloom,
-                                   _hash_kind, save_blooms)
-        if self.bloom_columns is None:
-            return []
-        cols = auto_bloom_columns(t, zones) \
-            if self.bloom_columns == "auto" else [
-                c for c in self.bloom_columns if c in t.column_names]
-        blooms = {}
-        for c in cols:
-            kind = _hash_kind(t.column(c).type)
-            if kind is None:
-                continue
-            b = build_bloom(t.column(c), kind)
-            if b is not None:
-                blooms[c] = b
-        save_blooms(self.out_dir, part_id, blooms)
-        return sorted(blooms)
+        return build_part_blooms(t, zones, self.out_dir, part_id,
+                                 self.bloom_columns)
+
+
+def build_part_blooms(t: pa.Table, zones: dict, out_dir: str,
+                      part_id: str,
+                      bloom_columns: list[str] | str | None) -> list[str]:
+    """Point-lookup bloom sidecar for one part (state/bloom.py):
+    "auto" = unzoned key-shaped string columns (url-ish); an explicit
+    list covers any hashable column.  Returns the covered column names
+    (recorded in the manifest for store_stats)."""
+    from ..state.bloom import (auto_bloom_columns, build_bloom,
+                               _hash_kind, save_blooms)
+    if bloom_columns is None:
+        return []
+    cols = auto_bloom_columns(t, zones) \
+        if bloom_columns == "auto" else [
+            c for c in bloom_columns if c in t.column_names]
+    blooms = {}
+    for c in cols:
+        kind = _hash_kind(t.column(c).type)
+        if kind is None:
+            continue
+        b = build_bloom(t.column(c), kind)
+        if b is not None:
+            blooms[c] = b
+    save_blooms(out_dir, part_id, blooms)
+    return sorted(blooms)
 
 
 def store_selection(out_dir: str, paths: list[str],
@@ -391,6 +398,79 @@ def encode_dataset(ds: "rd.Dataset",
                    codec_overrides: dict | None = None) -> "rd.Dataset":
     return ds.map_batches(EncodeBatch(codec_overrides),
                           batch_format="pyarrow", zero_copy_batch=True)
+
+
+class DatasetPartWriter:
+    """Stateless task: one batch of DECODED rows → encoded part +
+    manifest + bloom sidecar — the generic Dataset-sink counterpart of
+    EncodePartitionWriter (which reads parquet slices itself).
+    Retry-safe: the part id is a pure function of the batch content and
+    the write is an atomic rename (same contract as ClusterPartWriter,
+    pipelines/cluster.py)."""
+
+    def __init__(self, out_dir: str, codec_overrides: dict | None = None,
+                 bloom_columns: list[str] | str | None = "auto"):
+        self.out_dir = out_dir
+        self.codec_overrides = codec_overrides
+        self.bloom_columns = bloom_columns
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..stages.encode import content_part_id
+        t0 = time.perf_counter()
+        part_id = "w-" + content_part_id(batch)
+        enc = encode_table(batch, part_id=part_id,
+                           codec_overrides=self.codec_overrides)
+        dest = os.path.join(self.out_dir, f"part-{part_id}.parquet")
+        pq.write_table(enc, dest + ".tmp", compression="zstd",
+                       compression_level=3, row_group_size=1,
+                       use_dictionary=False, write_statistics=["column"])
+        os.replace(dest + ".tmp", dest)
+        orig = sum(enc.column("orig_bytes").to_pylist())
+        encb = sum(enc.column("enc_bytes").to_pylist())
+        zones = compute_zones(batch)
+        blooms = build_part_blooms(batch, zones, self.out_dir, part_id,
+                                   self.bloom_columns)
+        Manifest(self.out_dir).record(part_id, {
+            "rows": batch.num_rows, "orig_bytes": orig,
+            "enc_bytes": encb, "zones": zones, "blooms": blooms,
+            "codecs": dict(zip(enc.column("column").to_pylist(),
+                               enc.column("codec").to_pylist())),
+            "params_hash": params_hash(enc),
+            "wall_s": round(time.perf_counter() - t0, 4)})
+        return pa.table({"part_id": [part_id],
+                         "rows": [batch.num_rows],
+                         "orig_bytes": [orig], "enc_bytes": [encb]})
+
+
+def write_encoded(ds: "rd.Dataset", out_dir: str, *,
+                  codec_overrides: dict | None = None,
+                  bloom_columns: list[str] | str | None = "auto",
+                  rows_per_part: int | None = None) -> dict:
+    """Sink: stream ANY ``ray.data.Dataset`` into an encoded store
+    directory — parts + lineage manifests + zone maps + bloom sidecars,
+    fully readable by ``read_encoded`` / ``agg_encoded`` /
+    ``count_encoded`` / ``cluster_store``.  This closes the loop:
+    pipeline output (a curated corpus, a join result) lands in the
+    same store format the file-based ``encode_files`` writes.
+
+    Content-addressed part ids make task retries idempotent (a re-run
+    of the same block overwrites the same part).  Unlike
+    ``encode_files`` there is no resume-skip — the source is a live
+    Dataset, not an immutable file set; for checkpointed ingest of
+    files, use ``encode_files``.
+
+    Returns aggregate metrics {parts, rows, orig_bytes, enc_bytes,
+    ratio} for the rows written THIS call."""
+    os.makedirs(out_dir, exist_ok=True)
+    w = DatasetPartWriter(out_dir, codec_overrides, bloom_columns)
+    mt = ds.map_batches(
+        w, batch_size=rows_per_part, batch_format="pyarrow") \
+        .to_pandas()  # tiny: one row per written part
+    orig = int(mt["orig_bytes"].sum())
+    enc = int(mt["enc_bytes"].sum())
+    return {"parts": len(mt), "rows": int(mt["rows"].sum()),
+            "orig_bytes": orig, "enc_bytes": enc,
+            "ratio": round(orig / enc, 4) if enc else 0.0}
 
 
 def decode_dataset(enc_ds: "rd.Dataset",

@@ -496,3 +496,34 @@ def test_count_encoded_disjunction(store, ray_session):
     assert n_and <= n_or
     with pytest.raises(ValueError, match="not both"):
         count_encoded(out, filter=preds[0], filter_any=preds)
+
+
+def test_write_encoded_dataset_sink(store, tmp_path, ray_session):
+    """write_encoded streams any Dataset into a store readable by the
+    full source surface (read/filter/count/agg/distinct/schema)."""
+    import ray.data as rd
+    from packcol.pipelines.encode_pipeline import write_encoded
+    from packcol.sources.encoded import (agg_encoded, count_encoded,
+                                         encoded_schema, read_encoded)
+    wt, _ = store
+    exp = rd.read_parquet(wt).to_pandas()
+    dst = str(tmp_path / "sink_store")
+    # a real pipeline result, not a file: projection + filter upstream
+    src = rd.read_parquet(wt).select_columns(["url", "lang", "warc_ts"])
+    m = write_encoded(src, dst)
+    assert m["rows"] == len(exp) and m["parts"] >= 1
+    assert m["ratio"] > 1
+    assert set(encoded_schema(dst).names) == {"url", "lang", "warc_ts"}
+    got = read_encoded(dst, columns=["url"],
+                       filter=("lang", "==", "de")).to_pandas()
+    assert sorted(got["url"]) == \
+        sorted(exp[exp["lang"] == "de"]["url"])
+    assert count_encoded(dst) == len(exp)
+    a = agg_encoded(dst, group_by="lang",
+                    aggs={"n": ("count",)}).to_pandas()
+    assert dict(zip(a["lang"], a["n"])) == \
+        exp.groupby("lang").size().to_dict()
+    # retry-idempotence: writing the same content again lands on the
+    # SAME part ids (content-addressed) — no duplicate rows
+    m2 = write_encoded(src, dst)
+    assert count_encoded(dst) == len(exp), m2
