@@ -755,12 +755,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from packcol.sources.parquet import read_parquet_clean
         tag = hashlib.sha1(os.path.abspath(sf).encode()).hexdigest()[:10]
         dst = os.path.join("/tmp", f"packcol_sink_docs_{tag}")
-        if not os.path.isdir(dst):  # content-addressed: re-runs no-op
+        done = os.path.join(dst, "_SINK_DONE")
+        if not os.path.exists(done):  # a bare dir could be a partial write
+            import shutil
+            shutil.rmtree(dst, ignore_errors=True)
             src = read_parquet_clean(
                 os.path.join(sf, "documents.parquet"),
                 columns=["doc_id", "lang", "n_chars"],
                 filter=(pcc.field("lang") == "en"))
             write_encoded(src, dst)
+            with open(done, "w") as fh:
+                fh.write("ok")
         return read_encoded(dst, columns=["doc_id", "lang", "n_chars"])
     q["store_sink_roundtrip"] = store_sink_roundtrip
 
