@@ -337,10 +337,11 @@ class _AggPart:
     driver state is never O(groups)."""
 
     def __init__(self, group_by: str | None, aggs: dict,
-                 preds: list[tuple]):
+                 preds: list[tuple], mode: str = "and"):
         self.group_by = group_by
         self.aggs = aggs          # {out: ("count",) | (fn, col)}
         self.preds = preds        # normalized, possibly []
+        self.mode = mode          # "and" conjunction / "or" disjunction
 
     def _partial_specs(self):
         """pyarrow group_by aggregation specs (deduped) + the result
@@ -373,7 +374,15 @@ class _AggPart:
         specs, src = self._partial_specs()
         outs, out_types = [], {}
         for p in batch.column("path").to_pylist():
-            if self.preds and _bloom_disproves(p, self.preds):
+            if self.preds and self.mode == "and":
+                skip = _bloom_disproves(p, self.preds)
+            elif self.preds:  # OR: every disjunct must be disproven
+                skip = all(op in ("eq", "in")
+                           for _, op, *_ in self.preds) and \
+                    all(_bloom_disproves(p, [pr]) for pr in self.preds)
+            else:
+                skip = False
+            if skip:
                 continue
             if not needed:
                 # global COUNT(*) with no filter: the part's row count
@@ -405,8 +414,15 @@ class _AggPart:
                     m = filter_in(enc_of[col], lo)
                 else:
                     m = filter_range(enc_of[col], lo, hi)
-                mask = m if mask is None else (mask & m)
-                if not mask.any():
+                if mask is None:
+                    mask = m
+                elif self.mode == "and":
+                    mask = mask & m
+                else:
+                    mask = mask | m
+                if self.mode == "and" and not mask.any():
+                    break
+                if self.mode == "or" and mask.all():
                     break
             if mask is not None and not mask.any():
                 continue
@@ -475,7 +491,8 @@ class _AggPart:
 
 
 def agg_encoded(store_dir: str, *, group_by: str | None = None,
-                aggs: dict, filter: tuple | None = None):
+                aggs: dict, filter: tuple | None = None,
+                filter_any: list | None = None):
     """Grouped aggregates over the encoded store WITHOUT a table scan
     of decoded rows.
 
@@ -505,23 +522,38 @@ def agg_encoded(store_dir: str, *, group_by: str | None = None,
         if spec[0] != "count" and len(spec) != 2:
             raise ValueError(f"{out}: {spec[0]} needs a column")
 
-    preds = ([] if filter is None else
-             [_norm_pred(f) for f in filter] if isinstance(filter, list)
-             else [_norm_pred(filter)])
+    if filter is not None and filter_any is not None:
+        raise ValueError("pass filter= (AND) or filter_any= (OR), "
+                         "not both")
+    if filter_any is not None and not isinstance(filter_any, list):
+        filter_any = [filter_any]
+    mode = "or" if filter_any is not None else "and"
+    raw = filter_any if filter_any is not None else filter
+    preds = ([] if raw is None else
+             [_norm_pred(f) for f in raw] if isinstance(raw, list)
+             else [_norm_pred(raw)])
     if group_by is None and not preds:
         fast = _agg_from_manifests(store_dir, aggs)
         if fast is not None:
             return rd.from_arrow(fast)
-    paths = None
-    for pred in preds:
-        surv = {f["path"] for f in _pred_survivors(store_dir, pred)}
-        paths = surv if paths is None else (paths & surv)
-    if paths is None:
-        paths = set(_part_files(store_dir))
-    files = [{"path": p} for p in sorted(paths)]
-    if preds:
-        files = _bloom_prune(store_dir, files, preds)
-    task = _AggPart(group_by, aggs, preds)
+    if mode == "or" and preds:
+        keep: set[str] = set()
+        for pred in preds:  # union of per-disjunct zone∩bloom survivors
+            surv = _bloom_prune(store_dir,
+                                _pred_survivors(store_dir, pred), [pred])
+            keep |= {f["path"] for f in surv}
+        files = [{"path": p} for p in sorted(keep)]
+    else:
+        paths = None
+        for pred in preds:
+            surv = {f["path"] for f in _pred_survivors(store_dir, pred)}
+            paths = surv if paths is None else (paths & surv)
+        if paths is None:
+            paths = set(_part_files(store_dir))
+        files = [{"path": p} for p in sorted(paths)]
+        if preds:
+            files = _bloom_prune(store_dir, files, preds)
+    task = _AggPart(group_by, aggs, preds, mode)
     if not files:
         empty = task._typed_empty(task._partial_specs()[1], {})
         ds = rd.from_arrow(empty)

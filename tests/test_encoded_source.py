@@ -527,3 +527,26 @@ def test_write_encoded_dataset_sink(store, tmp_path, ray_session):
     # SAME part ids (content-addressed) — no duplicate rows
     m2 = write_encoded(src, dst)
     assert count_encoded(dst) == len(exp), m2
+
+
+def test_agg_encoded_disjunction(store, ray_session):
+    """agg_encoded(filter_any=) aggregates over the OR of predicates
+    on packed codes — grouped counts match pandas truth."""
+    import ray.data as rd
+    from packcol.sources.encoded import agg_encoded
+    wt, out = store
+    exp = rd.read_parquet(wt).to_pandas()
+    lo = exp["warc_ts"].quantile(0.9).to_pydatetime()
+    hi = exp["warc_ts"].max().to_pydatetime()
+    got = agg_encoded(out, group_by="lang", aggs={"n": ("count",)},
+                      filter_any=[("lang", "==", "de"),
+                                  ("warc_ts", "between", lo, hi)]) \
+        .to_pandas()
+    sub = exp[(exp["lang"] == "de") |
+              ((exp["warc_ts"] >= lo) & (exp["warc_ts"] <= hi))]
+    assert dict(zip(got["lang"], got["n"])) == \
+        sub.groupby("lang").size().to_dict()
+    with pytest.raises(ValueError, match="not both"):
+        agg_encoded(out, aggs={"n": ("count",)},
+                    filter=("lang", "==", "de"),
+                    filter_any=[("lang", "==", "de")])
