@@ -293,8 +293,11 @@ def main() -> None:
             args.encoded, args.output, args.key,
             target_bytes=args.target_bytes)))
     elif args.cmd == "stats":
-        from packcol.sources.encoded import store_stats
-        print(json.dumps(store_stats(args.encoded)))
+        from packcol.sources.encoded import encoded_schema, store_stats
+        st = store_stats(args.encoded)
+        st["schema"] = {f.name: str(f.type)
+                        for f in encoded_schema(args.encoded)}
+        print(json.dumps(st))
     elif args.cmd == "count":
         from packcol.sources.encoded import count_encoded
         print(json.dumps(
