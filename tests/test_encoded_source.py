@@ -550,3 +550,74 @@ def test_agg_encoded_disjunction(store, ray_session):
         agg_encoded(out, aggs={"n": ("count",)},
                     filter=("lang", "==", "de"),
                     filter_any=[("lang", "==", "de")])
+
+
+def test_predicate_algebra_randomized(tmp_path, ray_session):
+    """Deterministic randomized sweep of the predicate algebra: random
+    typed tables, random eq/range/IN predicate sets, AND and OR results
+    both match pandas truth (rows AND membership, not just counts)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from packcol.pipelines.encode_pipeline import encode_files
+    from packcol.sources.encoded import count_encoded, read_encoded
+
+    rng = np.random.default_rng(42)
+    n = 1200
+    df = pd.DataFrame({
+        "rid": np.arange(n, dtype=np.int64),
+        "k_int": rng.integers(0, 12, n).astype(np.int64),
+        "k_str": rng.choice(list("abcdef"), n),
+        "ts": pd.to_datetime("2024-01-01") +
+        pd.to_timedelta(rng.integers(0, 10_000, n), unit="m"),
+        "val": rng.normal(size=n),
+    })
+    src = tmp_path / "alg.parquet"
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   str(src), row_group_size=150)
+    out = str(tmp_path / "alg_store")
+    encode_files([str(src)], out, target_bytes=1 << 14)  # many parts
+
+    def pd_mask(p):
+        col, op, *vals = p
+        s = df[col]
+        if op == "==":
+            return s == vals[0]
+        if op == "between":
+            return (s >= vals[0]) & (s <= vals[1])
+        return s.isin(vals[0])
+
+    def rand_pred():
+        kind = rng.integers(0, 4)
+        if kind == 0:
+            return ("k_int", "==", int(rng.integers(0, 13)))
+        if kind == 1:
+            lo, hi = sorted(rng.integers(0, 13, 2).tolist())
+            return ("k_int", "between", int(lo), int(hi))
+        if kind == 2:
+            return ("k_str", "in",
+                    rng.choice(list("abcdefg"), 2, replace=False)
+                    .tolist())
+        lo, hi = sorted(rng.integers(0, 10_000, 2).tolist())
+        base = pd.Timestamp("2024-01-01")
+        return ("ts", "between",
+                (base + pd.Timedelta(minutes=int(lo))).to_pydatetime(),
+                (base + pd.Timedelta(minutes=int(hi))).to_pydatetime())
+
+    for trial in range(8):
+        preds = [rand_pred() for _ in range(int(rng.integers(1, 4)))]
+        m_and = np.logical_and.reduce([pd_mask(p) for p in preds])
+        m_or = np.logical_or.reduce([pd_mask(p) for p in preds])
+        got_and = read_encoded(out, columns=["rid"],
+                               filter=list(preds)).to_pandas()
+        got_or = read_encoded(out, columns=["rid"],
+                              filter_any=list(preds)).to_pandas()
+        # Ray's to_pandas() of a zero-block dataset drops columns
+        rid_and = sorted(got_and["rid"]) if len(got_and) else []
+        rid_or = sorted(got_or["rid"]) if len(got_or) else []
+        assert rid_and == sorted(df["rid"][m_and]), (trial, preds)
+        assert rid_or == sorted(df["rid"][m_or]), (trial, preds)
+        assert count_encoded(out, filter=list(preds)) == int(m_and.sum())
+        assert count_encoded(out, filter_any=list(preds)) == \
+            int(m_or.sum())
