@@ -415,16 +415,24 @@ class DatasetPartWriter:
         self.bloom_columns = bloom_columns
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        import uuid
+
         from ..stages.encode import content_part_id
         t0 = time.perf_counter()
         part_id = "w-" + content_part_id(batch)
         enc = encode_table(batch, part_id=part_id,
                            codec_overrides=self.codec_overrides)
         dest = os.path.join(self.out_dir, f"part-{part_id}.parquet")
-        pq.write_table(enc, dest + ".tmp", compression="zstd",
+        # writer-unique tmp name: two byte-identical blocks map to the
+        # SAME part id (content-addressed ⇒ set semantics for exact
+        # duplicate blocks); a shared tmp path would let their writes
+        # interleave, so each writer stages privately and the atomic
+        # rename makes last-one-wins safe (identical content either way)
+        tmp = dest + f".tmp-{uuid.uuid4().hex[:8]}"
+        pq.write_table(enc, tmp, compression="zstd",
                        compression_level=3, row_group_size=1,
                        use_dictionary=False, write_statistics=["column"])
-        os.replace(dest + ".tmp", dest)
+        os.replace(tmp, dest)
         orig = sum(enc.column("orig_bytes").to_pylist())
         encb = sum(enc.column("enc_bytes").to_pylist())
         zones = compute_zones(batch)
@@ -454,7 +462,10 @@ def write_encoded(ds: "rd.Dataset", out_dir: str, *,
     same store format the file-based ``encode_files`` writes.
 
     Content-addressed part ids make task retries idempotent (a re-run
-    of the same block overwrites the same part).  Unlike
+    of the same block overwrites the same part).  Corollary: two
+    byte-IDENTICAL input blocks coalesce into one part — set semantics
+    for exact duplicate blocks (practically impossible at real block
+    sizes unless the pipeline duplicates data wholesale).  Unlike
     ``encode_files`` there is no resume-skip — the source is a live
     Dataset, not an immutable file set; for checkpointed ingest of
     files, use ``encode_files``.
