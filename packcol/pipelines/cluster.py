@@ -66,11 +66,16 @@ class ClusterPartWriter:
         enc = encode_table(batch, part_id=part_id)
         dest = os.path.join(self.out_dir, f"part-{part_id}.parquet")
         # one row group per encoded block: projection / predicate reads
-        # prune other columns' payload pages (see EncodePartitionWriter)
-        pq.write_table(enc, dest + ".tmp", compression="zstd",
+        # prune other columns' payload pages (see EncodePartitionWriter).
+        # Writer-unique tmp: byte-identical sorted blocks (constant-key
+        # data) share a part id; private staging + atomic rename keeps
+        # concurrent identical writers safe (see DatasetPartWriter)
+        import uuid
+        tmp = dest + f".tmp-{uuid.uuid4().hex[:8]}"
+        pq.write_table(enc, tmp, compression="zstd",
                        compression_level=3, row_group_size=1,
                        use_dictionary=False, write_statistics=["column"])
-        os.replace(dest + ".tmp", dest)
+        os.replace(tmp, dest)
         orig = sum(enc.column("orig_bytes").to_pylist())
         encb = sum(enc.column("enc_bytes").to_pylist())
         Manifest(self.out_dir).record(part_id, {
