@@ -371,6 +371,15 @@ class DecodePartFile:
         return pa.concat_tables(tables)
 
 
+def _part_scan_seed(files: list[dict]) -> "rd.Dataset":
+    """Seed a per-part scan with O(cluster CPUs) blocks, not one block
+    per part — the same driver-prologue bound as _seed_bins (a 10^6-part
+    store must not create 10^6 driver-side blocks); every scan task
+    loops the paths in its batch, so fewer/larger blocks are free."""
+    nb = min(max(len(files), 1), max(4 * _cluster_cpus(), 16))
+    return rd.from_items(files, override_num_blocks=nb)
+
+
 def decode_files(out_dir: str, concurrency: int | None = None,
                  cpus_per_task: float = 1,
                  columns: list[str] | None = None) -> "rd.Dataset":
@@ -820,9 +829,9 @@ def filter_encoded(out_dir: str, column: str, value,
         out_dir, column, value, value), [(column, "eq", value, value)])
     if not files:  # every part pruned — provably empty result
         return rd.from_arrow(_typed_empty(out_dir, out_columns))
-    ds = rd.from_items(files, override_num_blocks=len(files))
+    ds = _part_scan_seed(files)
     return ds.map_batches(EncodedFilterPart(column, value, out_columns),
-                          batch_size=1, batch_format="pyarrow")
+                          batch_size=None, batch_format="pyarrow")
 
 
 def filter_encoded_multi(out_dir: str, preds: list[tuple],
@@ -842,10 +851,10 @@ def filter_encoded_multi(out_dir: str, preds: list[tuple],
                          [{"path": p} for p in sorted(paths or ())], preds)
     if not files:  # every part pruned — provably empty result
         return rd.from_arrow(_typed_empty(out_dir, out_columns))
-    ds = rd.from_items(files, override_num_blocks=len(files))
+    ds = _part_scan_seed(files)
     return ds.map_batches(
         EncodedFilterPart(None, None, out_columns, preds=preds),
-        batch_size=1, batch_format="pyarrow")
+        batch_size=None, batch_format="pyarrow")
 
 
 def filter_encoded_any(out_dir: str, preds: list[tuple],
@@ -864,11 +873,11 @@ def filter_encoded_any(out_dir: str, preds: list[tuple],
     if not keep:  # every disjunct disproven on every part
         return rd.from_arrow(_typed_empty(out_dir, out_columns))
     files = [{"path": p} for p in sorted(keep)]
-    ds = rd.from_items(files, override_num_blocks=len(files))
+    ds = _part_scan_seed(files)
     return ds.map_batches(
         EncodedFilterPart(None, None, out_columns, preds=preds,
                           mode="or"),
-        batch_size=1, batch_format="pyarrow")
+        batch_size=None, batch_format="pyarrow")
 
 
 def filter_encoded_range(out_dir: str, column: str, lo, hi,
@@ -880,10 +889,10 @@ def filter_encoded_range(out_dir: str, column: str, lo, hi,
     files = _surviving_parts(out_dir, column, lo, hi)
     if not files:  # every part pruned — provably empty result
         return rd.from_arrow(_typed_empty(out_dir, out_columns))
-    ds = rd.from_items(files, override_num_blocks=len(files))
+    ds = _part_scan_seed(files)
     return ds.map_batches(
         EncodedFilterPart(column, lo, out_columns, op="range", value2=hi),
-        batch_size=1, batch_format="pyarrow")
+        batch_size=None, batch_format="pyarrow")
 
 
 class SpotCheckPart:

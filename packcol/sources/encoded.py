@@ -314,9 +314,10 @@ def count_encoded(store_dir: str, filter: tuple | None = None,
         mode = "and"
     if not files:
         return 0
-    ds = rd.from_items(files, override_num_blocks=len(files))
-    out = ds.map_batches(_CountPart(preds, mode), batch_size=None,
-                         batch_format="pyarrow")
+    from ..pipelines.encode_pipeline import _part_scan_seed
+    out = _part_scan_seed(files).map_batches(
+        _CountPart(preds, mode), batch_size=None,
+        batch_format="pyarrow")
     return int(out.sum("n") or 0)
 
 
@@ -558,7 +559,8 @@ def agg_encoded(store_dir: str, *, group_by: str | None = None,
         empty = task._typed_empty(task._partial_specs()[1], {})
         ds = rd.from_arrow(empty)
     else:
-        ds = rd.from_items(files, override_num_blocks=len(files)) \
+        from ..pipelines.encode_pipeline import _part_scan_seed
+        ds = _part_scan_seed(files) \
             .map_batches(task, batch_size=None, batch_format="pyarrow")
     merge = {"count": Sum, "sum": Sum, "min": Min, "max": Max}
     ray_aggs = [merge[spec[0]](on=f"__p__{out}", alias_name=out)
@@ -721,7 +723,8 @@ def distinct_encoded(store_dir: str, column: str) -> "rd.Dataset":
     if not files:
         return rd.from_arrow(
             pa.table({column: pa.array([], schema.field(column).type)}))
-    ds = rd.from_items(files, override_num_blocks=len(files)) \
+    from ..pipelines.encode_pipeline import _part_scan_seed
+    ds = _part_scan_seed(files) \
         .map_batches(_DistinctPart(column, schema.field(column).type),
                      batch_size=None, batch_format="pyarrow")
     return ds.groupby(column).aggregate(Count()) \
