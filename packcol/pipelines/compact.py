@@ -87,10 +87,21 @@ class RecompactGroup:
             os.replace(dest + ".tmp", dest)
             orig = sum(enc.column("orig_bytes").to_pylist())
             encb = sum(enc.column("enc_bytes").to_pylist())
+            # merged parts keep the full query layer: zone maps (part
+            # pruning + metadata MIN/MAX) and bloom sidecars (point
+            # lookups) are rebuilt from the decoded table in hand —
+            # without them a recompacted store silently degrades to
+            # full scans
+            from ..state.manifest import compute_zones
+            from .encode_pipeline import build_part_blooms
+            zones = compute_zones(merged)
+            blooms = build_part_blooms(merged, zones, self.dest_dir,
+                                       part_id, "auto")
             Manifest(self.dest_dir).record(part_id, {
                 "inputs": [os.path.basename(p) for p in paths],
                 "rows": merged.num_rows, "orig_bytes": orig,
-                "enc_bytes": encb, "params_hash": params_hash(enc)})
+                "enc_bytes": encb, "zones": zones, "blooms": blooms,
+                "params_hash": params_hash(enc)})
             out["part_id"].append(part_id)
             out["rows"].append(merged.num_rows)
             out["orig_bytes"].append(orig)

@@ -169,3 +169,39 @@ def test_shared_encoder_call_rejects_extra_columns(sv_enc_dir):
     batch = pa.table({"text": ["a b", "c"], "extra": [1, 2]})
     with pytest.raises(ValueError, match="configured"):
         stage(batch)
+
+
+def test_recompact_keeps_query_layer(ray_session, tmp_path):
+    """Merged parts carry zones + bloom sidecars: pruning and the
+    metadata MIN/MAX path survive recompaction."""
+    import os
+
+    from packcol.pipelines.compact import recompact
+    from packcol.pipelines.encode_pipeline import encode_files
+    from packcol.sources.encoded import agg_encoded, read_encoded
+    wt = str(tmp_path / "wt_q")
+    enc = str(tmp_path / "enc_q")
+    paths = write_webtext(wt, n_rows=2000, n_parts=2, seed=13)
+    encode_files(paths, enc, target_bytes=1 << 19)
+    dest = str(tmp_path / "recompacted_q")
+    recompact(enc, dest, merge_factor=3)
+    # zones recorded -> metadata-only MIN/MAX answers from manifests
+    import ray.data as rd
+    exp = rd.read_parquet(wt).to_pandas()
+    got = agg_encoded(dest, aggs={"n": ("count",),
+                                  "last": ("max", "warc_ts")}).to_pandas()
+    assert got["n"].iloc[0] == len(exp)
+    assert got["last"].iloc[0] == exp["warc_ts"].max()
+    from packcol.sources.encoded import _agg_from_manifests
+    assert _agg_from_manifests(dest, {"m": ("max", "warc_ts")}) \
+        is not None
+    # bloom sidecars present for the merged parts
+    bl = os.path.join(dest, "_bloom")
+    parts = [f for f in os.listdir(dest) if f.endswith(".parquet")]
+    assert os.path.isdir(bl) and len(os.listdir(bl)) == len(parts)
+    # point lookup still correct through the pruned path
+    url = exp["url"].iloc[5]
+    got = read_encoded(dest, columns=["url", "text"],
+                       filter=("url", "==", url)).to_pandas()
+    assert list(got["text"]) == \
+        list(exp[exp["url"] == url]["text"])
