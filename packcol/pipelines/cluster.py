@@ -78,9 +78,15 @@ class ClusterPartWriter:
         os.replace(tmp, dest)
         orig = sum(enc.column("orig_bytes").to_pylist())
         encb = sum(enc.column("enc_bytes").to_pylist())
+        zones = compute_zones(batch)
+        # bloom sidecars too: the sort clusters ONE key, so point
+        # lookups on every OTHER column still need the bloom path
+        from .encode_pipeline import build_part_blooms
+        blooms = build_part_blooms(batch, zones, self.out_dir, part_id,
+                                   "auto")
         Manifest(self.out_dir).record(part_id, {
             "rows": batch.num_rows, "orig_bytes": orig,
-            "enc_bytes": encb, "zones": compute_zones(batch),
+            "enc_bytes": encb, "zones": zones, "blooms": blooms,
             "codecs": dict(zip(enc.column("column").to_pylist(),
                                enc.column("codec").to_pylist())),
             "params_hash": params_hash(enc),
