@@ -205,6 +205,25 @@ def main() -> None:
     assert inv_sv["mismatches"] == 0, inv_sv
     shutil.rmtree(SV_DIR, ignore_errors=True)
 
+    # --- store query layer over the headline's encoded output -------------
+    # (ENC_DIR still holds the freshly-encoded webtext store: time the
+    # pushdown surface the engine exposes — point lookup via blooms,
+    # predicate count on packed codes, grouped aggregate on dict codes)
+    import pyarrow.parquet as _pq
+    from packcol.sources.encoded import agg_encoded, count_encoded, \
+        read_encoded
+    probe_url = _pq.read_table(paths[len(paths) // 2],
+                               columns=["url"]).column("url")[7].as_py()
+    t_q, _ = timed2(lambda: _materialize(read_encoded(
+        ENC_DIR, columns=["url", "lang"], filter=("url", "==", probe_url))))
+    queries["store_point_lookup"] = round(t_q, 3)
+    t_q, _ = timed2(lambda: count_encoded(ENC_DIR, ("lang", "==", "de")))
+    queries["store_count_pred"] = round(t_q, 3)
+    t_q, _ = timed2(lambda: _materialize(agg_encoded(
+        ENC_DIR, group_by="lang",
+        aggs={"n": ("count",), "last_ts": ("max", "warc_ts")})))
+    queries["store_agg_group"] = round(t_q, 3)
+
     from packcol.pipelines.dedup import dedup_exact, minhash_lsh_pairs
 
     from packcol.sources.parquet import read_parquet_clean
