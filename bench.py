@@ -343,12 +343,15 @@ def _wait_good_phase(min_mbps: float = 350, timeout_s: float = 480) -> float:
 
 
 def scaling() -> None:
-    # 4x the default input so per-stage fixed overheads amortize and the
-    # measurement reflects steady-state scaling (GRAFT_SCALING_ROWS
-    # overrides; r4 ladders at 16x showed session ramp ~1 s dominating a
-    # 2-3 s 32-CPU leg at 1 GB)
+    # 16x the headline input (~4 GB at sf0.1) so per-leg fixed costs
+    # (session ramp, read planning, metrics collect — ~1 s/leg) amortize
+    # and the measurement reflects steady-state scaling, the regime the
+    # 64 MB-part design targets.  Measured r4 (BASELINE.md): 2→8
+    # efficiency 0.81 at 4 GB vs 0.61-0.68 at 1 GB on the same engine —
+    # the gap is fixed-cost dilution, not the engine.  GRAFT_SCALING_ROWS
+    # overrides for quick runs.
     scaling_rows = int(os.environ.get(
-        "GRAFT_SCALING_ROWS", 4 * _WEBTEXT_ROWS))
+        "GRAFT_SCALING_ROWS", 16 * _WEBTEXT_ROWS))
 
     def run(ncpu: int) -> dict:
         # each leg waits for a healthy box phase so legs are comparable
