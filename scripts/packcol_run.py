@@ -202,6 +202,8 @@ def main() -> None:
                    action="append")
     n.add_argument("--type", default="schema",
                    choices=["schema", "str", "int", "float", "auto"])
+    n.add_argument("--any", action="store_true",
+                   help="combine the predicates as a DISJUNCTION (OR)")
 
     di = sub.add_parser("distinct", help="SELECT DISTINCT over the "
                         "store: dict parts answer from their "
@@ -300,8 +302,12 @@ def main() -> None:
         print(json.dumps(st))
     elif args.cmd == "count":
         from packcol.sources.encoded import count_encoded
-        print(json.dumps(
-            {"rows": count_encoded(args.encoded, _build_preds(args))}))
+        flt = _build_preds(args)
+        disj = getattr(args, "any", False)
+        print(json.dumps({"rows": count_encoded(
+            args.encoded,
+            filter=None if disj else flt,
+            filter_any=flt if disj else None)}))
     elif args.cmd == "distinct":
         from packcol.sources.encoded import distinct_encoded
         # materialize the RESULT (O(distinct), not O(rows)) so count
