@@ -400,12 +400,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         """Bucketed (no-broadcast) near-dup scale path: hyperplane
         buckets → in-bucket exact cosine (recall < 1 by design —
         rows-only)."""
+        import pandas as pd
         from packcol.pipelines.ann import embedding_near_dup_pairs_lsh
         out = embedding_near_dup_pairs_lsh(
             _read(sf, "embeddings", ["vec_id", "embedding"]),
             threshold=0.45)
-        return out.to_pandas()[["id_a", "id_b"]] if hasattr(
-            out, "to_pandas") else out[["id_a", "id_b"]]
+        df = out.to_pandas() if hasattr(out, "to_pandas") else out
+        if len(df) == 0:  # zero-pair result: Ray drops the columns
+            return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                                 "id_b": pd.Series([], dtype="int64")})
+        return df[["id_a", "id_b"]]
     q["embedding_dedup_lsh"] = embedding_dedup_lsh
 
     def ann_ivf(sf):
@@ -1458,6 +1462,10 @@ def oracle_sql() -> dict[str, str]:
         # pinned aggregate contracts for the heuristic functions at
         # sf0.01 (stability pins, like codec_selection — regenerate via
         # the query itself if the heuristics change deliberately)
+        # NB langid_counts / fingerprint_checksum use pinned-VALUES
+        # oracles computed at sf0.01 — the driver's verification scale
+        # (the heuristics aren't SQL-expressible, same pattern as
+        # codec_selection).  At other SFs they intentionally mismatch.
         "langid_counts": (
             "SELECT lang_pred, CAST(n_docs AS BIGINT) AS n_docs FROM "
             "(VALUES ('en', 253), ('pt', 200), ('und', 47)) "

@@ -969,6 +969,16 @@ def interval_count_join(left, right, by, on: str, gap: int,
     from ray.data.aggregate import Count
     counts = joined.map_batches(exact, batch_format="pyarrow") \
         .groupby(left_id).aggregate(Count(alias_name=out_col))
+    # Ray's hash-shuffle aggregate emits ZERO-COLUMN blocks for empty
+    # output partitions (observed ray 2.49 at small inputs: 13 of 16
+    # blocks had no schema at all); feeding such a block into a join
+    # side makes Acero's FieldRef resolution fail with "no match or
+    # multiple matches".  map_batches can't scrub them (a zero-row
+    # block yields no batches, so a normalizing UDF never fires) —
+    # a row-based repartition rebuilds blocks from row ranges and
+    # drops the schema-less empties.  O(counts) extra exchange, which
+    # the join was about to pay anyway.
+    counts = counts.repartition(num_partitions)
     # left-outer completion: rows with zero matches keep 0
     out = left.join(counts, join_type="left_outer",
                     num_partitions=num_partitions,

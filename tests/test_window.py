@@ -507,3 +507,34 @@ def test_sessionize_and_topn_null_keys(ray_session):
     exp = df[df["u"].isna()].nlargest(5, "v")["v"].tolist()
     assert nulltop["v"].tolist() == exp
     assert len(topn) == 15
+
+
+def test_interval_count_join_sparse_partitions(ray_session):
+    """num_partitions far above the match count: Ray's hash-shuffle
+    aggregate emits zero-column blocks for empty partitions, which used
+    to crash the left-outer completion join (Acero FieldRef).  The
+    repartition scrub keeps the plan alive and exact."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from packcol.pipelines.window import interval_count_join
+    rng = np.random.default_rng(3)
+    n = 60
+    left = pd.DataFrame({
+        "id": np.arange(n, dtype=np.int64),
+        "k": rng.integers(0, 5, n),
+        "t": rng.integers(0, 10_000, n).astype(np.int64)})
+    right = pd.DataFrame({
+        "k": rng.integers(0, 5, 40),
+        "t": rng.integers(0, 10_000, 40).astype(np.int64)})
+    got = interval_count_join(
+        rd.from_arrow(pa.Table.from_pandas(left, preserve_index=False)),
+        rd.from_arrow(pa.Table.from_pandas(right, preserve_index=False)),
+        by="k", on="t", gap=50, left_id="id", out_col="n",
+        num_partitions=32).to_pandas().sort_values("id")
+    m = left.merge(right, on="k")
+    m = m[(m["t_x"] - m["t_y"]).abs() <= 50]
+    want = m.groupby("id").size().reindex(left["id"], fill_value=0)
+    assert got["n"].tolist() == want.tolist()
