@@ -155,6 +155,42 @@ def join_auto(left, right, on, right_on=None, join_type: str = "inner",
                         right_suffix=right_suffix)
 
 
+def shuffle_aggregator_args(num_partitions: int, *,
+                            cpu_fraction: float = 0.25,
+                            mem_fraction: float = 0.20):
+    """Remote args for one hash-shuffle operator's aggregator pool,
+    clamped so the WHOLE pool reserves at most ``cpu_fraction`` of the
+    cluster's CPUs and ``mem_fraction`` of its memory.
+
+    Ray 2.49's default reserves 0.125 CPU per join partition; a plan
+    with two 16-partition joins plus a hash aggregate therefore
+    reserves >4 CPUs of actors on a 4-CPU cluster and the pool pends
+    forever (observed: interval_count_join deadlocked under pytest's
+    4-CPU session).  Clamping per-op reservations to a cluster
+    fraction lets several shuffle stages coexist in one streaming
+    plan at ANY cluster size; aggregators are still SPREAD across
+    nodes, and the memory reservation still scales with the cluster
+    so big partitions get admission control."""
+    import ray
+    if not ray.is_initialized():
+        return None
+    try:
+        res = ray.cluster_resources()
+    except Exception:  # pragma: no cover — no cluster: Ray defaults
+        return None
+    cpus = res.get("CPU") or 4
+    mem = res.get("memory") or (8 << 30)
+    from ray.data.context import DataContext
+    cap = DataContext.get_current().max_hash_shuffle_aggregators or 64
+    n_agg = max(1, min(num_partitions, cap))
+    return {
+        "num_cpus": max(0.01, min(1.0, (cpus * cpu_fraction) / n_agg)),
+        "memory": int(min(2 << 30,
+                          max(64 << 20, (mem * mem_fraction) / n_agg))),
+        "scheduling_strategy": "SPREAD",
+    }
+
+
 def shuffle_join(left, right, on, right_on=None,
                  join_type: str = "inner", num_partitions: int = 32,
                  right_suffix: str = "_r"):
@@ -168,4 +204,6 @@ def shuffle_join(left, right, on, right_on=None,
     return left.join(right, join_type=join_type,
                      num_partitions=num_partitions,
                      on=on, right_on=right_on,
-                     right_suffix=right_suffix)
+                     right_suffix=right_suffix,
+                     aggregator_ray_remote_args=shuffle_aggregator_args(
+                         num_partitions))

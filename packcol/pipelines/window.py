@@ -980,9 +980,12 @@ def interval_count_join(left, right, by, on: str, gap: int,
     # the join was about to pay anyway.
     counts = counts.repartition(num_partitions)
     # left-outer completion: rows with zero matches keep 0
+    from .join import shuffle_aggregator_args
     out = left.join(counts, join_type="left_outer",
                     num_partitions=num_partitions,
-                    on=(left_id,))
+                    on=(left_id,),
+                    aggregator_ray_remote_args=shuffle_aggregator_args(
+                        num_partitions))
 
     def fill0(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc2

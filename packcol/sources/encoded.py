@@ -130,6 +130,16 @@ def read_encoded(store_dir: str, *, columns: list[str] | None = None,
     if filter is not None and filter_any is not None:
         raise ValueError("pass filter= (AND) or filter_any= (OR), "
                          "not both")
+    if columns is not None:
+        # Fail loud on unknown projections: the per-part decode paths
+        # would otherwise silently drop them (unfiltered) or emit zero
+        # rows (filtered) — both observed via the CLI before this check.
+        known = encoded_schema(store_dir).names
+        missing = [c for c in columns if c not in known]
+        if missing:
+            raise ValueError(
+                f"unknown column(s) {missing} in projection; "
+                f"store has {sorted(known)}")
     if filter is None and filter_any is None:
         return decode_files(store_dir, columns=columns,
                             concurrency=concurrency,

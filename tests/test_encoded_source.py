@@ -48,6 +48,19 @@ def test_read_encoded_projection(store, ray_session):
     assert len(got) == 3000
 
 
+def test_read_encoded_unknown_projection_raises(store, ray_session):
+    """Unknown projection columns must fail loud: before the check the
+    unfiltered path silently dropped them and the filtered path emitted
+    ZERO rows (both observed via the CLI)."""
+    from packcol.sources.encoded import read_encoded
+    _, out = store
+    with pytest.raises(ValueError, match="unknown column"):
+        read_encoded(out, columns=["url", "nope"])
+    with pytest.raises(ValueError, match="unknown column"):
+        read_encoded(out, columns=["url", "nope"],
+                     filter=("lang", "==", "de"))
+
+
 def test_read_encoded_eq_filter(store, ray_session):
     import ray.data as rd
     from packcol.sources.encoded import read_encoded
