@@ -733,6 +733,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
                     ("event_type", "in", ["click", "purchase"])])
     q["filter_encoded_in"] = filter_encoded_in
 
+    def filter_encoded_prefix(sf):
+        # prefix (LIKE 'e%') + IS NOT NULL pushdown: the prefix is
+        # evaluated on the dictionary VOCABULARY (one starts_with over
+        # O(vocab) strings → a code-interval test on packed codes; 'e%'
+        # matches en AND es through one interval), parts are pruned on
+        # the [prefix, successor) zone interval and on manifest null
+        # counts — row values never decode for either predicate
+        from packcol.sources.encoded import read_encoded
+        out = _encoded_store(sf, "documents")
+        return read_encoded(
+            out, columns=["doc_id", "lang", "n_chars"],
+            filter=[("lang", "like", "e%"), ("lang", "notnull"),
+                    ("n_chars", "between", 100, 400)])
+    q["filter_encoded_prefix"] = filter_encoded_prefix
+
     def agg_encoded_events(sf):
         # aggregate pushdown over the encoded store: predicate masks on
         # packed codes, dict group column aggregates on integer codes
@@ -1360,6 +1375,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         #   covered by auto_roundtrip_documents + store_roundtrip tests)
         "embedding_dedup", "token_histogram", "filter_encoded_ts_range",
         "auto_roundtrip_embeddings",
+        #   kmer_counts: green r1+r2+r3 (exiled r4 for
+        #   filter_encoded_prefix — the kmer family keeps
+        #   kmer_counts_k45 + minimizer_counts in the head)
+        "kmer_counts",
         # (a) rows-only by design
         "minhash_pairs_est", "simhash_pairs_hamming", "langid",
         "fingerprint", "embedding_dedup_lsh", "ann_ivf", "ann_lsh",
@@ -1542,6 +1561,10 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_id, user_id, event_type FROM events "
             "WHERE user_id IN (2, 7, 11) "
             "AND event_type IN ('click', 'purchase')"),
+        "filter_encoded_prefix": (
+            "SELECT doc_id, lang, n_chars FROM documents "
+            "WHERE lang LIKE 'e%' AND lang IS NOT NULL "
+            "AND n_chars BETWEEN 100 AND 400"),
         "agg_encoded_events": (
             "SELECT event_type, COUNT(*) AS n, MIN(value) AS vmin, "
             "MAX(value) AS vmax FROM events "

@@ -87,6 +87,45 @@ def _dict_codes(enc: EncodedColumn) -> np.ndarray:
     return unpack(words, enc.params["width"], enc.n_values)
 
 
+def _rle_row_codes(enc: EncodedColumn) -> np.ndarray:
+    """Per-row 0-based dictionary codes of an RLE block (-1 = null):
+    unpack run values + lengths and repeat — O(rows) small ints, the
+    dictionary values are never materialized."""
+    from .bitpack import unpack
+    p = enc.params
+    nr = p["n_runs"]
+    vals = unpack(np.frombuffer(enc.buffers["payload"], dtype=np.uint64),
+                  p["val_width"], nr).view(np.int64)
+    lens = unpack(np.frombuffer(enc.buffers["lens"], dtype=np.uint64),
+                  p["len_width"], nr).view(np.int64)
+    return np.repeat(vals, lens) - 1
+
+
+def _code_domain(enc: EncodedColumn):
+    """(row codes int64 with -1=null, sorted dictionary) for the two
+    dictionary-backed codecs, else None.  Both sort their vocabulary
+    (H3), so value predicates become code-interval tests."""
+    if enc.codec == "dict":
+        codes = _dict_codes(enc).astype(np.int64)
+        valid = validity_from_bytes(enc.buffers.get("validity", b""),
+                                    enc.n_values)
+        if valid is not None:
+            codes = np.where(valid, codes, -1)
+        return codes, ipc_deserialize_array(enc.buffers["aux"])
+    if enc.codec == "rle":
+        return _rle_row_codes(enc), ipc_deserialize_array(
+            enc.buffers["aux"])
+    return None
+
+
+# codecs that record nulls EXCLUSIVELY in the "validity" buffer (empty
+# buffer == no nulls); rle uses run code 0, "store" embeds them in the
+# raw array — anything else falls back to decode for null tests.
+_VALIDITY_CODECS = frozenset(
+    {"dict", "for", "bitpack", "delta", "decfloat", "fsst",
+     "tokdict", "toksep"})
+
+
 def _predicate_int(value, dtype_str: str | None) -> int:
     """Physical int64 of a predicate scalar for for/bitpack comparison —
     accepts plain ints or logical values (datetime, date, bool) of the
@@ -105,20 +144,20 @@ def _predicate_int(value, dtype_str: str | None) -> int:
 
 
 def filter_eq(enc: EncodedColumn, value) -> np.ndarray:
-    """Boolean mask of rows equal to `value`, computed on codes (dict)
-    or deltas (for) — never decodes the column."""
+    """Boolean mask of rows equal to `value`, computed on codes
+    (dict / rle) or deltas (for) — never decodes the column."""
     valid = validity_from_bytes(enc.buffers.get("validity", b""),
                                 enc.n_values)
-    if enc.codec == "dict":
-        dictionary = ipc_deserialize_array(enc.buffers["aux"])
-        # sorted dictionary → binary search for the code
+    cd = _code_domain(enc)
+    if cd is not None:
+        codes, dictionary = cd
         import pyarrow.compute as pc
         idx = pc.index_in(pa.array([value], type=dictionary.type),
                           value_set=dictionary)[0].as_py()
         if idx is None:
             return np.zeros(enc.n_values, dtype=bool)
-        mask = _dict_codes(enc) == np.uint64(idx)
-    elif enc.codec in ("for", "bitpack") and \
+        return codes == np.int64(idx)  # null rows are -1: never match
+    if enc.codec in ("for", "bitpack") and \
             enc.params.get("dtype") != "uint64":
         # (uint64 is stored as a mod-2^64 reinterpret whose int64 order
         # differs from value order — decode fallback below stays exact)
@@ -147,16 +186,17 @@ def filter_in(enc: EncodedColumn, values) -> np.ndarray:
     valid = validity_from_bytes(enc.buffers.get("validity", b""),
                                 enc.n_values)
     import pyarrow.compute as pc
-    if enc.codec == "dict":
-        dictionary = ipc_deserialize_array(enc.buffers["aux"])
+    cd = _code_domain(enc)
+    if cd is not None:
+        codes, dictionary = cd
         idx = pc.index_in(pa.array(list(values), type=dictionary.type),
                           value_set=dictionary)
-        codes = np.array([i for i in idx.to_pylist() if i is not None],
-                         dtype=np.uint64)
-        if len(codes) == 0:
+        hit = np.array([i for i in idx.to_pylist() if i is not None],
+                       dtype=np.int64)
+        if len(hit) == 0:
             return np.zeros(enc.n_values, dtype=bool)
-        mask = np.isin(_dict_codes(enc), codes)
-    elif enc.codec in ("for", "bitpack") and \
+        return np.isin(codes, hit)  # null rows are -1: never match
+    if enc.codec in ("for", "bitpack") and \
             enc.params.get("dtype") != "uint64":
         p = enc.params
         from .bitpack import unpack
@@ -193,17 +233,18 @@ def filter_range(enc: EncodedColumn, lo, hi) -> np.ndarray:
     * anything else — decode fallback (still correct, not pushed)."""
     valid = validity_from_bytes(enc.buffers.get("validity", b""),
                                 enc.n_values)
-    if enc.codec == "dict":
-        dictionary = ipc_deserialize_array(enc.buffers["aux"])
+    cd = _code_domain(enc)
+    if cd is not None:
+        codes, dictionary = cd
         dvals = dictionary.to_pylist()
         import bisect
         lo_code = bisect.bisect_left(dvals, lo)
         hi_code = bisect.bisect_right(dvals, hi) - 1
         if hi_code < lo_code:
             return np.zeros(enc.n_values, dtype=bool)
-        codes = _dict_codes(enc)
-        mask = (codes >= np.uint64(lo_code)) & (codes <= np.uint64(hi_code))
-    elif enc.codec in ("for", "bitpack") and \
+        # null rows are -1 and lo_code >= 0: never match
+        return (codes >= np.int64(lo_code)) & (codes <= np.int64(hi_code))
+    if enc.codec in ("for", "bitpack") and \
             enc.params.get("dtype") != "uint64":
         from .bitpack import unpack
         p = enc.params
@@ -227,3 +268,76 @@ def filter_range(enc: EncodedColumn, lo, hi) -> np.ndarray:
     if valid is not None:
         mask &= valid
     return mask
+
+
+def filter_prefix(enc: EncodedColumn, prefix: str) -> np.ndarray:
+    """Mask of string rows starting with ``prefix`` (SQL LIKE 'p%'),
+    evaluated on the dictionary VOCABULARY for dict/rle blocks —
+    O(vocab) starts_with, then one code-interval test over the packed
+    codes (the sorted vocabulary makes prefix matches contiguous).
+    Row values are never reconstructed; other codecs decode (still
+    correct, not pushed)."""
+    import pyarrow.compute as pc
+    cd = _code_domain(enc)
+    if cd is not None:
+        codes, dictionary = cd
+        try:
+            m = pc.starts_with(dictionary, pattern=prefix) \
+                .fill_null(False)
+        except (pa.ArrowNotImplementedError, pa.ArrowTypeError,
+                pa.ArrowInvalid):
+            cd = None  # non-string vocabulary → decode fallback
+        else:
+            hit = np.flatnonzero(m.to_numpy(zero_copy_only=False))
+            if len(hit) == 0:
+                return np.zeros(enc.n_values, dtype=bool)
+            lo_c, hi_c = int(hit[0]), int(hit[-1])
+            if hi_c - lo_c + 1 == len(hit):  # sorted vocab: contiguous
+                return (codes >= np.int64(lo_c)) & \
+                       (codes <= np.int64(hi_c))
+            return np.isin(codes, hit)  # defensive (unsorted vocab)
+    from .base import decode_any
+    return pc.starts_with(decode_any(enc), pattern=prefix) \
+        .fill_null(False).to_numpy(zero_copy_only=False)
+
+
+def filter_null(enc: EncodedColumn, want_null: bool = True) -> np.ndarray:
+    """Mask of null (``want_null=True``) or non-null rows.  Validity-
+    bitmap codecs answer from the bitmap alone (an absent bitmap means
+    zero nulls); rle answers from run code 0; 'store' and any unknown
+    codec decode (nulls live inside the raw array)."""
+    if enc.codec == "rle":
+        mask = _rle_row_codes(enc) < 0
+    else:
+        valid = validity_from_bytes(enc.buffers.get("validity", b""),
+                                    enc.n_values)
+        if valid is not None:
+            mask = ~valid
+        elif enc.codec in _VALIDITY_CODECS:
+            mask = np.zeros(enc.n_values, dtype=bool)
+        else:
+            import pyarrow.compute as pc
+            from .base import decode_any
+            mask = pc.is_null(decode_any(enc)) \
+                .to_numpy(zero_copy_only=False)
+    return mask if want_null else ~mask
+
+
+def eval_pred(enc: EncodedColumn, pred: tuple) -> np.ndarray:
+    """Dispatch one normalized predicate ``(col, op, lo, hi)`` against
+    an encoded block — the single entry point the part-scan tasks
+    (filter / count / aggregate) use."""
+    _, op, lo, hi = pred
+    if op == "eq":
+        return filter_eq(enc, lo)
+    if op == "in":
+        return filter_in(enc, lo)
+    if op == "range":
+        return filter_range(enc, lo, hi)
+    if op == "prefix":
+        return filter_prefix(enc, lo)
+    if op == "isnull":
+        return filter_null(enc, True)
+    if op == "notnull":
+        return filter_null(enc, False)
+    raise ValueError(f"unknown predicate op {op!r}")

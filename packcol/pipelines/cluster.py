@@ -46,7 +46,8 @@ import pyarrow.parquet as pq
 
 import ray.data as rd
 
-from ..state.manifest import Manifest, compute_zones, params_hash
+from ..state.manifest import (Manifest, compute_zones,
+                              null_counts_of, params_hash)
 
 
 class ClusterPartWriter:
@@ -87,6 +88,7 @@ class ClusterPartWriter:
         Manifest(self.out_dir).record(part_id, {
             "rows": batch.num_rows, "orig_bytes": orig,
             "enc_bytes": encb, "zones": zones, "blooms": blooms,
+            "nulls": null_counts_of(batch),
             "codecs": dict(zip(enc.column("column").to_pylist(),
                                enc.column("codec").to_pylist())),
             "params_hash": params_hash(enc),

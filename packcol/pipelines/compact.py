@@ -92,7 +92,7 @@ class RecompactGroup:
             # lookups) are rebuilt from the decoded table in hand —
             # without them a recompacted store silently degrades to
             # full scans
-            from ..state.manifest import compute_zones
+            from ..state.manifest import compute_zones, null_counts_of
             from .encode_pipeline import build_part_blooms
             zones = compute_zones(merged)
             blooms = build_part_blooms(merged, zones, self.dest_dir,
@@ -101,6 +101,7 @@ class RecompactGroup:
                 "inputs": [os.path.basename(p) for p in paths],
                 "rows": merged.num_rows, "orig_bytes": orig,
                 "enc_bytes": encb, "zones": zones, "blooms": blooms,
+                "nulls": null_counts_of(merged),
                 "params_hash": params_hash(enc)})
             out["part_id"].append(part_id)
             out["rows"].append(merged.num_rows)

@@ -32,7 +32,8 @@ import ray.data as rd
 
 from ..stages.encode import (ENC_SCHEMA, DecodeBatch, EncodeBatch,
                              RoundtripVerify, decode_rows, encode_table)
-from ..state.manifest import (Manifest, compute_zones, params_hash,
+from ..state.manifest import (Manifest, compute_zones,
+                              null_counts_of, params_hash,
                               zone_may_match)
 
 _DEFAULT_TARGET_BYTES = 64 << 20
@@ -182,7 +183,7 @@ class EncodePartitionWriter:
             "input_bytes": d.get("input_bytes"),
             "orig_bytes": orig, "enc_bytes": encb,
             "blooms": blooms,
-            "zones": zones,
+            "zones": zones, "nulls": null_counts_of(t),
             "codecs": dict(zip(enc.column("column").to_pylist(),
                                enc.column("codec").to_pylist())),
             "params_hash": params_hash(enc),
@@ -450,6 +451,7 @@ class DatasetPartWriter:
         Manifest(self.out_dir).record(part_id, {
             "rows": batch.num_rows, "orig_bytes": orig,
             "enc_bytes": encb, "zones": zones, "blooms": blooms,
+            "nulls": null_counts_of(batch),
             "codecs": dict(zip(enc.column("column").to_pylist(),
                                enc.column("codec").to_pylist())),
             "params_hash": params_hash(enc),
@@ -597,7 +599,7 @@ class EncodedFilterPart:
         import pyarrow.compute as pc
         from ..codecs import EncodedColumn, decode_any
         from ..codecs.base import str_to_type
-        from ..codecs.access import filter_eq, filter_in, filter_range
+        from ..codecs.access import eval_pred
         outs, out_types = [], {}
         pred_cols = {c for c, *_ in self.preds}
         needed = sorted(pred_cols | set(self.out_columns))
@@ -631,13 +633,8 @@ class EncodedFilterPart:
                 if dt is not None:
                     out_types[name] = str_to_type(dt)
             mask = None
-            for col, op, lo, hi in self.preds:
-                if op == "eq":
-                    m = filter_eq(enc_of[col], lo)
-                elif op == "in":
-                    m = filter_in(enc_of[col], lo)
-                else:
-                    m = filter_range(enc_of[col], lo, hi)
+            for pred in self.preds:
+                m = eval_pred(enc_of[pred[0]], pred)
                 if mask is None:
                     mask = m
                 elif self.mode == "and":
@@ -722,19 +719,69 @@ def _surviving_parts(out_dir: str, column: str, lo, hi) -> list[dict]:
     return files
 
 
+def _all_parts(out_dir: str) -> list[dict]:
+    return [{"path": os.path.join(out_dir, f)}
+            for f in sorted(os.listdir(out_dir))
+            if f.endswith(".parquet")]
+
+
+def _prefix_upper(prefix: str) -> str | None:
+    """Smallest string greater than every string with ``prefix``: the
+    prefix with its last incrementable code point bumped.  None when no
+    code point can be bumped (all U+10FFFF — cannot prune)."""
+    for i in range(len(prefix) - 1, -1, -1):
+        c = ord(prefix[i])
+        if c < 0x10FFFF:
+            return prefix[:i] + chr(c + 1)
+    return None
+
+
+def _null_survivors(out_dir: str, column: str, op: str) -> list[dict]:
+    """Parts a null test may match, from manifest null counts: an
+    ``isnull`` prunes parts recorded with zero nulls in the column, a
+    ``notnull`` prunes parts that are entirely null.  Manifests without
+    the "nulls" key (pre-null-aware stores) keep every part."""
+    man_dir = os.path.join(out_dir, "_manifest")
+    meta: dict[str, dict | None] = {}
+    if os.path.isdir(man_dir):
+        for m in Manifest(out_dir).load_all():
+            meta[m["part_id"]] = m
+    files = []
+    for f in sorted(os.listdir(out_dir)):
+        if not f.endswith(".parquet"):
+            continue
+        part_id = f[len("part-"):-len(".parquet")] \
+            if f.startswith("part-") else None
+        m = meta.get(part_id)
+        if m is not None and "nulls" in m:
+            nn = m["nulls"].get(column, 0)
+            if op == "isnull" and nn == 0:
+                continue  # provably no nulls in this part
+            if op == "notnull" and nn >= m.get("rows", -1) >= 0:
+                continue  # provably all-null in this part
+        files.append({"path": os.path.join(out_dir, f)})
+    return files
+
+
 def _pred_survivors(out_dir: str, pred: tuple) -> list[dict]:
     """Zone-surviving parts for one normalized predicate
-    ``(col, "eq"|"range"|"in", lo, hi)``.  IN-lists prune on the
-    conservative [min, max] envelope of the value set; an unorderable
-    set simply keeps every part (never lossy)."""
+    ``(col, op, lo, hi)``.  IN-lists prune on the conservative
+    [min, max] envelope of the value set; prefixes prune on the
+    [prefix, successor(prefix)] string interval; null tests prune on
+    manifest null counts; anything unprovable keeps every part (never
+    lossy)."""
     col, op, lo, hi = pred
     if op == "in":
         try:
             lo, hi = min(lo), max(lo)
         except (TypeError, ValueError):
-            return [{"path": os.path.join(out_dir, f)}
-                    for f in sorted(os.listdir(out_dir))
-                    if f.endswith(".parquet")]
+            return _all_parts(out_dir)
+    elif op == "prefix":
+        hi = _prefix_upper(lo)
+        if hi is None:
+            return _all_parts(out_dir)
+    elif op in ("isnull", "notnull"):
+        return _null_survivors(out_dir, col, op)
     return _surviving_parts(out_dir, col, lo, hi)
 
 

@@ -65,7 +65,9 @@ def _part_files(store_dir: str) -> list[str]:
 def _norm_pred(f) -> tuple:
     """User predicate → normalized (col, op, lo, hi):
     ``(col, "==", v)`` → eq, ``(col, "between", lo, hi)`` → range,
-    ``(col, "in", values)`` → in (lo = value tuple, hi = None)."""
+    ``(col, "in", values)`` → in (lo = value tuple, hi = None),
+    ``(col, "prefix", p)`` / ``(col, "like", "p%")`` → prefix,
+    ``(col, "isnull")`` / ``(col, "notnull")`` → null tests."""
     col, op, *vals = f
     if op in ("==", "eq") and len(vals) == 1:
         return (col, "eq", vals[0], vals[0])
@@ -74,9 +76,27 @@ def _norm_pred(f) -> tuple:
     if op == "in" and len(vals) == 1 and \
             isinstance(vals[0], (list, tuple, set, frozenset)):
         return (col, "in", tuple(vals[0]), None)
+    if op in ("prefix", "startswith", "like") and len(vals) == 1 \
+            and isinstance(vals[0], str):
+        v = vals[0]
+        if op == "like":
+            # only the prefix shape 'p%' is pushable; other LIKE
+            # patterns need a decoded-scan filter the caller owns
+            if not (v.endswith("%") and "%" not in v[:-1]
+                    and "_" not in v):
+                raise ValueError(
+                    f"LIKE pattern {v!r} is not a plain prefix 'p%'")
+            v = v[:-1]
+        return (col, "prefix", v, None)
+    if op in ("isnull", "is_null") and not vals:
+        return (col, "isnull", None, None)
+    if op in ("notnull", "not_null", "is_not_null") and not vals:
+        return (col, "notnull", None, None)
     raise ValueError(
         f"unsupported filter {f!r}: expected (col, '==', v), "
-        "(col, 'between', lo, hi) or (col, 'in', [v, ...])")
+        "(col, 'between', lo, hi), (col, 'in', [v, ...]), "
+        "(col, 'prefix'|'like', p), (col, 'isnull') or "
+        "(col, 'notnull')")
 
 
 def encoded_schema(store_dir: str) -> pa.Schema:
@@ -157,7 +177,8 @@ def read_encoded(store_dir: str, *, columns: list[str] | None = None,
             list(out_columns))
     preds = [_norm_pred(f) for f in filter] if isinstance(filter, list) \
         else [_norm_pred(filter)]
-    if len(preds) > 1 or preds[0][1] == "in":
+    if len(preds) > 1 or preds[0][1] in ("in", "prefix",
+                                         "isnull", "notnull"):
         return filter_encoded_multi(store_dir, preds, list(out_columns))
     col, op, lo, hi = preds[0]
     if op == "eq":
@@ -221,7 +242,7 @@ class _CountPart:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         from ..codecs import EncodedColumn
-        from ..codecs.access import filter_eq, filter_in, filter_range
+        from ..codecs.access import eval_pred
         from ..pipelines.encode_pipeline import _bloom_disproves
         cols = sorted({c for c, *_ in self.preds})
         n = 0
@@ -250,13 +271,8 @@ class _CountPart:
                 enc.base_dir = os.path.dirname(p)
                 enc_of[c] = enc
             mask = None
-            for col, op, lo, hi in self.preds:
-                if op == "eq":
-                    m = filter_eq(enc_of[col], lo)
-                elif op == "in":
-                    m = filter_in(enc_of[col], lo)
-                else:
-                    m = filter_range(enc_of[col], lo, hi)
+            for pred in self.preds:
+                m = eval_pred(enc_of[pred[0]], pred)
                 if mask is None:
                     mask = m
                 elif self.mode == "and":
@@ -373,7 +389,7 @@ class _AggPart:
         import numpy as np
         from ..codecs import EncodedColumn, decode_any
         from ..codecs.access import _dict_codes
-        from ..codecs.access import filter_eq, filter_in, filter_range
+        from ..codecs.access import eval_pred
         from ..codecs.base import str_to_type
         from ..codecs.dictionary import ipc_deserialize_array
         from ..pipelines.encode_pipeline import _bloom_disproves
@@ -418,13 +434,8 @@ class _AggPart:
                      ("codec", "n_values", "params", "payload")})
                 enc_of[name].base_dir = os.path.dirname(p)
             mask = None
-            for col, op, lo, hi in self.preds:
-                if op == "eq":
-                    m = filter_eq(enc_of[col], lo)
-                elif op == "in":
-                    m = filter_in(enc_of[col], lo)
-                else:
-                    m = filter_range(enc_of[col], lo, hi)
+            for pred in self.preds:
+                m = eval_pred(enc_of[pred[0]], pred)
                 if mask is None:
                     mask = m
                 elif self.mode == "and":

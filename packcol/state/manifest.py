@@ -51,6 +51,16 @@ class Manifest:
 _ZONE_STR_MAX = 256  # don't zone-map long strings / binary payloads
 
 
+def null_counts_of(t) -> dict:
+    """{column: null_count} for the columns of one partition that have
+    any nulls.  Stored under the manifest key "nulls"; an EMPTY dict
+    still means "counted — zero nulls everywhere", which is what lets
+    IS [NOT] NULL pushdown prune parts, while a manifest missing the
+    key entirely (pre-null-aware store) prunes nothing."""
+    return {name: int(t.column(name).null_count)
+            for name in t.column_names if t.column(name).null_count}
+
+
 def compute_zones(t) -> dict:
     """Per-column min/max zone map of one partition, JSON-safe.
 

@@ -68,6 +68,7 @@ def _schema_cast(store_dir: str):
                 f"predicate value {v!r} is not a valid {t} "
                 f"(column {col!r})")
         return v
+    cast.names = list(schema.names)
     return cast
 
 
@@ -89,6 +90,14 @@ def _build_preds(args):
         c = {"str": str, "int": int, "float": float,
              "auto": _auto}[args.type]
         cast = lambda col, v: c(v)  # noqa: E731
+    def _check_col(col: str):
+        # prefix/null predicates take no typed literal, but the column
+        # name should still fail loud under --type schema
+        names = getattr(cast, "names", None)
+        if names is not None and col not in names:
+            raise SystemExit(f"unknown column {col!r}; store has {names}")
+        return col
+
     preds: list[tuple] = []
     for w in args.where or []:
         preds.append((w[0], "==", cast(w[0], w[1])))
@@ -98,6 +107,12 @@ def _build_preds(args):
     for w in getattr(args, "where_in", None) or []:
         preds.append((w[0], "in",
                       [cast(w[0], v) for v in w[1].split(",")]))
+    for w in getattr(args, "prefix", None) or []:
+        preds.append((_check_col(w[0]), "prefix", w[1]))
+    for c in getattr(args, "null", None) or []:
+        preds.append((_check_col(c), "isnull"))
+    for c in getattr(args, "not_null", None) or []:
+        preds.append((_check_col(c), "notnull"))
     if not preds:
         return None
     return preds[0] if len(preds) == 1 else preds
@@ -167,6 +182,18 @@ def main() -> None:
                    action="append",
                    help="IN-list predicate, comma-separated values "
                    "(repeatable: AND); bloom-pruned for point sets")
+    r.add_argument("--prefix", nargs=2, metavar=("COL", "PREFIX"),
+                   action="append",
+                   help="string prefix predicate (SQL LIKE 'p%%'); "
+                   "evaluated on the dictionary vocabulary for "
+                   "dict/rle blocks, zone-pruned on the prefix "
+                   "interval (repeatable: AND)")
+    r.add_argument("--null", metavar="COL", action="append",
+                   help="IS NULL test (repeatable: AND); prunes parts "
+                   "whose manifests record zero nulls")
+    r.add_argument("--not-null", dest="not_null", metavar="COL",
+                   action="append", help="IS NOT NULL test "
+                   "(repeatable: AND)")
     r.add_argument("--type", default="schema",
                    choices=["schema", "str", "int", "float", "auto"],
                    help="predicate value type (schema: coerce to the "
@@ -199,6 +226,11 @@ def main() -> None:
     n.add_argument("--between", nargs=3, metavar=("COL", "LO", "HI"),
                    action="append")
     n.add_argument("--where-in", nargs=2, metavar=("COL", "V1,V2,..."),
+                   action="append")
+    n.add_argument("--prefix", nargs=2, metavar=("COL", "PREFIX"),
+                   action="append")
+    n.add_argument("--null", metavar="COL", action="append")
+    n.add_argument("--not-null", dest="not_null", metavar="COL",
                    action="append")
     n.add_argument("--type", default="schema",
                    choices=["schema", "str", "int", "float", "auto"])
