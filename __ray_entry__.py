@@ -448,6 +448,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return pdf[["vec_id"]]
     q["ann_lsh_exact"] = ann_lsh_exact
 
+    def ann_index_exact(sf):
+        """Persisted IVF index (pipelines/ann_index.py: clustered
+        encoded store + centroid sidecar; the probe is the store's
+        IN-list pushdown) in its exactness-forcing configuration
+        (n_probe == n_lists scans every list) — the SQL-checkable
+        entry for the index build/sidecar/probe plumbing."""
+        import hashlib
+        from packcol.pipelines.ann_index import (build_ivf_store,
+                                                 ivf_query_store)
+        tag = hashlib.sha1(os.path.abspath(sf).encode()).hexdigest()[:10]
+        out = os.path.join("/tmp", f"packcol_ivf_v1_{tag}")
+        if not os.path.exists(os.path.join(out, "_ivf",
+                                           "centroids.npz")):
+            build_ivf_store(_read(sf, "embeddings"), out, n_lists=8,
+                            vec_col="embedding", id_col="vec_id")
+        pdf = ivf_query_store(out, _query_vec(sf), k=10, n_probe=8)
+        return pdf[["vec_id"]]
+    q["ann_index_exact"] = ann_index_exact
+
     # --- canonical-form normalization (N1-N4 generalized) ----------------
     def canonical_text(sf):
         from packcol.codecs.canonical import canonicalize
@@ -1377,8 +1396,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "auto_roundtrip_embeddings",
         #   kmer_counts: green r1+r2+r3 (exiled r4 for
         #   filter_encoded_prefix — the kmer family keeps
-        #   kmer_counts_k45 + minimizer_counts in the head)
-        "kmer_counts",
+        #   kmer_counts_k45 + minimizer_counts in the head);
+        #   auto_roundtrip_documents: green r1+r2+r3 (exiled r4 for
+        #   ann_index_exact — codec auto-selection stays covered by
+        #   codec_selection + toksep/shared_vocab roundtrips in the
+        #   head)
+        "kmer_counts", "auto_roundtrip_documents",
         # (a) rows-only by design
         "minhash_pairs_est", "simhash_pairs_hamming", "langid",
         "fingerprint", "embedding_dedup_lsh", "ann_ivf", "ann_lsh",
@@ -1518,6 +1541,13 @@ def oracle_sql() -> dict[str, str]:
         # LSH with n_planes=0 → one bucket → exhaustive exact scan;
         # same oracle as brute force
         "ann_lsh_exact": (
+            "SELECT e.vec_id FROM embeddings e, "
+            "(SELECT embedding AS qv FROM embeddings WHERE vec_id=0) q "
+            "ORDER BY list_cosine_similarity(e.embedding, q.qv) DESC, "
+            "e.vec_id LIMIT 10"),
+        # persisted IVF store with n_probe == n_lists → full scan →
+        # exact; same oracle as brute force
+        "ann_index_exact": (
             "SELECT e.vec_id FROM embeddings e, "
             "(SELECT embedding AS qv FROM embeddings WHERE vec_id=0) q "
             "ORDER BY list_cosine_similarity(e.embedding, q.qv) DESC, "

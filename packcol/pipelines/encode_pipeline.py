@@ -763,15 +763,51 @@ def _null_survivors(out_dir: str, column: str, op: str) -> list[dict]:
     return files
 
 
+_IN_ZONE_CAP = 1024  # per-value zone tests beyond this → envelope
+
+
+def _in_survivors(out_dir: str, column: str, values) -> list[dict]:
+    """Parts whose zone may contain ANY of the IN-list values —
+    per-value tests, not the [min, max] envelope, so a scattered value
+    set (e.g. IVF probe lists {3, 47}) prunes the parts BETWEEN its
+    values instead of keeping everything in the span.  One manifest
+    pass regardless of len(values)."""
+    zones: dict = {}
+    man_dir = os.path.join(out_dir, "_manifest")
+    if os.path.isdir(man_dir):
+        for m in Manifest(out_dir).load_all():
+            zones[m["part_id"]] = m.get("zones", {}).get(column)
+    files = []
+    for f in sorted(os.listdir(out_dir)):
+        if not f.endswith(".parquet"):
+            continue
+        part_id = f[len("part-"):-len(".parquet")] \
+            if f.startswith("part-") else None
+        zone = zones.get(part_id)
+        if zone is not None:
+            hit = False
+            for v in values:
+                b = _zone_bounds(column, v, v, zone)
+                if b is None or zone_may_match(zone, *b):
+                    hit = True
+                    break
+            if not hit:
+                continue  # every value provably outside this part
+        files.append({"path": os.path.join(out_dir, f)})
+    return files
+
+
 def _pred_survivors(out_dir: str, pred: tuple) -> list[dict]:
     """Zone-surviving parts for one normalized predicate
-    ``(col, op, lo, hi)``.  IN-lists prune on the conservative
-    [min, max] envelope of the value set; prefixes prune on the
+    ``(col, op, lo, hi)``.  IN-lists prune per value (envelope beyond
+    _IN_ZONE_CAP values); prefixes prune on the
     [prefix, successor(prefix)] string interval; null tests prune on
     manifest null counts; anything unprovable keeps every part (never
     lossy)."""
     col, op, lo, hi = pred
     if op == "in":
+        if len(lo) <= _IN_ZONE_CAP:
+            return _in_survivors(out_dir, col, lo)
         try:
             lo, hi = min(lo), max(lo)
         except (TypeError, ValueError):
