@@ -56,8 +56,9 @@ class ClusterPartWriter:
     the part id is a pure function of the batch content and the write is
     an atomic rename."""
 
-    def __init__(self, out_dir: str, key: str):
+    def __init__(self, out_dir: str, key):
         self.out_dir = out_dir
+        # str = single key; list = composite (primary first)
         self.key = key
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -115,10 +116,14 @@ def key_zone_overlap(store_dir: str, key: str) -> dict:
     return {"parts_zoned": len(zones), "overlapping_parts": overlaps}
 
 
-def cluster_store(store_dir: str, dest_dir: str, key: str,
+def cluster_store(store_dir: str, dest_dir: str, key,
                   target_bytes: int = 64 << 20,
                   resume: bool = True) -> dict:
     """Re-cluster an encoded store on ``key`` into ``dest_dir``.
+    ``key`` may be one column or a list (composite clustering: the
+    sort is lexicographic, zones prune on the PRIMARY key and the
+    secondary keys refine within primary ties — the classic
+    sort-key-order trade).
 
     One distributed sort; decoded rows stream straight from the decode
     tasks into the sort and out through part writers — nothing
@@ -127,25 +132,27 @@ def cluster_store(store_dir: str, dest_dir: str, key: str,
     bitwise-reproducible across sessions, so resume is all-or-nothing
     at store granularity, unlike encode_files' per-part resume)."""
     from ..sources.encoded import read_encoded, store_stats
+    keys = [key] if isinstance(key, str) else list(key)
     marker = os.path.join(dest_dir, "_CLUSTERED")
     if resume and os.path.exists(marker):
         st = store_stats(dest_dir)
         return {**st, "skipped": True,
-                **key_zone_overlap(dest_dir, key)}
+                **key_zone_overlap(dest_dir, keys[0])}
     os.makedirs(dest_dir, exist_ok=True)
     src = store_stats(store_dir)
     row_bytes = max(1, (src["orig_bytes"] or 1) // max(src["rows"], 1))
     rows_per_part = max(256, int(target_bytes // row_bytes))
-    ds = read_encoded(store_dir).sort(key)
-    metrics = ds.map_batches(ClusterPartWriter(dest_dir, key),
-                             batch_size=rows_per_part,
-                             batch_format="pyarrow").to_pandas()
+    ds = read_encoded(store_dir).sort(keys)
+    metrics = ds.map_batches(
+        ClusterPartWriter(dest_dir, keys[0] if len(keys) == 1 else keys),
+        batch_size=rows_per_part,
+        batch_format="pyarrow").to_pandas()
     with open(marker + ".tmp", "w") as f:
-        f.write(key)
+        f.write(",".join(keys))
     os.replace(marker + ".tmp", marker)
     orig = int(metrics["orig_bytes"].sum())
     enc = int(metrics["enc_bytes"].sum())
     return {"parts": len(metrics), "rows": int(metrics["rows"].sum()),
             "orig_bytes": orig, "enc_bytes": enc,
             "ratio": round(orig / enc, 4) if enc else None,
-            "skipped": False, **key_zone_overlap(dest_dir, key)}
+            "skipped": False, **key_zone_overlap(dest_dir, keys[0])}

@@ -210,8 +210,29 @@ def main() -> None:
                         "prunes to O(1) parts")
     cl.add_argument("--encoded", required=True)
     cl.add_argument("--output", required=True)
-    cl.add_argument("--key", required=True)
+    cl.add_argument("--key", required=True,
+                    help="cluster key; comma list = composite "
+                    "(zones prune on the first key)")
     cl.add_argument("--target-bytes", type=int, default=64 << 20)
+
+    ib = sub.add_parser("ivf-build", help="build a persisted IVF ANN "
+                        "index: clustered store + centroid sidecar "
+                        "(pipelines/ann_index.py)")
+    ib.add_argument("--input", required=True, help="glob of parquet "
+                    "files with an id + embedding column")
+    ib.add_argument("--output", required=True)
+    ib.add_argument("--n-lists", type=int, default=64)
+    ib.add_argument("--vec-col", default="embedding")
+    ib.add_argument("--id-col", default="vec_id")
+
+    iq = sub.add_parser("ivf-query", help="ANN top-k against an "
+                        "ivf-build store: probes n_probe lists via the "
+                        "store's IN-list pushdown")
+    iq.add_argument("--encoded", required=True)
+    iq.add_argument("--vector", required=True,
+                    help="comma-separated floats")
+    iq.add_argument("--k", type=int, default=10)
+    iq.add_argument("--n-probe", type=int, default=4)
 
     s = sub.add_parser("stats", help="metadata-only store summary from "
                        "the lineage manifests (no payload reads)")
@@ -323,9 +344,32 @@ def main() -> None:
                               "schema": list(ds.schema().names)}))
     elif args.cmd == "cluster":
         from packcol.pipelines.cluster import cluster_store
+        key = args.key.split(",") if "," in args.key else args.key
         print(json.dumps(cluster_store(
-            args.encoded, args.output, args.key,
+            args.encoded, args.output, key,
             target_bytes=args.target_bytes)))
+    elif args.cmd == "ivf-build":
+        import glob as _glob
+        import ray.data as _rd
+        from packcol.pipelines.ann_index import build_ivf_store
+        paths = sorted(_glob.glob(args.input))
+        if not paths:
+            raise SystemExit(f"no parquet files match {args.input!r}")
+        print(json.dumps(build_ivf_store(
+            _rd.read_parquet(paths), args.output,
+            n_lists=args.n_lists, vec_col=args.vec_col,
+            id_col=args.id_col)))
+    elif args.cmd == "ivf-query":
+        import numpy as _np
+        from packcol.pipelines.ann_index import (ivf_probe_stats,
+                                                 ivf_query_store)
+        qv = _np.array([float(x) for x in args.vector.split(",")])
+        pdf = ivf_query_store(args.encoded, qv, k=args.k,
+                              n_probe=args.n_probe)
+        st = ivf_probe_stats(args.encoded, qv, n_probe=args.n_probe)
+        print(json.dumps({
+            "ids": pdf[pdf.columns[1]].tolist(),
+            "cos": [round(c, 6) for c in pdf["cos"]], **st}))
     elif args.cmd == "stats":
         from packcol.sources.encoded import encoded_schema, store_stats
         st = store_stats(args.encoded)

@@ -111,3 +111,29 @@ def test_cluster_improves_key_compression(stores):
     # and the manifests record what the store is clustered on
     assert all(m.get("clustered_on") == "warc_ts"
                for m in Manifest(dst).load_all())
+
+
+def test_cluster_composite_key(stores, ray_session, tmp_path):
+    """Composite clustering: lexicographic sort on [lang, warc_ts];
+    zones prune on the PRIMARY key, rows within a part are ordered by
+    the pair, and the content multiset is unchanged."""
+    from packcol.pipelines.cluster import cluster_store
+    from packcol.sources.encoded import read_encoded
+    wt, src, _, _ = stores
+    dst = str(tmp_path / "composite")
+    summary = cluster_store(src, dst, ["lang", "warc_ts"],
+                            target_bytes=1 << 18)
+    assert summary["parts_zoned"] > 1
+    got = read_encoded(dst, columns=["url", "lang", "warc_ts"]) \
+        .to_pandas()
+    import ray.data as rd
+    exp = rd.read_parquet(wt).to_pandas()
+    assert sorted(got["url"]) == sorted(exp["url"])
+    # an eq probe on the primary key prunes
+    from packcol.pipelines.encode_pipeline import (_all_parts,
+                                                   _pred_survivors)
+    lang = exp["lang"].iloc[0]
+    surv = _pred_survivors(dst, ("lang", "eq", lang, lang))
+    assert len(surv) < len(_all_parts(dst))
+    with open(f"{dst}/_CLUSTERED") as f:
+        assert f.read() == "lang,warc_ts"
