@@ -567,8 +567,9 @@ def test_agg_encoded_disjunction(store, ray_session):
 
 def test_predicate_algebra_randomized(tmp_path, ray_session):
     """Deterministic randomized sweep of the predicate algebra: random
-    typed tables, random eq/range/IN predicate sets, AND and OR results
-    both match pandas truth (rows AND membership, not just counts)."""
+    typed tables, random eq/range/IN/prefix/null predicate sets, AND
+    and OR results both match pandas truth (rows AND membership, not
+    just counts)."""
     import numpy as np
     import pandas as pd
     import pyarrow.parquet as pq
@@ -585,6 +586,10 @@ def test_predicate_algebra_randomized(tmp_path, ray_session):
         "ts": pd.to_datetime("2024-01-01") +
         pd.to_timedelta(rng.integers(0, 10_000, n), unit="m"),
         "val": rng.normal(size=n),
+        # multi-char strings so prefixes match several values, with
+        # nulls so isnull/notnull bite
+        "name": np.where(rng.random(n) < 0.15, None, np.char.add(
+            "u", rng.integers(0, 30, n).astype(str))),
     })
     src = tmp_path / "alg.parquet"
     pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
@@ -599,10 +604,23 @@ def test_predicate_algebra_randomized(tmp_path, ray_session):
             return s == vals[0]
         if op == "between":
             return (s >= vals[0]) & (s <= vals[1])
+        if op == "prefix":
+            return s.notna() & s.astype(str).str.startswith(vals[0])
+        if op == "isnull":
+            return s.isna()
+        if op == "notnull":
+            return s.notna()
         return s.isin(vals[0])
 
     def rand_pred():
-        kind = rng.integers(0, 4)
+        kind = rng.integers(0, 7)
+        if kind == 4:
+            return ("name", "prefix",
+                    "u" + str(rng.integers(0, 4)))  # matches u1/u1x...
+        if kind == 5:
+            return ("name", "isnull")
+        if kind == 6:
+            return ("name", "notnull")
         if kind == 0:
             return ("k_int", "==", int(rng.integers(0, 13)))
         if kind == 1:
@@ -618,7 +636,7 @@ def test_predicate_algebra_randomized(tmp_path, ray_session):
                 (base + pd.Timedelta(minutes=int(lo))).to_pydatetime(),
                 (base + pd.Timedelta(minutes=int(hi))).to_pydatetime())
 
-    for trial in range(8):
+    for trial in range(12):
         preds = [rand_pred() for _ in range(int(rng.integers(1, 4)))]
         m_and = np.logical_and.reduce([pd_mask(p) for p in preds])
         m_or = np.logical_or.reduce([pd_mask(p) for p in preds])
