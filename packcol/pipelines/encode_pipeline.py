@@ -1000,6 +1000,11 @@ class SpotCheckPart:
         man = Manifest(self.out_dir)
         for part_id in batch.column("part_id").to_pylist():
             meta = man.load(part_id)
+            if not meta.get("input"):
+                # no input lineage to compare against: parts written by
+                # the Dataset sink / cluster writers, or rewritten by
+                # delete_where (rows diverged from the source slice)
+                continue
             pf = pq.ParquetFile(meta["input"])
             orig = pf.read_row_groups(
                 list(range(meta["rg_start"], meta["rg_end"] + 1)))

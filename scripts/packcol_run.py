@@ -215,6 +215,24 @@ def main() -> None:
                     "(zones prune on the first key)")
     cl.add_argument("--target-bytes", type=int, default=64 << 20)
 
+    de = sub.add_parser("delete", help="predicate-scoped deletion: "
+                        "rewrites ONLY the zone/bloom-surviving parts "
+                        "(pipelines/delete.py); idempotent")
+    de.add_argument("--encoded", required=True)
+    de.add_argument("--where", nargs=2, metavar=("COL", "VAL"),
+                    action="append")
+    de.add_argument("--between", nargs=3, metavar=("COL", "LO", "HI"),
+                    action="append")
+    de.add_argument("--where-in", nargs=2, metavar=("COL", "V1,V2,..."),
+                    action="append")
+    de.add_argument("--prefix", nargs=2, metavar=("COL", "PREFIX"),
+                    action="append")
+    de.add_argument("--null", metavar="COL", action="append")
+    de.add_argument("--not-null", dest="not_null", metavar="COL",
+                    action="append")
+    de.add_argument("--type", default="schema",
+                    choices=["schema", "str", "int", "float", "auto"])
+
     ib = sub.add_parser("ivf-build", help="build a persisted IVF ANN "
                         "index: clustered store + centroid sidecar "
                         "(pipelines/ann_index.py)")
@@ -348,6 +366,15 @@ def main() -> None:
         print(json.dumps(cluster_store(
             args.encoded, args.output, key,
             target_bytes=args.target_bytes)))
+    elif args.cmd == "delete":
+        from packcol.pipelines.delete import delete_where
+        flt = _build_preds(args)
+        if flt is None:
+            raise SystemExit("delete requires at least one predicate "
+                             "(--where/--between/--where-in/--prefix/"
+                             "--null/--not-null)")
+        print(json.dumps(delete_where(
+            args.encoded, flt if isinstance(flt, list) else flt)))
     elif args.cmd == "ivf-build":
         import glob as _glob
         import ray.data as _rd
