@@ -304,6 +304,22 @@ def main() -> None:
             read_parquet_clean(emb_path), q, k=10))
         queries["ann_topk"] = round(t_q, 3)
 
+        # persisted IVF index: build (one sort + sink) timed cold, then
+        # the probe path (centroid rank + IN-pushdown scan of surviving
+        # parts).  Bounded: 16 lists, 4 Lloyd iterations.
+        from packcol.pipelines.ann_index import (build_ivf_store,
+                                                 ivf_query_store)
+        IVF_DIR = "/tmp/packcol_bench/ivf_store"
+        shutil.rmtree(IVF_DIR, ignore_errors=True)
+        t_q, _ = timed2(lambda: build_ivf_store(
+            read_parquet_clean(emb_path), IVF_DIR, n_lists=16, iters=4,
+            rows_per_part=4096))
+        queries["ivf_build"] = round(t_q, 3)
+        t_q, _ = timed2(lambda: ivf_query_store(IVF_DIR, q, k=10,
+                                                n_probe=2))
+        queries["ivf_query_probe2"] = round(t_q, 3)
+        shutil.rmtree(IVF_DIR, ignore_errors=True)
+
     headline = queries["encode_webtext"] + queries["decode_verify_webtext"]
     result = {
         "metric": "webtext encode + decode-verify wall time "

@@ -105,3 +105,58 @@ def test_delete_rewritten_part_spot_check_skipped(tmp_path, ray_session):
     res = spot_check_files(out, k=4)
     assert res["mismatches"] == 0
     assert res["checked"] > 0  # untouched parts still checked
+
+
+def test_delete_randomized_vs_pandas(tmp_path, ray_session):
+    """Fuzz: random predicate deletes over a typed store match pandas
+    truth after each mutation (delete → verify remaining rows →
+    repeat)."""
+    from packcol.pipelines.delete import delete_where
+    from packcol.pipelines.encode_pipeline import encode_files
+    from packcol.sources.encoded import read_encoded
+    rng = np.random.default_rng(77)
+    n = 1500
+    df = pd.DataFrame({
+        "rid": np.arange(n, dtype=np.int64),
+        "k_int": rng.integers(0, 10, n).astype(np.int64),
+        "k_str": rng.choice(list("abcd"), n),
+        "name": np.where(rng.random(n) < 0.2, None, np.char.add(
+            "u", rng.integers(0, 20, n).astype(str))),
+    })
+    src = tmp_path / "fz.parquet"
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   str(src), row_group_size=200)
+    out = str(tmp_path / "fz_store")
+    encode_files([str(src)], out, target_bytes=1 << 14)
+
+    live = df.copy()
+
+    def preds():
+        kind = rng.integers(0, 4)
+        if kind == 0:
+            return ("k_int", "==", int(rng.integers(0, 10)))
+        if kind == 1:
+            lo, hi = sorted(rng.integers(0, 1500, 2).tolist())
+            return ("rid", "between", int(lo), int(hi))
+        if kind == 2:
+            return ("name", "prefix", "u1")
+        return ("name", "isnull")
+
+    for _ in range(5):
+        p = preds()
+        col, op, *vals = p
+        s = live[col]
+        if op == "==":
+            m = s == vals[0]
+        elif op == "between":
+            m = (s >= vals[0]) & (s <= vals[1])
+        elif op == "prefix":
+            m = s.notna() & s.astype(str).str.startswith(vals[0])
+        else:
+            m = s.isna()
+        r = delete_where(out, p)
+        assert r["rows_deleted"] == int(m.sum()), p
+        live = live[~m]
+        got = read_encoded(out, columns=["rid"]).to_pandas()
+        rid = sorted(got["rid"]) if len(got) else []
+        assert rid == sorted(live["rid"]), p
