@@ -750,3 +750,193 @@ def distinct_encoded(store_dir: str, column: str) -> "rd.Dataset":
                      batch_size=None, batch_format="pyarrow")
     return ds.groupby(column).aggregate(Count()) \
         .select_columns([column])
+
+
+# ---------------------------------------------------------------------------
+# ORDER BY ... LIMIT k pushdown
+# ---------------------------------------------------------------------------
+
+class _TopKPart:
+    """Per-part local top-k: decode only the sort keys + projection,
+    drop rows with a null sort key (``ORDER BY ... LIMIT`` semantics —
+    nulls sort last and never enter a top-k smaller than the non-null
+    count), keep the k best rows by the multi-key sort.  Each task
+    emits ≤k rows, so the driver merge is O(parts_scanned × k), never
+    O(rows) — the same contract as the other store-scan tasks."""
+
+    def __init__(self, keys: list[str], k: int, descending: bool,
+                 out_columns: list[str]):
+        self.keys = keys
+        self.k = k
+        self.order = "descending" if descending else "ascending"
+        self.need = sorted(set(keys) | set(out_columns))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        from ..codecs import EncodedColumn, decode_any
+        outs = []
+        for p in batch.column("path").to_pylist():
+            enc_rows = pq.read_table(
+                p, filters=[("column", "in", self.need)])
+            names = enc_rows.column("column").to_pylist()
+            enc_of = {}
+            for i, name in enumerate(names):
+                enc_of[name] = EncodedColumn.from_row(
+                    {k: enc_rows.column(k)[i].as_py() for k in
+                     ("codec", "n_values", "params", "payload")})
+                enc_of[name].base_dir = os.path.dirname(p)
+            if any(c not in enc_of for c in self.need):
+                continue  # heterogeneous store: part holds another table
+            t = pa.table({n: decode_any(enc_of[n]) for n in self.need})
+            mask = None
+            for kc in self.keys:
+                m = pc.is_valid(t.column(kc))
+                mask = m if mask is None else pc.and_(mask, m)
+            t = t.filter(mask)
+            if t.num_rows == 0:
+                continue
+            idx = pc.sort_indices(
+                t, sort_keys=[(kc, self.order) for kc in self.keys])
+            outs.append(t.take(idx.slice(0, self.k)))
+        if not outs:
+            # empty blocks yield no batches downstream; types here are
+            # placeholders that never meet a non-empty block's schema
+            return pa.table({n: pa.array([], type=pa.string())
+                             for n in self.need})
+        return pa.concat_tables(outs)
+
+
+def topk_encoded(store_dir: str, keys, k: int, *,
+                 descending: bool = False,
+                 columns: list[str] | None = None,
+                 return_stats: bool = False):
+    """``SELECT <columns> ORDER BY <keys> [DESC] LIMIT k`` over the
+    encoded store, zone-map-driven: rows with a null sort key are
+    excluded (they sort after any top-k of non-null rows).
+
+    Two-wave scan.  Wave 1 orders parts by their manifest zone's best
+    possible key value and scans the minimal prefix whose manifest
+    row/null counts GUARANTEE ≥k candidate rows (parts without a zone
+    on the primary key always scan — pruning is never lossy).  The kth
+    candidate's key is then a proven threshold: wave 2 scans only the
+    remaining parts whose zone could still beat it.  On a store
+    clustered on ``keys[0]`` (``cluster_store``) this reads O(1) parts;
+    on arrival-ordered stores it degrades gracefully toward a full
+    scan, still returning ≤k rows per task.
+
+    ``keys`` is a column name or list (lexicographic; one direction for
+    all keys, matching ``ORDER BY a, b`` / ``ORDER BY a DESC, b DESC``).
+    Returns a ``pyarrow.Table`` (the result is ≤k rows — driver-sized
+    by definition); with ``return_stats=True``, ``(table, stats)``."""
+    import pyarrow.compute as pc
+    from ..pipelines.encode_pipeline import _part_scan_seed, _zone_bounds
+    from ..state.manifest import Manifest
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    schema = encoded_schema(store_dir)
+    out_columns = list(columns) if columns is not None else \
+        list(schema.names)
+    unknown = [c for c in {*keys, *out_columns} if c not in schema.names]
+    if unknown:
+        raise ValueError(f"unknown column(s) {sorted(unknown)}; "
+                         f"store has {sorted(schema.names)}")
+    key0 = keys[0]
+    man: dict = {}
+    if os.path.isdir(os.path.join(store_dir, "_manifest")):
+        for m in Manifest(store_dir).load_all():
+            man[m["part_id"]] = m
+    parts = []
+    for f in _part_files(store_dir):
+        base = os.path.basename(f)
+        pid = base[len("part-"):-len(".parquet")] \
+            if base.startswith("part-") else None
+        m = man.get(pid) or {}
+        parts.append({
+            "path": f,
+            "zone": (m.get("zones") or {}).get(key0),
+            "rows": m.get("rows"),
+            "nulls": m["nulls"].get(key0, 0) if "nulls" in m else None})
+
+    def _typed_empty():
+        return pa.table({n: pa.array([], type=schema.field(n).type)
+                         for n in out_columns})
+
+    if not parts:
+        out = _typed_empty()
+        stats = {"parts_total": 0, "parts_scanned": 0}
+        return (out, stats) if return_stats else out
+
+    must = [p for p in parts if p["zone"] is None]
+    known = sorted((p for p in parts if p["zone"] is not None),
+                   key=lambda p: p["zone"]["max" if descending
+                                           else "min"],
+                   reverse=descending)
+    task = _TopKPart(keys, k, descending, out_columns)
+
+    def scan(ps: list[dict]):
+        if not ps:
+            return None
+        ds = _part_scan_seed([{"path": p["path"]} for p in ps]) \
+            .map_batches(task, batch_size=None, batch_format="pyarrow")
+        bs = [b for b in ds.iter_batches(batch_format="pyarrow",
+                                         batch_size=None)
+              if b.num_rows]
+        return pa.concat_tables(bs) if bs else None
+
+    def guaranteed(p: dict) -> int:
+        if p["rows"] is None or p["nulls"] is None:
+            return 0  # pre-null-aware manifest: no non-null guarantee
+        return max(p["rows"] - p["nulls"], 0)
+
+    # wave 1: zone-less parts (must scan) + minimal zone-ordered prefix
+    wave = list(must)
+    need = k - sum(guaranteed(p) for p in must)
+    i = 0
+    while i < len(known) and need > 0:
+        wave.append(known[i])
+        need -= guaranteed(known[i])
+        i += 1
+    cands = scan(wave)
+    scanned = len(wave)
+    # correctness net for stores whose manifests lack row/null counts:
+    # keep extending in zone order until k candidates are in hand
+    while (cands is None or cands.num_rows < k) and i < len(known):
+        nxt = known[i:i + max(len(wave), 8)]
+        i += len(nxt)
+        scanned += len(nxt)
+        more = scan(nxt)
+        if more is not None:
+            cands = more if cands is None \
+                else pa.concat_tables([cands, more])
+    if cands is None or cands.num_rows == 0:
+        out = _typed_empty()
+        stats = {"parts_total": len(parts), "parts_scanned": scanned}
+        return (out, stats) if return_stats else out
+
+    sort_keys = [(kc, "descending" if descending else "ascending")
+                 for kc in keys]
+    idx = pc.sort_indices(cands, sort_keys=sort_keys)
+    cands = cands.take(idx)
+    tau = cands.column(key0)[min(k, cands.num_rows) - 1].as_py()
+
+    # wave 2: remaining parts whose zone could still beat the kth key
+    # (ties included — a later sort key can break them into the top-k)
+    wave2 = []
+    for p in known[i:]:
+        b = _zone_bounds(key0, tau, tau, p["zone"])
+        if b is None:
+            wave2.append(p)  # threshold not comparable: cannot prune
+            continue
+        best = p["zone"]["max" if descending else "min"]
+        if (best >= b[0]) if descending else (best <= b[0]):
+            wave2.append(p)
+    more = scan(wave2)
+    scanned += len(wave2)
+    if more is not None and more.num_rows:
+        cands = pa.concat_tables([cands, more])
+        cands = cands.take(pc.sort_indices(cands, sort_keys=sort_keys))
+    out = cands.slice(0, k).select(out_columns)
+    stats = {"parts_total": len(parts), "parts_scanned": scanned,
+             "candidate_rows": cands.num_rows}
+    return (out, stats) if return_stats else out

@@ -1,0 +1,125 @@
+"""topk_encoded: ORDER BY ... LIMIT pushdown over the encoded store."""
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from packcol.pipelines.encode_pipeline import encode_files
+from packcol.sources.encoded import topk_encoded
+
+
+@pytest.fixture(scope="module")
+def store(tmp_path_factory, ray_session):
+    """Multi-part store clustered on k_sorted (disjoint zones) with an
+    unsorted key, ties, and a nullable key."""
+    rng = np.random.default_rng(11)
+    n = 4000
+    df = pd.DataFrame({
+        "rid": np.arange(n, dtype=np.int64),
+        "k_sorted": np.arange(n, dtype=np.int64) * 3,   # clustered
+        "k_rand": rng.integers(0, 10_000, n).astype(np.int64),
+        "k_tied": rng.integers(0, 5, n).astype(np.int64),
+        "k_null": np.where(rng.random(n) < 0.3, np.nan,
+                           rng.integers(0, 1000, n).astype(float)),
+        "name": rng.choice(list("abcdef"), n),
+    })
+    d = tmp_path_factory.mktemp("topk")
+    src = d / "t.parquet"
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   str(src), row_group_size=250)
+    out = str(d / "store")
+    encode_files([str(src)], out, target_bytes=1 << 13)
+    return out, df
+
+
+def _truth(df, keys, k, descending=False, columns=None):
+    t = df.dropna(subset=keys).sort_values(
+        keys, ascending=not descending, kind="mergesort")
+    t = t.head(k)
+    return t[columns or list(df.columns)].reset_index(drop=True)
+
+
+def test_topk_clustered_prunes(store):
+    out, df = store
+    t, st = topk_encoded(out, "k_sorted", 10,
+                         columns=["rid", "k_sorted"], return_stats=True)
+    assert st["parts_total"] > 4
+    assert st["parts_scanned"] < st["parts_total"]
+    exp = _truth(df, ["k_sorted"], 10, columns=["rid", "k_sorted"])
+    pd.testing.assert_frame_equal(t.to_pandas(), exp)
+
+
+def test_topk_descending_prunes(store):
+    out, df = store
+    t, st = topk_encoded(out, "k_sorted", 7, descending=True,
+                         columns=["rid", "k_sorted"], return_stats=True)
+    assert st["parts_scanned"] < st["parts_total"]
+    exp = _truth(df, ["k_sorted"], 7, descending=True,
+                 columns=["rid", "k_sorted"])
+    pd.testing.assert_frame_equal(t.to_pandas(), exp)
+
+
+def test_topk_unsorted_key_correct(store):
+    out, df = store
+    t = topk_encoded(out, "k_rand", 20, columns=["rid", "k_rand"])
+    # k_rand values may tie; compare as multisets of (rid-break) by
+    # sorting both on (k_rand, rid) is wrong unless rid is a tiebreak —
+    # so ask for the deterministic multi-key form instead
+    t = topk_encoded(out, ["k_rand", "rid"], 20,
+                     columns=["rid", "k_rand"])
+    exp = _truth(df, ["k_rand", "rid"], 20, columns=["rid", "k_rand"])
+    pd.testing.assert_frame_equal(t.to_pandas(), exp)
+
+
+def test_topk_ties_multikey(store):
+    out, df = store
+    t = topk_encoded(out, ["k_tied", "rid"], 12,
+                     columns=["rid", "k_tied", "name"])
+    exp = _truth(df, ["k_tied", "rid"], 12,
+                 columns=["rid", "k_tied", "name"])
+    pd.testing.assert_frame_equal(t.to_pandas(), exp)
+
+
+def test_topk_null_key_excluded(store):
+    out, df = store
+    t = topk_encoded(out, ["k_null", "rid"], 15, columns=["rid", "k_null"])
+    exp = _truth(df, ["k_null", "rid"], 15, columns=["rid", "k_null"])
+    pd.testing.assert_frame_equal(t.to_pandas(), exp)
+
+
+def test_topk_k_exceeds_rows(store):
+    out, df = store
+    t = topk_encoded(out, ["rid"], 10_000_000, columns=["rid"])
+    assert t.num_rows == len(df)
+    assert t.column("rid").to_pylist() == sorted(df["rid"])
+
+
+def test_topk_string_key(store):
+    out, df = store
+    t = topk_encoded(out, ["name", "rid"], 9, columns=["rid", "name"])
+    exp = _truth(df, ["name", "rid"], 9, columns=["rid", "name"])
+    pd.testing.assert_frame_equal(t.to_pandas(), exp)
+
+
+def test_topk_unknown_column_raises(store):
+    out, _ = store
+    with pytest.raises(ValueError, match="unknown column"):
+        topk_encoded(out, "nope", 3)
+    with pytest.raises(ValueError, match="unknown column"):
+        topk_encoded(out, "rid", 3, columns=["nope"])
+    with pytest.raises(ValueError, match="positive"):
+        topk_encoded(out, "rid", 0)
+
+
+def test_topk_without_manifests(store, tmp_path):
+    """Stores with no manifest dir (or no row/null counts) fall back to
+    the extend-until-k net and stay correct."""
+    import shutil
+    out, df = store
+    bare = str(tmp_path / "bare")
+    shutil.copytree(out, bare)
+    shutil.rmtree(f"{bare}/_manifest")
+    t = topk_encoded(bare, ["k_sorted"], 10, columns=["rid", "k_sorted"])
+    exp = _truth(df, ["k_sorted"], 10, columns=["rid", "k_sorted"])
+    pd.testing.assert_frame_equal(t.to_pandas(), exp)
