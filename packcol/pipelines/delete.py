@@ -40,6 +40,12 @@ from .encode_pipeline import (_bloom_disproves, _bloom_prune,
                               _part_scan_seed, _pred_survivors)
 
 
+def _part_id_of(path: str) -> str:
+    base = os.path.basename(path)
+    return base[len("part-"):-len(".parquet")] \
+        if base.startswith("part-") else base
+
+
 class _DeletePartTask:
     """One affected part per loop turn: predicate on packed codes →
     untouched / removed / rewritten-in-place."""
@@ -144,12 +150,16 @@ class _DeletePartTask:
         return pa.table(out)
 
 
-def delete_where(store_dir: str, filter) -> dict:
+def delete_where(store_dir: str, filter,
+                 exclude_parts: set[str] | None = None) -> dict:
     """Delete every row of the store matching ``filter`` (same shapes
     as ``read_encoded``: a predicate tuple or a list = conjunction).
     Only zone/bloom-surviving parts are even opened; see module doc.
-    Returns {parts_total, parts_scanned, parts_untouched,
-    parts_rewritten, parts_removed, rows_deleted}."""
+    ``exclude_parts`` (part ids) are never touched even when they
+    match — the upsert pipeline uses it to shield freshly inserted
+    parts from the replace-keys delete.  Returns {parts_total,
+    parts_scanned, parts_untouched, parts_rewritten, parts_removed,
+    rows_deleted}."""
     from ..sources.encoded import _norm_pred
     from .encode_pipeline import _all_parts
     preds = [_norm_pred(f) for f in filter] if isinstance(filter, list) \
@@ -159,6 +169,9 @@ def delete_where(store_dir: str, filter) -> dict:
     for pred in preds:  # conjunction: intersection of survivor sets
         surv = {f["path"] for f in _pred_survivors(store_dir, pred)}
         paths = surv if paths is None else (paths & surv)
+    if exclude_parts:
+        paths = {p for p in (paths or ())
+                 if _part_id_of(p) not in exclude_parts}
     files = _bloom_prune(store_dir,
                          [{"path": p} for p in sorted(paths or ())],
                          preds)

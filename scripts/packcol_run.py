@@ -284,6 +284,26 @@ def main() -> None:
     di.add_argument("--limit", type=int, default=20,
                     help="values printed (count is always exact)")
 
+    tk = sub.add_parser("topk", help="ORDER BY ... LIMIT k pushdown: "
+                        "zone-ordered two-wave scan, each task returns "
+                        "<=k rows (sources/encoded.py topk_encoded)")
+    tk.add_argument("--encoded", required=True)
+    tk.add_argument("--by", required=True,
+                    help="sort key; comma list = lexicographic "
+                    "multi-key (zones prune on the first)")
+    tk.add_argument("-k", type=int, default=10)
+    tk.add_argument("--desc", action="store_true")
+    tk.add_argument("--columns", help="projection (comma list; "
+                    "default: all store columns)")
+
+    up = sub.add_parser("upsert", help="key-scoped MERGE: replace "
+                        "store rows whose key appears in the input, "
+                        "append the rest (pipelines/upsert.py)")
+    up.add_argument("--encoded", required=True)
+    up.add_argument("--input", required=True,
+                    help="glob of parquet files with the new rows")
+    up.add_argument("--key", required=True)
+
     g = sub.add_parser("gen", help="generate synthetic webtext")
     g.add_argument("--output", required=True)
     g.add_argument("--rows", type=int, default=100_000)
@@ -420,6 +440,26 @@ def main() -> None:
         print(json.dumps({"column": args.column,
                           "n_distinct": ds.count(),
                           "values": [str(v) for v in vals]}))
+    elif args.cmd == "topk":
+        from packcol.sources.encoded import topk_encoded
+        keys = args.by.split(",")
+        cols = args.columns.split(",") if args.columns else None
+        t, st = topk_encoded(args.encoded, keys, args.k,
+                             descending=args.desc, columns=cols,
+                             return_stats=True)
+        print(json.dumps({"rows": t.num_rows,
+                          "head": [str(r) for r in
+                                   t.slice(0, 5).to_pylist()], **st}))
+    elif args.cmd == "upsert":
+        import ray.data as rd
+        from packcol.pipelines.upsert import upsert_encoded
+        paths = sorted(glob.glob(args.input))
+        if not paths:
+            sys.exit(f"no files match {args.input}")
+        from packcol.sources.parquet import read_parquet_clean
+        res = upsert_encoded(args.encoded, read_parquet_clean(paths),
+                             args.key)
+        print(json.dumps(res))
     elif args.cmd == "gen":
         from packcol.sources.webtext import write_webtext
         parts = args.parts or max(args.rows // 7500, 1)
