@@ -853,6 +853,72 @@ def queries() -> dict[str, Callable[[str], Any]]:
                             filter=("user_id", "between", 3, 9))
     q["clustered_filter_range"] = clustered_filter_range
 
+    def store_topk_ts(sf):
+        # ORDER BY ... LIMIT pushdown: parts ordered by their zone's
+        # best key value, wave 1 scans the minimal prefix that
+        # guarantees k candidates (manifest row/null counts), wave 2
+        # only the parts whose zone can still beat the kth key — each
+        # task emits <=k rows, the driver merge is O(parts x k)
+        from packcol.sources.encoded import topk_encoded
+        out = _encoded_store(sf, "events")
+        return topk_encoded(out, ["ts", "event_id"], 25,
+                            descending=True,
+                            columns=["event_id", "ts", "user_id"])
+    q["store_topk_ts"] = store_topk_ts
+
+    def store_upsert_roundtrip(sf):
+        # key-scoped MERGE (pipelines/upsert.py): updates replace rows
+        # in place via shielded retire deletes over zone/bloom-pruned
+        # parts; inserts append as content-addressed parts with full
+        # query-layer metadata.  Own store (never the shared cache —
+        # this query MUTATES it), marker-guarded so re-runs only read.
+        import hashlib
+        import pyarrow as pa
+        import pyarrow.compute as pcc
+        from packcol.pipelines.encode_pipeline import encode_files
+        from packcol.pipelines.upsert import upsert_encoded
+        from packcol.sources.encoded import read_encoded
+        from packcol.sources.parquet import read_parquet_clean
+        tag = hashlib.sha1(os.path.abspath(sf).encode()).hexdigest()[:10]
+        dst = os.path.join("/tmp", f"packcol_upsert_ev_{tag}")
+        done = os.path.join(dst, "_UPSERT_DONE")
+        if not os.path.exists(done):
+            import shutil
+            shutil.rmtree(dst, ignore_errors=True)
+            src = os.path.join(sf, "events.parquet")
+            encode_files([src], dst)
+            OFF = 1 << 40
+
+            def _upd(b: pa.Table) -> pa.Table:
+                b = b.set_column(
+                    b.schema.get_field_index("event_type"), "event_type",
+                    pa.array(["upd"] * b.num_rows, type=pa.string()))
+                return b.set_column(
+                    b.schema.get_field_index("value"), "value",
+                    pcc.multiply(b.column("value"), 2.0))
+
+            def _ins(b: pa.Table) -> pa.Table:
+                b = b.set_column(
+                    b.schema.get_field_index("event_id"), "event_id",
+                    pcc.add(b.column("event_id"), OFF))
+                return b.set_column(
+                    b.schema.get_field_index("event_type"), "event_type",
+                    pa.array(["ins"] * b.num_rows, type=pa.string()))
+
+            upd = read_parquet_clean(
+                src, filter=(pcc.field("user_id") >= 3)
+                & (pcc.field("user_id") <= 9)) \
+                .map_batches(_upd, batch_format="pyarrow")
+            ins = read_parquet_clean(
+                src, filter=pcc.field("user_id") == 0) \
+                .map_batches(_ins, batch_format="pyarrow")
+            upsert_encoded(dst, upd.union(ins), "event_id")
+            with open(done, "w") as fh:
+                fh.write("ok")
+        return read_encoded(
+            dst, columns=["event_id", "user_id", "event_type", "value"])
+    q["store_upsert_roundtrip"] = store_upsert_roundtrip
+
     # --- joins (pipelines/join.py): broadcast fact⋈dim, anti, shuffle ----
     def orders_by_nation(sf):
         import pyarrow.parquet as pq
@@ -1402,6 +1468,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         #   codec_selection + toksep/shared_vocab roundtrips in the
         #   head)
         "kmer_counts", "auto_roundtrip_documents",
+        #   filter_encoded_eq / filter_encoded_range: green r2+r3
+        #   (exiled r4 for store_topk_ts + store_upsert_roundtrip —
+        #   eq/range pushdown stays covered in the head by
+        #   filter_encoded_conj/in/prefix/or + clustered_filter_range)
+        "filter_encoded_eq", "filter_encoded_range",
         # (a) rows-only by design
         "minhash_pairs_est", "simhash_pairs_hamming", "langid",
         "fingerprint", "embedding_dedup_lsh", "ann_ivf", "ann_lsh",
@@ -1613,6 +1684,23 @@ def oracle_sql() -> dict[str, str]:
         "clustered_filter_range": (
             "SELECT event_id, user_id FROM events "
             "WHERE user_id BETWEEN 3 AND 9"),
+        # ties on ts are broken by event_id (unique) — deterministic;
+        # events has no NULL ts/event_id, the IS NOT NULL mirrors the
+        # engine's null-excluding sort-key semantics exactly anyway
+        "store_topk_ts": (
+            "SELECT event_id, ts, user_id FROM events "
+            "WHERE ts IS NOT NULL AND event_id IS NOT NULL "
+            "ORDER BY ts DESC, event_id DESC LIMIT 25"),
+        "store_upsert_roundtrip": (
+            "WITH upd AS (SELECT event_id, user_id, 'upd' AS event_type, "
+            "value * 2 AS value FROM events "
+            "WHERE user_id BETWEEN 3 AND 9), "
+            "ins AS (SELECT event_id + 1099511627776 AS event_id, "
+            "user_id, 'ins' AS event_type, value FROM events "
+            "WHERE user_id = 0) "
+            "SELECT event_id, user_id, event_type, value FROM events "
+            "WHERE event_id NOT IN (SELECT event_id FROM upd) "
+            "UNION ALL SELECT * FROM upd UNION ALL SELECT * FROM ins"),
         # NB every SUM of an integer below is wrapped in an outer CAST:
         # DuckDB SUM(BIGINT) returns HUGEINT, which pandas renders as
         # float64 and the driver's dtype-sensitive hash then mismatches
