@@ -919,6 +919,35 @@ def queries() -> dict[str, Callable[[str], Any]]:
             dst, columns=["event_id", "user_id", "event_type", "value"])
     q["store_upsert_roundtrip"] = store_upsert_roundtrip
 
+    def annotate_tokens(sf):
+        # derived-column schema evolution (pipelines/annotate.py): the
+        # new column's block is the ONLY encode work — every existing
+        # block's payload is copied verbatim — and it lands with zone
+        # maps, so the returned read pushes the range predicate into
+        # the annotated column.  Own store: annotate mutates it.
+        import hashlib
+        from packcol.pipelines.annotate import add_column_encoded
+        from packcol.pipelines.encode_pipeline import encode_files
+        from packcol.sources.encoded import read_encoded
+        tag = hashlib.sha1(os.path.abspath(sf).encode()).hexdigest()[:10]
+        dst = os.path.join("/tmp", f"packcol_annot_docs_{tag}")
+        done = os.path.join(dst, "_ANNOT_DONE")
+        if not os.path.exists(done):
+            import shutil
+            shutil.rmtree(dst, ignore_errors=True)
+            encode_files([os.path.join(sf, "documents.parquet")], dst)
+
+            def _ntok(t):
+                from packcol.functions.text import token_counts
+                return token_counts(t.column("text"))
+
+            add_column_encoded(dst, "n_tokens", _ntok, ["text"])
+            with open(done, "w") as fh:
+                fh.write("ok")
+        return read_encoded(dst, columns=["doc_id", "n_tokens"],
+                            filter=("n_tokens", "between", 50, 1 << 30))
+    q["annotate_tokens"] = annotate_tokens
+
     # --- joins (pipelines/join.py): broadcast fact⋈dim, anti, shuffle ----
     def orders_by_nation(sf):
         import pyarrow.parquet as pq
@@ -1473,6 +1502,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         #   eq/range pushdown stays covered in the head by
         #   filter_encoded_conj/in/prefix/or + clustered_filter_range)
         "filter_encoded_eq", "filter_encoded_range",
+        #   blocklist_filter: green r2+r3 (exiled r4 for
+        #   annotate_tokens — the anti-join shape stays covered in the
+        #   head by customers_without_orders)
+        "blocklist_filter",
         # (a) rows-only by design
         "minhash_pairs_est", "simhash_pairs_hamming", "langid",
         "fingerprint", "embedding_dedup_lsh", "ann_ivf", "ann_lsh",
@@ -1701,6 +1734,12 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_id, user_id, event_type, value FROM events "
             "WHERE event_id NOT IN (SELECT event_id FROM upd) "
             "UNION ALL SELECT * FROM upd UNION ALL SELECT * FROM ins"),
+        # same token formula as token_count (functions/text.py parity)
+        "annotate_tokens": (
+            "SELECT * FROM (SELECT doc_id, CASE WHEN length(text)=0 "
+            "THEN 0 ELSE length(text) - length(replace(text,' ','')) "
+            "+ 1 END AS n_tokens FROM documents) "
+            "WHERE n_tokens BETWEEN 50 AND 1073741824"),
         # NB every SUM of an integer below is wrapped in an outer CAST:
         # DuckDB SUM(BIGINT) returns HUGEINT, which pandas renders as
         # float64 and the driver's dtype-sensitive hash then mismatches

@@ -304,6 +304,25 @@ def main() -> None:
                     help="glob of parquet files with the new rows")
     up.add_argument("--key", required=True)
 
+    an = sub.add_parser("annotate", help="add a derived column to "
+                        "every part — existing payloads copy verbatim "
+                        "(pipelines/annotate.py)")
+    an.add_argument("--encoded", required=True)
+    an.add_argument("--as", dest="as_name", required=True,
+                    help="new column name")
+    an.add_argument("--derive", required=True,
+                    choices=["token_count", "char_count"],
+                    help="built-in vectorized derivation")
+    an.add_argument("--from", dest="from_col", required=True,
+                    help="input column")
+    an.add_argument("--overwrite", action="store_true")
+
+    dc = sub.add_parser("drop-column", help="remove a column from "
+                        "every part (payloads of the rest copy "
+                        "verbatim)")
+    dc.add_argument("--encoded", required=True)
+    dc.add_argument("--column", required=True)
+
     g = sub.add_parser("gen", help="generate synthetic webtext")
     g.add_argument("--output", required=True)
     g.add_argument("--rows", type=int, default=100_000)
@@ -460,6 +479,23 @@ def main() -> None:
         res = upsert_encoded(args.encoded, read_parquet_clean(paths),
                              args.key)
         print(json.dumps(res))
+    elif args.cmd == "annotate":
+        from packcol.pipelines.annotate import add_column_encoded
+        col = args.from_col
+
+        def _derive(t, _col=col, _kind=args.derive):
+            import pyarrow.compute as pcx
+            if _kind == "token_count":
+                from packcol.functions.text import token_counts
+                return token_counts(t.column(_col))
+            return pcx.utf8_length(t.column(_col).combine_chunks())
+
+        res = add_column_encoded(args.encoded, args.as_name, _derive,
+                                 [col], overwrite=args.overwrite)
+        print(json.dumps(res))
+    elif args.cmd == "drop-column":
+        from packcol.pipelines.annotate import drop_column_encoded
+        print(json.dumps(drop_column_encoded(args.encoded, args.column)))
     elif args.cmd == "gen":
         from packcol.sources.webtext import write_webtext
         parts = args.parts or max(args.rows // 7500, 1)

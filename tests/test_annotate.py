@@ -1,0 +1,125 @@
+"""add_column_encoded / drop_column_encoded: derived-column schema
+evolution over the encoded store."""
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from packcol.pipelines.annotate import (add_column_encoded,
+                                        drop_column_encoded)
+from packcol.pipelines.encode_pipeline import encode_files
+from packcol.sources.encoded import (count_encoded, encoded_schema,
+                                     read_encoded)
+
+
+def _make_ntok():
+    # defined via a factory so cloudpickle serializes the closure by
+    # VALUE (test modules are not importable from Ray workers)
+    def _ntok(t: pa.Table):
+        from packcol.functions.text import token_counts
+        return token_counts(t.column("text"))
+    return _ntok
+
+
+@pytest.fixture()
+def store(tmp_path, ray_session):
+    rng = np.random.default_rng(13)
+    n = 1200
+    df = pd.DataFrame({
+        "id": np.arange(n, dtype=np.int64),
+        "text": [" ".join(rng.choice(["aa", "bb", "cc", "dd"],
+                                     rng.integers(1, 9)))
+                 for _ in range(n)],
+        "v": rng.random(n)})
+    src = tmp_path / "a.parquet"
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   str(src), row_group_size=100)
+    out = str(tmp_path / "a_store")
+    encode_files([str(src)], out, target_bytes=1 << 12)
+    return out, df
+
+
+def test_add_column_values_and_pushdown(store):
+    out, df = store
+    r = add_column_encoded(out, "n_tokens", _make_ntok(), ["text"])
+    assert r["parts_annotated"] == r["parts_total"] > 1
+    got = read_encoded(out).to_pandas().sort_values("id")
+    exp = df.text.str.count(" ") + 1
+    assert (got["n_tokens"].values == exp.values).all()
+    # the derived column got zone maps: predicate pushdown counts match
+    truth = int((exp >= 5).sum())
+    assert count_encoded(out, ("n_tokens", "between", 5, 10**9)) == truth
+    assert "n_tokens" in encoded_schema(out).names
+
+
+def test_add_is_resumable_then_overwrite(store):
+    out, df = store
+    add_column_encoded(out, "n_tokens", _make_ntok(), ["text"])
+    r2 = add_column_encoded(out, "n_tokens", _make_ntok(), ["text"])
+    assert r2.get("parts_annotated", 0) == 0  # default: skip existing
+    r3 = add_column_encoded(out, "n_tokens",
+                            lambda t: np.zeros(t.num_rows, np.int64),
+                            ["text"], overwrite=True)
+    assert r3["parts_annotated"] == r3["parts_total"]
+    got = read_encoded(out, columns=["n_tokens"]).to_pandas()
+    assert (got["n_tokens"] == 0).all()
+
+
+def test_add_untouched_payloads_identical(store):
+    """Existing blocks are copied verbatim — payload bytes of the old
+    columns are byte-identical after annotate."""
+    out, _ = store
+    part = sorted(f for f in os.listdir(out) if f.endswith(".parquet"))[0]
+    before = pq.read_table(os.path.join(out, part))
+    add_column_encoded(out, "n_tokens", _make_ntok(), ["text"])
+    after = pq.read_table(os.path.join(out, part))
+    b = {c: before.column("payload")[i].as_py()
+         for i, c in enumerate(before.column("column").to_pylist())}
+    a = {c: after.column("payload")[i].as_py()
+         for i, c in enumerate(after.column("column").to_pylist())}
+    for c in b:
+        assert a[c] == b[c], c
+    assert set(a) == set(b) | {"n_tokens"}
+    assert set(after.column("n_cols").to_pylist()) == {len(b) + 1}
+
+
+def test_drop_column_roundtrip(store):
+    out, df = store
+    add_column_encoded(out, "n_tokens", _make_ntok(), ["text"])
+    r = drop_column_encoded(out, "n_tokens")
+    assert r["parts_dropped"] == r["parts_total"]
+    assert "n_tokens" not in encoded_schema(out).names
+    got = read_encoded(out).to_pandas().sort_values("id") \
+        .reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[["id", "text", "v"]],
+                                  df[["id", "text", "v"]])
+    # decode still verifies complete (n_cols back in sync)
+    assert drop_column_encoded(out, "v")["parts_dropped"] > 0
+    got2 = read_encoded(out).to_pandas()
+    assert sorted(got2.columns) == ["id", "text"]
+
+
+def test_add_with_bloom_sidecar(store):
+    out, df = store
+    add_column_encoded(out, "tag", lambda t: pa.array(
+        [f"t{v}" for v in pa.compute.utf8_length(
+            t.column("text").combine_chunks()).to_pylist()]),
+        ["text"], bloom=True)
+    from packcol.state.bloom import load_blooms
+    part = sorted(f for f in os.listdir(out) if f.endswith(".parquet"))[0]
+    pid = part[len("part-"):-len(".parquet")]
+    assert "tag" in load_blooms(out, pid)
+
+
+def test_errors(store):
+    out, _ = store
+    with pytest.raises(ValueError, match="unknown input column"):
+        add_column_encoded(out, "x", lambda t: [], ["nope"])
+    with pytest.raises(ValueError, match="unknown column"):
+        drop_column_encoded(out, "nope")
+    with pytest.raises(Exception, match="returned"):
+        add_column_encoded(out, "bad",
+                           lambda t: np.zeros(3, np.int64), ["text"])
