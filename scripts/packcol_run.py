@@ -323,6 +323,15 @@ def main() -> None:
     dc.add_argument("--encoded", required=True)
     dc.add_argument("--column", required=True)
 
+    fs = sub.add_parser("fsck", help="store consistency audit: orphan "
+                        "metadata, stale staging, block structure; "
+                        "--deep proves zones/nulls against decoded "
+                        "values (pipelines/fsck.py)")
+    fs.add_argument("--encoded", required=True)
+    fs.add_argument("--deep", action="store_true")
+    fs.add_argument("--repair", action="store_true",
+                    help="remove provably-garbage artifacts first")
+
     g = sub.add_parser("gen", help="generate synthetic webtext")
     g.add_argument("--output", required=True)
     g.add_argument("--rows", type=int, default=100_000)
@@ -496,6 +505,13 @@ def main() -> None:
     elif args.cmd == "drop-column":
         from packcol.pipelines.annotate import drop_column_encoded
         print(json.dumps(drop_column_encoded(args.encoded, args.column)))
+    elif args.cmd == "fsck":
+        from packcol.pipelines.fsck import check_store, repair_store
+        out = {}
+        if args.repair:
+            out["repair"] = repair_store(args.encoded)
+        out.update(check_store(args.encoded, deep=args.deep))
+        print(json.dumps(out))
     elif args.cmd == "gen":
         from packcol.sources.webtext import write_webtext
         parts = args.parts or max(args.rows // 7500, 1)
