@@ -224,6 +224,33 @@ def main() -> None:
         aggs={"n": ("count",), "last_ts": ("max", "warc_ts")})))
     queries["store_agg_group"] = round(t_q, 3)
 
+    # mutation + evolution surface over the same store: top-k pushdown,
+    # derived-column annotate (payloads copy verbatim), key-scoped
+    # upsert of ~1% of rows (staged publish + shielded retire)
+    from packcol.pipelines.annotate import add_column_encoded
+    from packcol.pipelines.upsert import upsert_encoded
+    from packcol.sources.encoded import topk_encoded
+
+    t_q, _ = timed2(lambda: topk_encoded(
+        ENC_DIR, ["warc_ts", "url"], 25, descending=True,
+        columns=["url", "warc_ts", "lang"]))
+    queries["store_topk"] = round(t_q, 3)
+
+    def _ntok_bench(t):
+        from packcol.functions.text import token_counts
+        return token_counts(t.column("text"))
+
+    t_q, _ = timed(lambda: add_column_encoded(
+        ENC_DIR, "n_tokens", _ntok_bench, ["text"], overwrite=True))
+    queries["store_annotate"] = round(t_q, 3)
+
+    up = read_encoded(ENC_DIR, columns=["url", "warc_ts", "html",
+                                        "text", "lang", "n_tokens"]) \
+        .limit(max(_WEBTEXT_ROWS // 100, 100))
+    t_q, _ = timed(lambda: upsert_encoded(ENC_DIR, up, "url",
+                                          rows_per_part=4096))
+    queries["store_upsert_1pct"] = round(t_q, 3)
+
     from packcol.pipelines.dedup import dedup_exact, minhash_lsh_pairs
 
     from packcol.sources.parquet import read_parquet_clean

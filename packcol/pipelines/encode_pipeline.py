@@ -383,12 +383,35 @@ def _part_scan_seed(files: list[dict]) -> "rd.Dataset":
 
 def decode_files(out_dir: str, concurrency: int | None = None,
                  cpus_per_task: float = 1,
-                 columns: list[str] | None = None) -> "rd.Dataset":
+                 columns: list[str] | None = None,
+                 limit: int | None = None) -> "rd.Dataset":
     """Streaming decode of an encoded directory → Dataset of original
     blocks (one task per part file; no shuffle).  Pass `columns` to
-    decode a projection only (pruning at the encoded-block level)."""
+    decode a projection only (pruning at the encoded-block level).
+    With ``limit``, only the minimal prefix of parts whose manifest
+    row counts guarantee ≥limit rows is even planned (parts without a
+    recorded count are kept conservatively) — the caller still applies
+    ``Dataset.limit`` for the exact cut; this prunes the plan so a
+    head-style read of a 10^6-part store schedules O(1) tasks."""
     files = [{"path": os.path.join(out_dir, f)}
              for f in sorted(os.listdir(out_dir)) if f.endswith(".parquet")]
+    if limit is not None and limit >= 0:
+        rows_of: dict[str, int] = {}
+        man_dir = os.path.join(out_dir, "_manifest")
+        if os.path.isdir(man_dir):
+            for m in Manifest(out_dir).load_all():
+                if m.get("rows") is not None:
+                    rows_of[m["part_id"]] = int(m["rows"])
+        pruned, got = [], 0
+        for f in files:
+            pruned.append(f)
+            base = os.path.basename(f["path"])
+            pid = base[len("part-"):-len(".parquet")] \
+                if base.startswith("part-") else None
+            got += rows_of.get(pid, 0)
+            if got >= limit:
+                break
+        files = pruned
     # O(cluster CPUs) seed blocks: parts are byte-balanced by plan, so a
     # contiguous even-count split stays balanced; per-file blocks cost a
     # serial driver prologue at high part counts (see _seed_bins)

@@ -131,6 +131,7 @@ def encoded_schema(store_dir: str) -> pa.Schema:
 def read_encoded(store_dir: str, *, columns: list[str] | None = None,
                  filter: tuple | None = None,
                  filter_any: list | None = None,
+                 limit: int | None = None,
                  concurrency: int | None = None,
                  cpus_per_task: float = 1) -> "rd.Dataset":
     """Dataset of decoded rows from an encoded store — the generic
@@ -142,7 +143,13 @@ def read_encoded(store_dir: str, *, columns: list[str] | None = None,
     (every predicate must hold).  ``filter_any`` is a list of the same
     shapes combined as a DISJUNCTION (any predicate may hold); the two
     are mutually exclusive.  Filter columns need not be in
-    ``columns``."""
+    ``columns``.
+
+    ``limit`` is a LIMIT-without-ORDER head cut: unfiltered reads plan
+    only the minimal prefix of parts whose manifest row counts cover
+    it (a head of a 10^6-part store schedules O(1) tasks); filtered
+    reads apply it post-filter via the streaming executor's early
+    stop."""
     from ..pipelines.encode_pipeline import (decode_files, filter_encoded,
                                              filter_encoded_any,
                                              filter_encoded_multi,
@@ -160,10 +167,13 @@ def read_encoded(store_dir: str, *, columns: list[str] | None = None,
             raise ValueError(
                 f"unknown column(s) {missing} in projection; "
                 f"store has {sorted(known)}")
+    if limit is not None and limit < 0:
+        raise ValueError(f"limit must be >= 0, got {limit}")
     if filter is None and filter_any is None:
-        return decode_files(store_dir, columns=columns,
-                            concurrency=concurrency,
-                            cpus_per_task=cpus_per_task)
+        ds = decode_files(store_dir, columns=columns,
+                          concurrency=concurrency,
+                          cpus_per_task=cpus_per_task, limit=limit)
+        return ds.limit(limit) if limit is not None else ds
     out_columns = columns if columns is not None else \
         encoded_schema(store_dir).names
     if not out_columns:
@@ -172,19 +182,23 @@ def read_encoded(store_dir: str, *, columns: list[str] | None = None,
     if filter_any is not None:
         if not isinstance(filter_any, list):  # single-predicate OR
             filter_any = [filter_any]
-        return filter_encoded_any(
+        ds = filter_encoded_any(
             store_dir, [_norm_pred(f) for f in filter_any],
             list(out_columns))
+        return ds.limit(limit) if limit is not None else ds
     preds = [_norm_pred(f) for f in filter] if isinstance(filter, list) \
         else [_norm_pred(filter)]
     if len(preds) > 1 or preds[0][1] in ("in", "prefix",
                                          "isnull", "notnull"):
-        return filter_encoded_multi(store_dir, preds, list(out_columns))
-    col, op, lo, hi = preds[0]
-    if op == "eq":
-        return filter_encoded(store_dir, col, lo, list(out_columns))
-    return filter_encoded_range(store_dir, col, lo, hi,
-                                list(out_columns))
+        ds = filter_encoded_multi(store_dir, preds, list(out_columns))
+    else:
+        col, op, lo, hi = preds[0]
+        if op == "eq":
+            ds = filter_encoded(store_dir, col, lo, list(out_columns))
+        else:
+            ds = filter_encoded_range(store_dir, col, lo, hi,
+                                      list(out_columns))
+    return ds.limit(limit) if limit is not None else ds
 
 
 def read_encoded_blocks(store_dir: str) -> "rd.Dataset":
@@ -519,10 +533,12 @@ def agg_encoded(store_dir: str, *, group_by: str | None = None,
     of decoded rows.
 
     ``aggs`` maps output column name → ``("count",)`` (COUNT(*)),
-    ``("count", col)`` (non-null count), or ``("sum"|"min"|"max",
-    col)``.  Nulls follow SQL semantics (sum/min/max ignore them).
-    Integer sums stay int64 — overflow is the caller's concern, as in
-    pyarrow.
+    ``("count", col)`` (non-null count), ``("sum"|"min"|"max", col)``,
+    or ``("avg", col)`` (decomposed into mergeable sum + non-null
+    count partials; the ratio is taken after the merge — float64,
+    NULL for empty groups, SQL AVG semantics).  Nulls follow SQL
+    semantics (sum/min/max/avg ignore them).  Integer sums stay int64
+    — overflow is the caller's concern, as in pyarrow.
 
     The scan prunes parts via zone maps + bloom sidecars when
     ``filter`` is given, evaluates the predicate on packed codes,
@@ -539,10 +555,24 @@ def agg_encoded(store_dir: str, *, group_by: str | None = None,
     from ..pipelines.encode_pipeline import _bloom_prune, _pred_survivors
 
     for out, spec in aggs.items():
-        if spec[0] not in ("count", "sum", "min", "max"):
+        if spec[0] not in ("count", "sum", "min", "max", "avg"):
             raise ValueError(f"unsupported aggregate {spec[0]!r}")
         if spec[0] != "count" and len(spec) != 2:
             raise ValueError(f"{out}: {spec[0]} needs a column")
+
+    # AVG decomposes into mergeable sum + non-null-count partials; the
+    # ratio is taken AFTER the distributed merge (never per part)
+    user_aggs = dict(aggs)
+    avg_map = {}
+    for out, spec in list(aggs.items()):
+        if spec[0] == "avg":
+            avg_map[out] = (f"__avs_{out}", f"__avc_{out}")
+    if avg_map:
+        aggs = {o: s for o, s in aggs.items() if s[0] != "avg"}
+        for out, (s_name, c_name) in avg_map.items():
+            col = user_aggs[out][1]
+            aggs[s_name] = ("sum", col)
+            aggs[c_name] = ("count", col)
 
     if filter is not None and filter_any is not None:
         raise ValueError("pass filter= (AND) or filter_any= (OR), "
@@ -587,9 +617,31 @@ def agg_encoded(store_dir: str, *, group_by: str | None = None,
     ray_aggs = [merge[spec[0]](on=f"__p__{out}", alias_name=out)
                 for out, spec in aggs.items()]
     if group_by is None:
-        return ds.groupby(None).aggregate(*ray_aggs)
-    out = ds.groupby(group_by).aggregate(*ray_aggs)
-    return out.select_columns([group_by, *aggs.keys()])
+        res = ds.groupby(None).aggregate(*ray_aggs)
+    else:
+        res = ds.groupby(group_by).aggregate(*ray_aggs) \
+            .select_columns([group_by, *aggs.keys()])
+    if not avg_map:
+        return res
+
+    def _finish_avg(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        cols = {}
+        if group_by is not None:
+            cols[group_by] = b.column(group_by)
+        for out, spec in user_aggs.items():
+            if spec[0] == "avg":
+                s_name, c_name = avg_map[out]
+                c = b.column(c_name).cast(pa.float64())
+                c = pc.if_else(pc.equal(c, 0.0),
+                               pa.nulls(b.num_rows, pa.float64()), c)
+                cols[out] = pc.divide(
+                    b.column(s_name).cast(pa.float64()), c)
+            else:
+                cols[out] = b.column(out)
+        return pa.table(cols)
+
+    return res.map_batches(_finish_avg, batch_format="pyarrow")
 
 
 def _int64_zone_value(v: int, target: pa.DataType) -> pa.Array:

@@ -203,6 +203,9 @@ def main() -> None:
                    "instead of the default conjunction")
     r.add_argument("--output", help="write to this parquet dir "
                    "(default: print row count + schema)")
+    r.add_argument("--limit", type=int, help="LIMIT-without-ORDER "
+                   "head cut (unfiltered reads plan only the covering "
+                   "part prefix)")
 
     cl = sub.add_parser("cluster", help="sort-clustered re-encode: one "
                         "distributed sort on KEY, then parts with "
@@ -283,6 +286,25 @@ def main() -> None:
     di.add_argument("--column", required=True)
     di.add_argument("--limit", type=int, default=20,
                     help="values printed (count is always exact)")
+
+    ag = sub.add_parser("agg", help="aggregate pushdown: grouped "
+                        "COUNT/SUM/MIN/MAX/AVG without a decoded "
+                        "table scan (sources/encoded.py agg_encoded)")
+    ag.add_argument("--encoded", required=True)
+    ag.add_argument("--group-by", dest="group_by")
+    ag.add_argument("--agg", required=True, action="append",
+                    metavar="OUT=FN[:COL]",
+                    help="e.g. n=count, total=sum:value, m=avg:value")
+    ag.add_argument("--where", nargs=2, metavar=("COL", "VAL"),
+                    action="append")
+    ag.add_argument("--between", nargs=3, metavar=("COL", "LO", "HI"),
+                    action="append")
+    ag.add_argument("--where-in", nargs=2, metavar=("COL", "V1,V2,..."),
+                    action="append")
+    ag.add_argument("--type", default="schema",
+                    choices=["schema", "str", "int", "float", "auto"])
+    ag.add_argument("--limit", type=int, default=20,
+                    help="result rows printed")
 
     tk = sub.add_parser("topk", help="ORDER BY ... LIMIT k pushdown: "
                         "zone-ordered two-wave scan, each task returns "
@@ -400,7 +422,8 @@ def main() -> None:
                           columns=(args.columns.split(",")
                                    if args.columns else None),
                           filter=None if disj else flt,
-                          filter_any=flt if disj else None)
+                          filter_any=flt if disj else None,
+                          limit=args.limit)
         if args.output:
             ds = ds.materialize()
             ds.write_parquet(args.output)
@@ -468,6 +491,25 @@ def main() -> None:
         print(json.dumps({"column": args.column,
                           "n_distinct": ds.count(),
                           "values": [str(v) for v in vals]}))
+    elif args.cmd == "agg":
+        from packcol.sources.encoded import agg_encoded
+        aggs = {}
+        for spec in args.agg:
+            try:
+                out_name, fnspec = spec.split("=", 1)
+                fn, _, col = fnspec.partition(":")
+            except ValueError:
+                sys.exit(f"bad --agg {spec!r}: expected OUT=FN[:COL]")
+            aggs[out_name] = (fn,) if not col else (fn, col)
+        flt = _build_preds(args)
+        res = agg_encoded(args.encoded, group_by=args.group_by,
+                          aggs=aggs, filter=flt).to_pandas()
+        if args.group_by:
+            res = res.sort_values(args.group_by)
+        print(json.dumps({"rows": len(res),
+                          "head": res.head(args.limit)
+                          .to_dict(orient="records")},
+                         default=str))
     elif args.cmd == "topk":
         from packcol.sources.encoded import topk_encoded
         keys = args.by.split(",")

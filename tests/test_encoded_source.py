@@ -367,7 +367,52 @@ def test_agg_encoded(store, ray_session):
     assert len(got) == 0
 
     with pytest.raises(ValueError, match="unsupported aggregate"):
-        agg_encoded(out, aggs={"x": ("avg", "warc_ts")})
+        agg_encoded(out, aggs={"x": ("median", "warc_ts")})
+
+
+def test_agg_encoded_avg(tmp_path, ray_session):
+    """AVG = mergeable sum + non-null-count partials, ratio after the
+    distributed merge; SQL semantics (nulls ignored, empty → NULL)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.parquet as pq
+    from packcol.pipelines.encode_pipeline import encode_files
+    from packcol.sources.encoded import agg_encoded
+
+    rng = np.random.default_rng(23)
+    n = 2000
+    df = pd.DataFrame({
+        "lang": rng.choice(["en", "de", "fr"], n),
+        "user_id": rng.integers(0, 50, n).astype(np.int64),
+        "value": np.where(rng.random(n) < 0.2, np.nan, rng.random(n)),
+    })
+    src = tmp_path / "avg.parquet"
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   str(src), row_group_size=200)
+    out = str(tmp_path / "avg_store")
+    encode_files([str(src)], out, target_bytes=1 << 13)
+
+    got = agg_encoded(out, group_by="lang",
+                      aggs={"n": ("count",),
+                            "avg_v": ("avg", "value"),
+                            "avg_u": ("avg", "user_id")}) \
+        .to_pandas().sort_values("lang").reset_index(drop=True)
+    ref = df.groupby("lang").agg(
+        n=("lang", "size"), avg_v=("value", "mean"),
+        avg_u=("user_id", "mean")).reset_index()
+    assert got["lang"].tolist() == ref["lang"].tolist()
+    assert np.allclose(got["avg_v"], ref["avg_v"])
+    assert np.allclose(got["avg_u"], ref["avg_u"])
+    assert got["n"].tolist() == ref["n"].tolist()
+
+    # global avg + filtered avg (predicate on packed codes)
+    g = agg_encoded(out, aggs={"m": ("avg", "value")}).to_pandas()
+    assert np.isclose(g["m"].iloc[0], df["value"].mean())
+    g2 = agg_encoded(out, aggs={"m": ("avg", "value")},
+                     filter=("user_id", "between", 0, 9)).to_pandas()
+    assert np.isclose(
+        g2["m"].iloc[0],
+        df[df.user_id <= 9]["value"].mean())
 
 
 def test_agg_from_manifests_metadata_only(store, tmp_path, ray_session):
@@ -652,3 +697,69 @@ def test_predicate_algebra_randomized(tmp_path, ray_session):
         assert count_encoded(out, filter=list(preds)) == int(m_and.sum())
         assert count_encoded(out, filter_any=list(preds)) == \
             int(m_or.sum())
+
+
+def test_read_encoded_limit_prunes_plan(tmp_path, ray_session):
+    """limit= on an unfiltered read plans only the covering prefix of
+    parts (manifest row counts), and the exact cut still applies."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.parquet as pq
+    from packcol.pipelines import encode_pipeline as ep
+    from packcol.pipelines.encode_pipeline import encode_files
+    from packcol.sources.encoded import read_encoded
+
+    df = pd.DataFrame({"id": np.arange(3000, dtype=np.int64)})
+    src = tmp_path / "lim.parquet"
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   str(src), row_group_size=250)
+    out = str(tmp_path / "lim_store")
+    encode_files([str(src)], out, target_bytes=1 << 12)
+    n_parts = len([f for f in os.listdir(out) if f.endswith(".parquet")])
+    assert n_parts > 3
+
+    got = read_encoded(out, limit=10).to_pandas()
+    assert len(got) == 10
+
+    # the plan itself was pruned: decode_files with the limit only
+    # covers the prefix of parts whose manifest rows reach 10
+    assert ep.decode_files(out).count() == 3000
+    assert ep.decode_files(out, limit=10).count() < 3000
+
+    # filtered path: limit applies post-filter (streaming early stop)
+    got = read_encoded(out, filter=("id", "between", 100, 2999),
+                       limit=5).to_pandas()
+    assert len(got) == 5
+    assert (got["id"] >= 100).all()
+
+    with pytest.raises(ValueError, match="limit"):
+        read_encoded(out, limit=-1)
+
+
+def test_cli_agg_spec_parse(tmp_path, ray_session):
+    """CLI agg: OUT=FN[:COL] specs drive agg_encoded, incl. avg."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.parquet as pq
+    from packcol.pipelines.encode_pipeline import encode_files
+    from packcol.sources.encoded import agg_encoded
+
+    df = pd.DataFrame({"lang": ["en", "en", "de", "de"],
+                       "v": [1.0, 3.0, 10.0, 30.0]})
+    src = tmp_path / "ca.parquet"
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   str(src))
+    st = str(tmp_path / "ca_store")
+    encode_files([str(src)], st)
+
+    # the same parse the CLI dispatch does
+    aggs = {}
+    for spec in ["n=count", "total=sum:v", "m=avg:v"]:
+        out_name, fnspec = spec.split("=", 1)
+        fn, _, col = fnspec.partition(":")
+        aggs[out_name] = (fn,) if not col else (fn, col)
+    got = agg_encoded(st, group_by="lang", aggs=aggs) \
+        .to_pandas().sort_values("lang").reset_index(drop=True)
+    assert got["n"].tolist() == [2, 2]
+    assert got["total"].tolist() == [40.0, 4.0]
+    assert got["m"].tolist() == [20.0, 2.0]
