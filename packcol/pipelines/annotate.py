@@ -245,3 +245,72 @@ def drop_column_encoded(store_dir: str, name: str) -> dict:
         raise ValueError(f"unknown column {name!r}; store has "
                          f"{sorted(encoded_schema(store_dir).names)}")
     return _run(store_dir, _DropColPart(store_dir, name))
+
+
+class _RenameColPart:
+    def __init__(self, store_dir: str, old: str, new: str):
+        self.store_dir = store_dir
+        self.old = old
+        self.new = new
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = {"part_id": [], "action": []}
+        for p in batch.column("path").to_pylist():
+            part_id = _part_id_of(p)
+            enc = pq.read_table(p)
+            names = enc.column("column").to_pylist()
+            if self.old not in names:
+                out["part_id"].append(part_id)
+                out["action"].append("skipped")
+                continue
+            if self.new in names:
+                raise ValueError(
+                    f"part {part_id} already has a column "
+                    f"{self.new!r} — rename would collide")
+            i = enc.schema.get_field_index("column")
+            enc = enc.set_column(i, "column", pa.array(
+                [self.new if n == self.old else n for n in names],
+                type=pa.string()))
+            _write_part(p, enc)
+            # manifest + bloom keys follow the rename
+            man = Manifest(self.store_dir)
+            try:
+                m = man.load(part_id)
+            except FileNotFoundError:
+                m = None
+            if m is not None:
+                for key in ("zones", "nulls", "codecs"):
+                    d = m.get(key)
+                    if d is not None and self.old in d:
+                        d[self.new] = d.pop(self.old)
+                if self.old in (m.get("blooms") or []):
+                    m["blooms"] = [self.new if c == self.old else c
+                                   for c in m["blooms"]]
+                man.record(part_id, m)
+            from ..state.bloom import load_blooms, save_blooms
+            blooms = load_blooms(self.store_dir, part_id)
+            if self.old in blooms:
+                blooms[self.new] = blooms.pop(self.old)
+                save_blooms(self.store_dir, part_id, blooms)
+            out["part_id"].append(part_id)
+            out["action"].append("renamed")
+        return pa.table(out) if out["part_id"] else \
+            pa.table({"part_id": pa.array([], pa.string()),
+                      "action": pa.array([], pa.string())})
+
+
+def rename_column_encoded(store_dir: str, old: str, new: str) -> dict:
+    """Rename column ``old`` → ``new`` in every part: a metadata-only
+    rewrite (the block's ``column`` field plus manifest/bloom keys) —
+    payload bytes copy verbatim, no decode anywhere.  Returns
+    {parts_total, parts_renamed, parts_skipped}."""
+    from ..sources.encoded import encoded_schema
+    schema = encoded_schema(store_dir)
+    if old not in schema.names:
+        raise ValueError(f"unknown column {old!r}; store has "
+                         f"{sorted(schema.names)}")
+    if new in schema.names:
+        raise ValueError(f"column {new!r} already exists")
+    if old == new or not new:
+        raise ValueError(f"bad rename {old!r} -> {new!r}")
+    return _run(store_dir, _RenameColPart(store_dir, old, new))

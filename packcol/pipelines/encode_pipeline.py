@@ -847,13 +847,23 @@ def _pred_survivors(out_dir: str, pred: tuple) -> list[dict]:
 _BLOOM_DRIVER_CAP = 4096
 
 
+_BLOOM_PROBE_VALUE_CAP = 4096
+
+
 def _bloom_probe_sets(preds: list[tuple]) -> list[tuple]:
-    """(col, values-as-Arrow) for the bloomable predicates (eq / in)."""
+    """(col, values-as-Arrow) for the bloomable predicates (eq / in).
+    IN-lists beyond _BLOOM_PROBE_VALUE_CAP values are skipped: at ~1%
+    per-value false-positive rate, P(any of N values hits) saturates
+    toward 1 long before that, so the probe can no longer disprove
+    anything and is pure driver/task overhead (measured: a 19k-key
+    upsert retire probed 512 sidecars for zero prunes)."""
     out = []
     for col, op, lo, hi in preds:
         if op not in ("eq", "in"):
             continue
         vals = list(lo) if op == "in" else [lo]
+        if len(vals) > _BLOOM_PROBE_VALUE_CAP:
+            continue
         try:
             out.append((col, pa.array(vals)))
         except (pa.ArrowInvalid, pa.ArrowNotImplementedError, TypeError):

@@ -345,6 +345,12 @@ def main() -> None:
     dc.add_argument("--encoded", required=True)
     dc.add_argument("--column", required=True)
 
+    rn = sub.add_parser("rename-column", help="metadata-only column "
+                        "rename across every part (payloads verbatim)")
+    rn.add_argument("--encoded", required=True)
+    rn.add_argument("--column", required=True)
+    rn.add_argument("--to", dest="to_name", required=True)
+
     fs = sub.add_parser("fsck", help="store consistency audit: orphan "
                         "metadata, stale staging, block structure; "
                         "--deep proves zones/nulls against decoded "
@@ -547,6 +553,11 @@ def main() -> None:
     elif args.cmd == "drop-column":
         from packcol.pipelines.annotate import drop_column_encoded
         print(json.dumps(drop_column_encoded(args.encoded, args.column)))
+    elif args.cmd == "rename-column":
+        from packcol.pipelines.annotate import rename_column_encoded
+        print(json.dumps(rename_column_encoded(args.encoded,
+                                               args.column,
+                                               args.to_name)))
     elif args.cmd == "fsck":
         from packcol.pipelines.fsck import check_store, repair_store
         out = {}

@@ -123,3 +123,26 @@ def test_errors(store):
     with pytest.raises(Exception, match="returned"):
         add_column_encoded(out, "bad",
                            lambda t: np.zeros(3, np.int64), ["text"])
+
+
+def test_rename_column_roundtrip(store):
+    from packcol.pipelines.annotate import rename_column_encoded
+    from packcol.sources.encoded import count_encoded
+    out, df = store
+    r = rename_column_encoded(out, "text", "body")
+    assert r["parts_renamed"] == r["parts_total"]
+    got = read_encoded(out).to_pandas().sort_values("id") \
+        .reset_index(drop=True)
+    assert sorted(got.columns) == ["body", "id", "v"]
+    assert list(got["body"]) == list(df["text"])
+    # pruning metadata followed the rename: zone pushdown on the new
+    # name still prunes/answers
+    n = count_encoded(out, ("id", "between", 0, 99))
+    assert n == 100
+    with pytest.raises(ValueError, match="unknown column"):
+        rename_column_encoded(out, "text", "x")
+    with pytest.raises(ValueError, match="already exists"):
+        rename_column_encoded(out, "body", "id")
+    # idempotent on a re-run target that no longer exists per part
+    r2 = rename_column_encoded(out, "body", "content")
+    assert r2["parts_renamed"] == r2["parts_total"]
