@@ -166,3 +166,65 @@ def upsert_encoded(store_dir: str, ds, key: str, *,
                 **stats}
     finally:
         shutil.rmtree(staging, ignore_errors=True)
+
+
+def attach_store(src_dir: str, dst_dir: str, *,
+                 move: bool = True) -> dict:
+    """Merge every part of ``src_dir`` into ``dst_dir`` — the publish
+    half of an upsert, standalone: per-part atomic renames (or copies
+    with ``move=False``), manifest and bloom sidecars first, payload
+    file last.  The shard-combining shape at 100 TB: attaching a
+    1000-part shard to a million-part corpus is O(shard parts)
+    metadata, zero decode, zero shuffle.
+
+    A part id present in BOTH stores coalesces when the files are
+    byte-identical (counted in ``parts_deduped``; the source copy is
+    left in place) and raises otherwise — ids from ``encode_files``
+    derive from input NAME + slice, so two different shards built from
+    same-named inputs can collide, and overwriting would silently drop
+    the destination's rows.  Shared-vocab stores are refused: their
+    blocks reference a ``_shared/`` sidecar that is only valid under
+    the source root (recompact to self-describing parts first).
+
+    Returns {parts_attached, parts_deduped, rows_attached}."""
+    import filecmp
+    if os.path.isdir(os.path.join(src_dir, "_shared")):
+        raise ValueError(
+            f"{src_dir} uses a shared-vocab sidecar; recompact it to "
+            "self-describing parts before attaching")
+    os.makedirs(dst_dir, exist_ok=True)
+    man_src, man_dst = Manifest(src_dir), Manifest(dst_dir)
+    os.makedirs(man_dst.dir, exist_ok=True)
+    attached = deduped = rows = 0
+    for f in sorted(os.listdir(src_dir)):
+        if not f.endswith(".parquet"):
+            continue
+        pid = f[len("part-"):-len(".parquet")] \
+            if f.startswith("part-") else f
+        src_f = os.path.join(src_dir, f)
+        dest = os.path.join(dst_dir, f)
+        if os.path.exists(dest):
+            if not filecmp.cmp(src_f, dest, shallow=False):
+                raise ValueError(
+                    f"part id collision on {f}: source and destination "
+                    "differ byte-wise — shards built from same-named "
+                    "inputs with different content cannot attach")
+            deduped += 1
+            continue  # byte-identical: keep dst's copy + sidecars
+        attached += 1
+        if os.path.exists(man_src._path(pid)):
+            try:
+                rows += int(man_src.load(pid).get("rows") or 0)
+            except FileNotFoundError:
+                pass
+        _transfer = os.replace if move else shutil.copy2
+        if os.path.exists(man_src._path(pid)):
+            _transfer(man_src._path(pid), man_dst._path(pid))
+        b = bloom_path(src_dir, pid)
+        if os.path.exists(b):
+            dst_b = bloom_path(dst_dir, pid)
+            os.makedirs(os.path.dirname(dst_b), exist_ok=True)
+            _transfer(b, dst_b)
+        _transfer(src_f, dest)
+    return {"parts_attached": attached, "parts_deduped": deduped,
+            "rows_attached": rows}

@@ -351,6 +351,14 @@ def main() -> None:
     rn.add_argument("--column", required=True)
     rn.add_argument("--to", dest="to_name", required=True)
 
+    at = sub.add_parser("attach", help="merge one store's parts into "
+                        "another: metadata-first atomic renames, zero "
+                        "decode (pipelines/upsert.py attach_store)")
+    at.add_argument("--src", required=True)
+    at.add_argument("--dst", required=True)
+    at.add_argument("--copy", action="store_true",
+                    help="copy instead of move (source left intact)")
+
     fs = sub.add_parser("fsck", help="store consistency audit: orphan "
                         "metadata, stale staging, block structure; "
                         "--deep proves zones/nulls against decoded "
@@ -558,6 +566,10 @@ def main() -> None:
         print(json.dumps(rename_column_encoded(args.encoded,
                                                args.column,
                                                args.to_name)))
+    elif args.cmd == "attach":
+        from packcol.pipelines.upsert import attach_store
+        print(json.dumps(attach_store(args.src, args.dst,
+                                      move=not args.copy)))
     elif args.cmd == "fsck":
         from packcol.pipelines.fsck import check_store, repair_store
         out = {}

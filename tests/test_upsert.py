@@ -131,3 +131,75 @@ def test_upsert_randomized_vs_pandas(tmp_path, ray_session):
         exp = live.sort_values("id").reset_index(drop=True)[
             ["id", "v", "s"]]
         pd.testing.assert_frame_equal(got, exp)
+
+
+def test_attach_store_union(tmp_path, ray_session):
+    """attach_store merges two shards: metadata-first renames, dedupe
+    on content-addressed ids, result readable as the union."""
+    from packcol.pipelines.upsert import attach_store
+    a = pd.DataFrame({"id": np.arange(0, 300, dtype=np.int64),
+                      "v": np.int64(1)})
+    b = pd.DataFrame({"id": np.arange(300, 500, dtype=np.int64),
+                      "v": np.int64(2)})
+    sa = _mkstore(tmp_path, a, name="sha")
+    sb = _mkstore(tmp_path, b, name="shb")
+    r = attach_store(sb, sa)
+    assert r["parts_attached"] > 0 and r["parts_deduped"] == 0
+    assert r["rows_attached"] == 200
+    got = read_encoded(sa).to_pandas().sort_values("id") \
+        .reset_index(drop=True)
+    exp = pd.concat([a, b]).sort_values("id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[["id", "v"]], exp)
+    # source drained (move=True)
+    assert not [f for f in os.listdir(sb) if f.endswith(".parquet")]
+    # zone pruning still works on the attached parts (manifests moved)
+    from packcol.sources.encoded import count_encoded
+    assert count_encoded(sa, ("id", "between", 300, 499)) == 200
+
+
+def test_attach_store_dedupe_and_copy(tmp_path, ray_session):
+    """encode_files part ids derive from the input's absolute path +
+    row-group slice, so the SAME file encoded into two stores yields
+    identical part ids — attach coalesces them instead of duplicating
+    rows."""
+    from packcol.pipelines.upsert import attach_store
+    df = pd.DataFrame({"id": np.arange(100, dtype=np.int64),
+                       "v": np.int64(3)})
+    src = tmp_path / "dup.parquet"
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   str(src), row_group_size=200)
+    sa, sb = str(tmp_path / "dupa_store"), str(tmp_path / "dupb_store")
+    encode_files([str(src)], sa)
+    encode_files([str(src)], sb)
+    r = attach_store(sb, sa, move=False)
+    assert r["parts_deduped"] > 0 and r["parts_attached"] == 0
+    assert len(read_encoded(sa).to_pandas()) == 100  # no duplication
+    # copy mode leaves the source intact
+    assert [f for f in os.listdir(sb) if f.endswith(".parquet")]
+
+
+def test_attach_store_refuses_shared_vocab(tmp_path, ray_session):
+    from packcol.pipelines.upsert import attach_store
+    df = pd.DataFrame({"id": np.arange(10, dtype=np.int64)})
+    sa = _mkstore(tmp_path, df, name="sva")
+    sb = _mkstore(tmp_path, df, name="svb")
+    os.makedirs(os.path.join(sb, "_shared"))
+    with pytest.raises(ValueError, match="shared-vocab"):
+        attach_store(sb, sa)
+
+
+def test_attach_store_collision_raises(tmp_path, ray_session):
+    """Same part id (same absolute input path + slice) but DIFFERENT
+    bytes — the file was rewritten between the two encodes — must
+    refuse: overwriting would drop the destination's rows."""
+    from packcol.pipelines.upsert import attach_store
+    src = tmp_path / "same.parquet"
+    sa, sb = str(tmp_path / "c1_store"), str(tmp_path / "c2_store")
+    for store, val in ((sa, 1), (sb, 2)):
+        df = pd.DataFrame({"id": np.arange(100, dtype=np.int64),
+                           "v": np.int64(val)})
+        pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                       str(src), row_group_size=200)
+        encode_files([str(src)], store)
+    with pytest.raises(ValueError, match="collision"):
+        attach_store(sb, sa)
