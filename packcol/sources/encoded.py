@@ -992,3 +992,97 @@ def topk_encoded(store_dir: str, keys, k: int, *,
     stats = {"parts_total": len(parts), "parts_scanned": scanned,
              "candidate_rows": cands.num_rows}
     return (out, stats) if return_stats else out
+
+
+# ---------------------------------------------------------------------------
+# deterministic Bernoulli sample
+# ---------------------------------------------------------------------------
+
+class _SamplePart:
+    """Per-part deterministic Bernoulli sample: keep row i of part p iff
+    splitmix64(seed ⊕ hash(p) ⊕ i) < fraction·2⁶⁴.  Pure function of
+    (seed, part id, row index) — no coordination, no RNG state, the
+    same rows come back on every run and on any cluster size."""
+
+    def __init__(self, fraction: float, seed: int,
+                 out_columns: list[str]):
+        self.fraction = fraction
+        self.seed = seed
+        self.out_columns = out_columns
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import numpy as np
+        from ..codecs import EncodedColumn, decode_any
+        from ..functions.text import _splitmix64
+        # clamp: fraction*2^64 at 1.0 overflows uint64, and a <-compare
+        # against 2^64-1 would still drop the one-in-2^64 max hash —
+        # treat fraction >= 1 as keep-everything exactly
+        keep_all = self.fraction >= 1.0
+        thresh = np.uint64(0) if keep_all else \
+            np.uint64(min(int(self.fraction * 2.0**64), 2**64 - 1))
+        outs = []
+        for p in batch.column("path").to_pylist():
+            base = os.path.basename(p)
+            pid = base[len("part-"):-len(".parquet")] \
+                if base.startswith("part-") else base
+            enc_rows = pq.read_table(
+                p, filters=[("column", "in", self.out_columns)])
+            names = enc_rows.column("column").to_pylist()
+            if any(c not in names for c in self.out_columns):
+                continue  # heterogeneous store: part holds another table
+            n = int(enc_rows.column("n_values")[0].as_py())
+            pid_h = np.uint64(
+                int.from_bytes(pid.encode()[-8:].rjust(8, b"\0"),
+                               "big"))
+            idx = np.arange(n, dtype=np.uint64)
+            if keep_all:
+                keep = idx.astype(np.int64)
+            else:
+                h = _splitmix64(idx ^ np.uint64(self.seed) ^ pid_h)
+                keep = np.flatnonzero(h < thresh)
+            if not len(keep):
+                continue
+            sel = pa.array(keep)
+            cols = {}
+            for i, name in enumerate(names):
+                if name not in self.out_columns:
+                    continue
+                e = EncodedColumn.from_row(
+                    {k: enc_rows.column(k)[i].as_py() for k in
+                     ("codec", "n_values", "params", "payload")})
+                e.base_dir = os.path.dirname(p)
+                cols[name] = decode_any(e).take(sel)
+            outs.append(pa.table(
+                {c: cols[c] for c in self.out_columns}))
+        if not outs:
+            return pa.table({c: pa.array([], type=pa.string())
+                             for c in self.out_columns})
+        return pa.concat_tables(outs)
+
+
+def sample_encoded(store_dir: str, fraction: float, *,
+                   seed: int = 0,
+                   columns: list[str] | None = None) -> "rd.Dataset":
+    """Deterministic Bernoulli row sample of the store: every row kept
+    independently with probability ``fraction``, decided by a pure
+    hash of (seed, part id, row index) — reproducible across runs and
+    cluster sizes, streaming, no shuffle, only the projected columns
+    of kept rows decode.  Returns a ``ray.data.Dataset``."""
+    if not (0.0 <= fraction <= 1.0):
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    schema = encoded_schema(store_dir)
+    out_columns = list(columns) if columns is not None else \
+        list(schema.names)
+    unknown = [c for c in out_columns if c not in schema.names]
+    if unknown:
+        raise ValueError(f"unknown column(s) {unknown}; "
+                         f"store has {sorted(schema.names)}")
+    files = [{"path": p} for p in _part_files(store_dir)]
+    if not files or fraction == 0.0:
+        return rd.from_arrow(pa.table(
+            {c: pa.array([], type=schema.field(c).type)
+             for c in out_columns}))
+    from ..pipelines.encode_pipeline import _part_scan_seed
+    return _part_scan_seed(files).map_batches(
+        _SamplePart(fraction, seed, out_columns), batch_size=None,
+        batch_format="pyarrow")

@@ -351,6 +351,16 @@ def main() -> None:
     rn.add_argument("--column", required=True)
     rn.add_argument("--to", dest="to_name", required=True)
 
+    sm = sub.add_parser("sample", help="deterministic Bernoulli row "
+                        "sample: pure hash of (seed, part, row), "
+                        "reproducible, streaming, no shuffle")
+    sm.add_argument("--encoded", required=True)
+    sm.add_argument("--fraction", type=float, required=True)
+    sm.add_argument("--seed", type=int, default=0)
+    sm.add_argument("--columns")
+    sm.add_argument("--output", help="write to this parquet dir "
+                    "(default: print row count)")
+
     at = sub.add_parser("attach", help="merge one store's parts into "
                         "another: metadata-first atomic renames, zero "
                         "decode (pipelines/upsert.py attach_store)")
@@ -566,6 +576,18 @@ def main() -> None:
         print(json.dumps(rename_column_encoded(args.encoded,
                                                args.column,
                                                args.to_name)))
+    elif args.cmd == "sample":
+        from packcol.sources.encoded import sample_encoded
+        ds = sample_encoded(args.encoded, args.fraction, seed=args.seed,
+                            columns=(args.columns.split(",")
+                                     if args.columns else None))
+        if args.output:
+            ds = ds.materialize()
+            ds.write_parquet(args.output)
+            print(json.dumps({"rows": ds.count(),
+                              "output": args.output}))
+        else:
+            print(json.dumps({"rows": ds.count()}))
     elif args.cmd == "attach":
         from packcol.pipelines.upsert import attach_store
         print(json.dumps(attach_store(args.src, args.dst,

@@ -763,3 +763,37 @@ def test_cli_agg_spec_parse(tmp_path, ray_session):
     assert got["n"].tolist() == [2, 2]
     assert got["total"].tolist() == [40.0, 4.0]
     assert got["m"].tolist() == [20.0, 2.0]
+
+
+def test_sample_encoded_deterministic(tmp_path, ray_session):
+    """Bernoulli sample: reproducible across runs, fraction within
+    binomial bounds, different seeds differ, projection respected."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.parquet as pq
+    from packcol.pipelines.encode_pipeline import encode_files
+    from packcol.sources.encoded import sample_encoded
+
+    df = pd.DataFrame({"id": np.arange(20_000, dtype=np.int64),
+                       "v": np.arange(20_000, dtype=np.int64) % 7})
+    src = tmp_path / "smp.parquet"
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   str(src), row_group_size=1000)
+    out = str(tmp_path / "smp_store")
+    encode_files([str(src)], out, target_bytes=1 << 14)
+
+    a = sample_encoded(out, 0.1, seed=7, columns=["id"]).to_pandas()
+    b = sample_encoded(out, 0.1, seed=7, columns=["id"]).to_pandas()
+    assert sorted(a["id"]) == sorted(b["id"])  # deterministic
+    # binomial 4-sigma bounds around 2000
+    assert abs(len(a) - 2000) < 4 * (20_000 * 0.1 * 0.9) ** 0.5
+    c = sample_encoded(out, 0.1, seed=8, columns=["id"]).to_pandas()
+    assert sorted(c["id"]) != sorted(a["id"])
+    # sampled ids are a subset of the population, no duplicates
+    assert a["id"].is_unique and a["id"].isin(df["id"]).all()
+    assert sample_encoded(out, 0.0).count() == 0
+    assert sample_encoded(out, 1.0).count() == 20_000
+    with pytest.raises(ValueError, match="fraction"):
+        sample_encoded(out, 1.5)
+    with pytest.raises(ValueError, match="unknown column"):
+        sample_encoded(out, 0.5, columns=["nope"])
