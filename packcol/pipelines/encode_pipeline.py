@@ -258,6 +258,10 @@ def store_selection(out_dir: str, paths: list[str],
             tabs.append(pf.read_row_groups([0]).slice(0, sample_rows))
     if not tabs:
         return {}
+    if len({str(t.schema) for t in tabs}) > 1:
+        # heterogeneous input (mixed tables into one store): there is
+        # no single store-level decision — keep per-part selection
+        return {}
     t = pa.concat_tables(tabs).combine_chunks()
     if t.num_rows < 64:  # degenerate sample: keep per-part selection
         return {}

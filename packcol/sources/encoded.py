@@ -817,11 +817,17 @@ class _TopKPart:
     O(rows) — the same contract as the other store-scan tasks."""
 
     def __init__(self, keys: list[str], k: int, descending: bool,
-                 out_columns: list[str]):
+                 out_columns: list[str],
+                 expect_dtypes: dict | None = None):
         self.keys = keys
         self.k = k
         self.order = "descending" if descending else "ascending"
         self.need = sorted(set(keys) | set(out_columns))
+        # col -> dtype string from encoded_schema: a part whose block
+        # stamps a DIFFERENT logical type holds another table under
+        # the same column name — skip it (its rows aren't comparable
+        # or concatenatable with the declared schema's)
+        self.expect_dtypes = expect_dtypes or {}
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -839,6 +845,10 @@ class _TopKPart:
                 enc_of[name].base_dir = os.path.dirname(p)
             if any(c not in enc_of for c in self.need):
                 continue  # heterogeneous store: part holds another table
+            if any(enc_of[c].params.get("dtype") not in
+                   (None, self.expect_dtypes.get(c))
+                   for c in self.need if c in self.expect_dtypes):
+                continue  # same name, different logical type
             t = pa.table({n: decode_any(enc_of[n]) for n in self.need})
             mask = None
             for kc in self.keys:
@@ -920,11 +930,20 @@ def topk_encoded(store_dir: str, keys, k: int, *,
         return (out, stats) if return_stats else out
 
     must = [p for p in parts if p["zone"] is None]
-    known = sorted((p for p in parts if p["zone"] is not None),
-                   key=lambda p: p["zone"]["max" if descending
+    known = [p for p in parts if p["zone"] is not None]
+    kinds = {p["zone"]["kind"] for p in known}
+    if len(kinds) > 1:
+        # heterogeneous store: zone kinds aren't mutually ordered —
+        # degrade to scanning everything (each task still emits ≤k)
+        must, known = parts, []
+    else:
+        known.sort(key=lambda p: p["zone"]["max" if descending
                                            else "min"],
                    reverse=descending)
-    task = _TopKPart(keys, k, descending, out_columns)
+    from ..codecs.base import type_to_str
+    expect = {c: type_to_str(schema.field(c).type)
+              for c in {*keys, *out_columns}}
+    task = _TopKPart(keys, k, descending, out_columns, expect)
 
     def scan(ps: list[dict]):
         if not ps:

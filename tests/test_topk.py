@@ -123,3 +123,29 @@ def test_topk_without_manifests(store, tmp_path):
     t = topk_encoded(bare, ["k_sorted"], 10, columns=["rid", "k_sorted"])
     exp = _truth(df, ["k_sorted"], 10, columns=["rid", "k_sorted"])
     pd.testing.assert_frame_equal(t.to_pandas(), exp)
+
+
+def test_topk_heterogeneous_zone_kinds(tmp_path, ray_session):
+    """A store holding two different tables (mixed zone kinds on the
+    same column name) degrades to a conservative full scan instead of
+    crashing on an unorderable zone sort."""
+    from packcol.pipelines.encode_pipeline import encode_files
+    da = pd.DataFrame({"k": np.arange(100, dtype=np.int64),
+                       "rid": np.arange(100, dtype=np.int64)})
+    db = pd.DataFrame({"k": [f"s{i}" for i in range(100)],
+                       "rid": np.arange(100, 200, dtype=np.int64)})
+    pa_a = pa.Table.from_pandas(da, preserve_index=False)
+    pa_b = pa.Table.from_pandas(db, preserve_index=False)
+    fa, fb = tmp_path / "a.parquet", tmp_path / "b.parquet"
+    pq.write_table(pa_a, str(fa))
+    pq.write_table(pa_b, str(fb))
+    out = str(tmp_path / "het_store")
+    encode_files([str(fa), str(fb)], out)
+    t, st = topk_encoded(out, ["rid"], 5, columns=["rid"],
+                         return_stats=True)
+    # rid is int64 in both tables → top-5 across the union
+    assert t.column("rid").to_pylist() == [0, 1, 2, 3, 4]
+    # the mixed-kind column forces the conservative path when sorting
+    # on it: all parts scanned, correct result
+    t2 = topk_encoded(out, ["k", "rid"], 3, columns=["rid"])
+    assert t2.num_rows == 3
