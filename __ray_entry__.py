@@ -948,6 +948,29 @@ def queries() -> dict[str, Callable[[str], Any]]:
                             filter=("n_tokens", "between", 50, 1 << 30))
     q["annotate_tokens"] = annotate_tokens
 
+    def sample_encoded_docs(sf):
+        # deterministic Bernoulli sample (rows-only by design: the
+        # kept set is a pure hash of (seed, part, row) — reproducible,
+        # but not SQL-expressible)
+        from packcol.sources.encoded import sample_encoded
+        out = _encoded_store(sf, "documents")
+        return sample_encoded(out, 0.2, seed=11,
+                              columns=["doc_id", "lang"])
+    q["sample_encoded_docs"] = sample_encoded_docs
+
+    def store_fsck(sf):
+        # deep store audit: decodes every column of the shared events
+        # store and proves zone containment + null counts (rows-only:
+        # the result is an audit verdict, not a relational table)
+        import pandas as pd
+        from packcol.pipelines.fsck import check_store
+        out = _encoded_store(sf, "events")
+        r = check_store(out, deep=True)
+        return pd.DataFrame([{ "parts_total": r["parts_total"],
+                               "n_issues": len(r["issues"]),
+                               "ok": r["ok"]}])
+    q["store_fsck"] = store_fsck
+
     # --- joins (pipelines/join.py): broadcast fact⋈dim, anti, shuffle ----
     def orders_by_nation(sf):
         import pyarrow.parquet as pq
@@ -1510,6 +1533,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_pairs_est", "simhash_pairs_hamming", "langid",
         "fingerprint", "embedding_dedup_lsh", "ann_ivf", "ann_lsh",
         "ngram_dedup_scores", "curate_documents_near",
+        "sample_encoded_docs", "store_fsck",
     ]
     assert set(_ORDER_TAIL) <= set(q), sorted(set(_ORDER_TAIL) - set(q))
     assert len(q) - len(_ORDER_TAIL) <= 50, (
