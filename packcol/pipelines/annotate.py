@@ -55,9 +55,19 @@ def _write_part(path: str, enc: pa.Table) -> None:
 
 def _update_manifest(store_dir: str, part_id: str, enc: pa.Table,
                      add: dict | None = None,
-                     drop: str | None = None) -> None:
+                     drop: str | None = None,
+                     replace: str | None = None) -> None:
     """Merge one column in/out of the part's manifest entry; absent
-    manifests (older stores) stay absent — pruning simply won't apply."""
+    manifests (older stores) stay absent — pruning simply won't apply.
+
+    ``replace`` names the column whose metadata the ``add`` dict is
+    authoritative for: its old zones/nulls/codecs entries are popped
+    BEFORE the add is applied, so absent-in-new means absent-in-
+    manifest.  Without it, an overwrite whose recomputed column is no
+    longer zonable (compute_zones omits all-null / long-string
+    columns) or whose null count dropped to 0 (null_counts_of omits
+    zero-null columns) would keep the STALE entry and let zone /
+    notnull pushdown wrongly prune parts."""
     man = Manifest(store_dir)
     try:
         m = man.load(part_id)
@@ -69,6 +79,8 @@ def _update_manifest(store_dir: str, part_id: str, enc: pa.Table,
             continue
         if drop is not None:
             d.pop(drop, None)
+        if replace is not None:
+            d.pop(replace, None)
         if add is not None and key in add:
             d.update(add[key])
     m["enc_bytes"] = sum(enc.column("enc_bytes").to_pylist())
@@ -156,7 +168,8 @@ class _AddColPart:
                     existing = load_blooms(self.store_dir, part_id)
                     existing[self.name] = b
                     save_blooms(self.store_dir, part_id, existing)
-            _update_manifest(self.store_dir, part_id, merged, add=add)
+            _update_manifest(self.store_dir, part_id, merged, add=add,
+                             replace=self.name)
             out["part_id"].append(part_id)
             out["action"].append("annotated")
         return pa.table(out) if out["part_id"] else \

@@ -652,15 +652,25 @@ class EncodedFilterPart:
                         {k: enc_rows.column(k)[i].as_py() for k in
                          ("codec", "n_values", "params", "payload")})
                     enc_of[name].base_dir = os.path.dirname(p)
-            if any(c not in enc_of for c in pred_cols) or \
-                    any(n not in enc_of for n in self.out_columns):
+            if any(n not in enc_of for n in self.out_columns):
                 continue  # heterogeneous store: part holds another table
+            missing_pred = [c for c in pred_cols if c not in enc_of]
+            if missing_pred and (self.mode == "and" or
+                                 len(missing_pred) == len(pred_cols)):
+                # AND: a conjunct on an absent column can never hold.
+                # OR: skip only when NO disjunct column is present —
+                # otherwise the part must still return rows matching
+                # the disjuncts on columns it DOES have (heterogeneous
+                # stores would silently lose matches).
+                continue
             for name in self.out_columns:  # remember types for empty blocks
                 dt = enc_of[name].params.get("dtype")
                 if dt is not None:
                     out_types[name] = str_to_type(dt)
             mask = None
             for pred in self.preds:
+                if pred[0] not in enc_of:
+                    continue  # OR: absent-column disjunct is all-false
                 m = eval_pred(enc_of[pred[0]], pred)
                 if mask is None:
                     mask = m

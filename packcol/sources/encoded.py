@@ -274,10 +274,18 @@ class _CountPart:
             enc_rows = pq.read_table(
                 p, filters=[("column", "in", cols)])
             names = enc_rows.column("column").to_pylist()
-            if any(c not in names for c in cols):
-                continue  # heterogeneous store: part holds another table
+            missing = [c for c in cols if c not in names]
+            if missing and (self.mode == "and" or
+                            len(missing) == len(cols)):
+                # AND: a conjunct on an absent column never holds.
+                # OR: skip only when NO disjunct column is present —
+                # a part in a heterogeneous store must still count
+                # rows matching the disjuncts on columns it has.
+                continue
             enc_of = {}
             for c in cols:
+                if c not in names:
+                    continue
                 i = names.index(c)
                 enc = EncodedColumn.from_row(
                     {k: enc_rows.column(k)[i].as_py() for k in
@@ -286,6 +294,8 @@ class _CountPart:
                 enc_of[c] = enc
             mask = None
             for pred in self.preds:
+                if pred[0] not in enc_of:
+                    continue  # OR: absent-column disjunct is all-false
                 m = eval_pred(enc_of[pred[0]], pred)
                 if mask is None:
                     mask = m
@@ -439,8 +449,15 @@ class _AggPart:
                 continue
             enc_rows = pq.read_table(p, filters=[("column", "in", needed)])
             names = enc_rows.column("column").to_pylist()
-            if any(c not in names for c in needed):
+            hard = val_cols | ({self.group_by} if self.group_by else set())
+            if any(c not in names for c in hard):
                 continue  # heterogeneous store: part holds another table
+            missing_pred = [c for c in pred_cols if c not in names]
+            if missing_pred and (self.mode == "and" or
+                                 len(missing_pred) == len(pred_cols)):
+                # AND: a conjunct on an absent column never holds.
+                # OR: skip only when NO disjunct column is present.
+                continue
             enc_of = {}
             for i, name in enumerate(names):
                 enc_of[name] = EncodedColumn.from_row(
@@ -449,6 +466,8 @@ class _AggPart:
                 enc_of[name].base_dir = os.path.dirname(p)
             mask = None
             for pred in self.preds:
+                if pred[0] not in enc_of:
+                    continue  # OR: absent-column disjunct is all-false
                 m = eval_pred(enc_of[pred[0]], pred)
                 if mask is None:
                     mask = m
@@ -469,7 +488,9 @@ class _AggPart:
             # distinct values after aggregation), else decoded values
             mapping = None
             if self.group_by is None:
-                n = enc_of[needed[0]].n_values if needed else 0
+                # any present block carries the part's row count (an
+                # OR-mode pred column may be absent from this part)
+                n = next(iter(enc_of.values())).n_values if enc_of else 0
                 n_rows = int(mask.sum()) if mask is not None else n
                 garr = pa.array(np.zeros(n_rows, dtype=np.int64))
             else:
@@ -1024,10 +1045,17 @@ class _SamplePart:
     same rows come back on every run and on any cluster size."""
 
     def __init__(self, fraction: float, seed: int,
-                 out_columns: list[str]):
+                 out_columns: list[str],
+                 out_schema: pa.Schema | None = None):
         self.fraction = fraction
         self.seed = seed
         self.out_columns = out_columns
+        # logical types for the zero-match fallback block: an untyped
+        # (string) empty block mixed with real-typed blocks breaks
+        # schema unification downstream — sample_encoded hands the
+        # Dataset straight to callers, so the fallback must carry the
+        # store's real field types
+        self.out_schema = out_schema
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         import numpy as np
@@ -1074,7 +1102,12 @@ class _SamplePart:
             outs.append(pa.table(
                 {c: cols[c] for c in self.out_columns}))
         if not outs:
-            return pa.table({c: pa.array([], type=pa.string())
+            def _typ(c):
+                if self.out_schema is not None and \
+                        self.out_schema.get_field_index(c) >= 0:
+                    return self.out_schema.field(c).type
+                return pa.string()
+            return pa.table({c: pa.array([], type=_typ(c))
                              for c in self.out_columns})
         return pa.concat_tables(outs)
 
@@ -1102,6 +1135,7 @@ def sample_encoded(store_dir: str, fraction: float, *,
             {c: pa.array([], type=schema.field(c).type)
              for c in out_columns}))
     from ..pipelines.encode_pipeline import _part_scan_seed
+    out_schema = pa.schema([schema.field(c) for c in out_columns])
     return _part_scan_seed(files).map_batches(
-        _SamplePart(fraction, seed, out_columns), batch_size=None,
-        batch_format="pyarrow")
+        _SamplePart(fraction, seed, out_columns, out_schema),
+        batch_size=None, batch_format="pyarrow")

@@ -82,8 +82,8 @@ def _sampled_fingerprint(arr: pa.Array) -> np.ndarray:
     n = len(offs) - 1
     lens = (offs[1:] - offs[:-1]).astype(np.uint64)
     fp = _splitmix64(lens)
+    W = 16
     if len(d):
-        W = 16
         steps = np.arange(W, dtype=offs.dtype)[None, :]
         base = offs[:-1][:, None] + steps
         head = np.where(base < offs[1:][:, None],
@@ -95,9 +95,17 @@ def _sampled_fingerprint(arr: pa.Array) -> np.ndarray:
             .astype(np.uint8)
         hw = np.ascontiguousarray(head).view(np.uint64)  # (n, 2)
         tw = np.ascontiguousarray(tail).view(np.uint64)
-        for c in range(2):
-            fp = _splitmix64(fp ^ hw[:, c])
-            fp = _splitmix64(fp ^ tw[:, c])
+    else:
+        # Zero-length data buffer (every row is '' / b'' / null): the
+        # head/tail words are all zero, but the mixing chain must STILL
+        # run — a build column like ['alpha','','beta'] hashes its ''
+        # row through the chain (the buffer is non-empty), so a scalar
+        # probe of '' must take the identical path or the filter
+        # FALSELY prunes parts that contain empty strings.
+        hw = tw = np.zeros((n, 2), dtype=np.uint64)
+    for c in range(2):
+        fp = _splitmix64(fp ^ hw[:, c])
+        fp = _splitmix64(fp ^ tw[:, c])
     return fp
 
 

@@ -146,3 +146,42 @@ def test_rename_column_roundtrip(store):
     # idempotent on a re-run target that no longer exists per part
     r2 = rename_column_encoded(out, "body", "content")
     assert r2["parts_renamed"] == r2["parts_total"]
+
+
+def test_overwrite_replaces_stale_zone_and_null_metadata(store):
+    """Regression: overwriting a derived column must REPLACE its
+    zones/nulls manifest entries, not merge into them.  First pass
+    writes a zonable int column with nulls; the overwrite produces an
+    un-zonable (long-string) column with zero nulls — the stale zone
+    range / null count must disappear, or zone and notnull pushdown
+    wrongly prune every part."""
+    from packcol.state.manifest import Manifest
+
+    def _ints_with_nulls(t):
+        n = t.num_rows
+        vals = list(range(100, 100 + n))
+        vals[0] = None
+        return pa.array(vals, type=pa.int64())
+
+    def _long_strings(t):
+        return pa.array(["z" * 300] * t.num_rows)
+
+    out, df = store
+    add_column_encoded(out, "derived", _ints_with_nulls, ["text"])
+    man = Manifest(out)
+    pids = sorted(man.done_parts())
+    m0 = man.load(pids[0])
+    assert "derived" in (m0.get("zones") or {})
+    assert (m0.get("nulls") or {}).get("derived", 0) >= 1
+
+    add_column_encoded(out, "derived", _long_strings, ["text"],
+                       overwrite=True)
+    for pid in pids:
+        m = Manifest(out).load(pid)
+        assert "derived" not in (m.get("zones") or {}), pid
+        assert "derived" not in (m.get("nulls") or {}), pid
+        # codec entry is replaced, not merged-stale
+        assert (m.get("codecs") or {}).get("derived") is not None
+    # end-to-end: a predicate on the stale zone range must now scan,
+    # not prune — every row survives a notnull count
+    assert count_encoded(out, ("derived", "notnull")) == len(df)

@@ -234,3 +234,44 @@ def test_sampled_hash_distinguishes_head_tail_len():
                      "a" * 99 + "b", ""])
     fp = _sampled_fingerprint(vals)
     assert len(set(fp.tolist())) == len(vals)
+
+
+def test_empty_string_scalar_probe_matches_mixed_column_build():
+    """Regression: a scalar probe of '' (or b'') against a bloom built
+    from a MIXED column (['alpha','','beta']) must hit.  The build
+    hashes the '' row through the head/tail splitmix chain (the column
+    buffer is non-empty); the probe's single-scalar buffer IS empty, so
+    a length-only shortcut there made the fingerprints disagree and the
+    filter falsely pruned parts containing empty strings."""
+    from packcol.state.bloom import (HASH_BYTES_SAMPLED, build_bloom,
+                                     probe_bloom)
+    for vals, probe in [
+        (pa.array(["alpha", "", "beta"]), pa.array([""])),
+        (pa.array([b"alpha", b"", b"beta"], type=pa.binary()),
+         pa.array([b""], type=pa.binary())),
+    ]:
+        b = build_bloom(vals, HASH_BYTES_SAMPLED)
+        assert probe_bloom(b, probe)[0], vals.type
+    # and the converse orientation: all-empty build, mixed-batch probe
+    b = build_bloom(pa.array(["", "", ""]), HASH_BYTES_SAMPLED)
+    assert probe_bloom(b, pa.array(["x", ""])).tolist() == [False, True] \
+        or probe_bloom(b, pa.array(["x", ""]))[1]  # fp on 'x' allowed
+
+
+def test_empty_string_filter_not_pruned_end_to_end(tmp_path, ray_session):
+    """A store part containing url='' must survive bloom pruning for
+    filter=('url','==','')."""
+    from packcol.pipelines.encode_pipeline import encode_files
+    from packcol.sources.encoded import read_encoded
+    t = pa.table({
+        "url": pa.array(["https://a.example/1", "", "https://b.example/2"]),
+        "text": pa.array(["aa", "bb", "cc"]),
+    })
+    src = tmp_path / "src"
+    src.mkdir()
+    pq.write_table(t, src / "p0.parquet")
+    store = str(tmp_path / "store")
+    encode_files([str(src / "p0.parquet")], store, bloom_columns=["url"])
+    got = read_encoded(store, columns=["url", "text"],
+                       filter=("url", "==", "")).to_pandas()
+    assert list(got["url"]) == [""] and list(got["text"]) == ["bb"]

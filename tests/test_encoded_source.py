@@ -797,3 +797,77 @@ def test_sample_encoded_deterministic(tmp_path, ray_session):
         sample_encoded(out, 1.5)
     with pytest.raises(ValueError, match="unknown column"):
         sample_encoded(out, 0.5, columns=["nope"])
+
+
+def test_or_disjunction_heterogeneous_parts(tmp_path, ray_session):
+    """Regression: in OR mode a part missing ONE disjunct's column must
+    still return/count/aggregate its rows matching the disjuncts on
+    columns it DOES have.  (Previously such parts were skipped entirely
+    and heterogeneous stores silently lost matching rows.)"""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.parquet as pq
+    from packcol.pipelines.encode_pipeline import encode_files
+    from packcol.sources.encoded import (agg_encoded, count_encoded,
+                                         read_encoded)
+    # part A: (id, lang) — no "score"; part B: (id, score) — no "lang"
+    dfa = pd.DataFrame({"id": np.arange(0, 100, dtype=np.int64),
+                        "lang": ["de" if i % 5 == 0 else "en"
+                                 for i in range(100)]})
+    dfb = pd.DataFrame({"id": np.arange(100, 200, dtype=np.int64),
+                        "score": np.arange(100, dtype=np.int64)})
+    pa_dir = tmp_path / "hsrc"
+    pa_dir.mkdir()
+    pq.write_table(pa.Table.from_pandas(dfa, preserve_index=False),
+                   str(pa_dir / "a.parquet"))
+    pq.write_table(pa.Table.from_pandas(dfb, preserve_index=False),
+                   str(pa_dir / "b.parquet"))
+    out = str(tmp_path / "hstore")
+    encode_files([str(pa_dir / "a.parquet"), str(pa_dir / "b.parquet")],
+                 out)
+    preds = [("lang", "==", "de"), ("score", "between", 90, 99)]
+    want_ids = sorted(dfa.loc[dfa["lang"] == "de", "id"].tolist() +
+                      dfb.loc[dfb["score"].between(90, 99), "id"]
+                      .tolist())
+    got = read_encoded(out, columns=["id"], filter_any=preds).to_pandas()
+    assert sorted(got["id"]) == want_ids
+    assert count_encoded(out, filter_any=preds) == len(want_ids)
+    g = agg_encoded(out, aggs={"n": ("count",), "s": ("sum", "id")},
+                    filter_any=preds).to_pandas()
+    assert int(g["n"][0]) == len(want_ids)
+    assert int(g["s"][0]) == sum(want_ids)
+    # AND across parts stays provably empty (no part holds both cols)
+    assert count_encoded(out, filter=preds) == 0
+    # OR where NO disjunct column exists anywhere: typed empty
+    assert count_encoded(
+        out, filter_any=[("nope", "==", 1), ("nada", "==", 2)]) == 0
+
+
+def test_sample_encoded_empty_blocks_keep_store_types(tmp_path,
+                                                      ray_session):
+    """Regression: a sample whose tasks all produce zero rows must
+    still yield blocks typed from the store schema, not pa.string()
+    placeholders that break downstream schema unification."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.parquet as pq
+    from packcol.pipelines.encode_pipeline import encode_files
+    from packcol.sources.encoded import encoded_schema, sample_encoded
+    df = pd.DataFrame({
+        "id": np.arange(5000, dtype=np.int64),
+        "ts": pd.date_range("2024-01-01", periods=5000, freq="s"),
+        "v": np.linspace(0, 1, 5000)})
+    src = tmp_path / "tsmp.parquet"
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   str(src), row_group_size=500)
+    out = str(tmp_path / "tsmp_store")
+    encode_files([str(src)], out, target_bytes=1 << 14)
+    want = encoded_schema(out)
+    ds = sample_encoded(out, 1e-12, seed=3)  # ~surely zero rows kept
+    t = pa.concat_tables(
+        [b for b in ds.iter_batches(batch_format="pyarrow")]) \
+        if ds.count() else None
+    sch = ds.schema()
+    got = {n: t for n, t in zip(sch.names, sch.types)}
+    for name in want.names:
+        assert str(got[name]) == str(want.field(name).type), name
