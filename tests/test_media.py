@@ -203,3 +203,27 @@ def test_image_near_dup_pipeline(ray_session):
     assert not any(3 in p or 4 in p for p in got)  # unrelated
     exact = pairs.set_index(["id_a", "id_b"])["hamming"]
     assert exact[(0, 2)] == 0
+
+
+def test_media_fixture_formulas_and_determinism(ray_session):
+    """The synthetic fixture's checked properties follow the closed-form
+    formulas the driver oracles recompute in SQL, and payloads are
+    byte-stable across calls (exact-duplicate planting holds)."""
+    from packcol.sources.media_fixture import (audio_table, image_dims,
+                                               images_table, make_audio,
+                                               make_image)
+    t1, t2 = images_table(12, 5), images_table(12, 5)
+    assert t1.equals(t2)
+    imgs = t1.column("image").to_pylist()
+    assert imgs[0] == imgs[5] == imgs[10]  # planted duplicates
+    assert imgs[0] != imgs[1]
+    for g in range(5):
+        h, w = image_dims(g)
+        assert h == 16 + (g * 5) % 32 and w == 16 + (g * 7) % 40
+        head = imgs[g][:2]
+        assert head == (b"P6" if g % 3 == 0 else b"P5")
+    a1, a2 = audio_table(6), audio_table(6)
+    assert a1.equals(a2)
+    assert make_audio(3)[:4] == b"RIFF"
+    assert make_image(1) == make_image(1, seed=0)
+    assert make_image(1) != make_image(1, seed=9)
