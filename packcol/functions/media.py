@@ -90,6 +90,38 @@ def decode_pnm_stream(buf: bytes) -> list[np.ndarray]:
     return frames
 
 
+def sniff_image_format(buf: bytes) -> str | None:
+    """Magic-byte dispatch: 'pnm' | 'png' | 'jpeg' | None."""
+    if buf[:2] in (b"P5", b"P6"):
+        return "pnm"
+    if buf[:8] == b"\x89PNG\r\n\x1a\n":
+        return "png"
+    if buf[:3] == b"\xff\xd8\xff":
+        return "jpeg"
+    return None
+
+
+def decode_image(buf: bytes) -> np.ndarray:
+    """Decode any really-supported format (PNM P5/P6, PNG, baseline
+    JPEG) to an (h, w[, ch]) uint8 array; raises ValueError on
+    unrecognized magic so stages can apply their fake/raise policy.
+    16-bit PNG is down-shifted to uint8 here (the feature pipeline is
+    8-bit); use decode_png directly to keep full precision."""
+    fmt = sniff_image_format(buf)
+    if fmt == "pnm":
+        return decode_pnm(buf)
+    if fmt == "png":
+        from .png import decode_png
+        img = decode_png(buf)
+        if img.dtype == np.uint16:
+            img = (img >> 8).astype(np.uint8)
+        return img
+    if fmt == "jpeg":
+        from .jpeg import decode_jpeg
+        return decode_jpeg(buf)
+    raise ValueError(f"unrecognized image magic {buf[:4]!r}")
+
+
 def rgb_to_gray(img: np.ndarray) -> np.ndarray:
     """(h, w[, 3]) uint8 → (h, w) float32 luma (BT.601 weights)."""
     if img.ndim == 2:

@@ -927,20 +927,21 @@ def image_near_dup_pairs(ds, image_col: str = "image",
                          id_col: str = "id", max_dist: int = 3,
                          max_bucket: int = _DEFAULT_MAX_BUCKET):
     """Near-duplicate IMAGE pairs: per-row 64-bit perceptual hash
-    (functions/media.py::image_phash — real P5/P6 decode, 8×8 mean
-    thumbnail, mean-threshold bits) → the same banded Hamming machinery
-    as SimHash.  Only (id, phash) rows shuffle — never image bytes."""
+    (functions/media.py::image_phash — real PNM/PNG/JPEG decode, 8×8
+    mean thumbnail, mean-threshold bits) → the same banded Hamming
+    machinery as SimHash.  Only (id, phash) rows shuffle — never image
+    bytes."""
     def stage(batch: pa.Table) -> pa.Table:
         from ..codecs.fsst import buffer_view
-        from ..functions.media import decode_pnm, image_phash
+        from ..functions.media import decode_image, image_phash
         col = batch.column(image_col)
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
         d, offs = buffer_view(col)
         ph = np.empty(len(col), dtype=np.uint64)
         for i in range(len(col)):
-            ph[i] = image_phash(decode_pnm(d[offs[i]:offs[i + 1]]
-                                           .tobytes()))
+            ph[i] = image_phash(decode_image(d[offs[i]:offs[i + 1]]
+                                             .tobytes()))
         return pa.table({id_col: _col(batch, id_col),
                          "h64": ph.view(np.int64)})
 

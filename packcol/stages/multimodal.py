@@ -49,8 +49,9 @@ class ImageFeatureStage:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         from ..codecs.fsst import buffer_view
-        from ..functions.media import (decode_pnm, image_phash,
-                                       image_thumb_features)
+        from ..functions.media import (decode_image, image_phash,
+                                       image_thumb_features,
+                                       sniff_image_format)
         col = batch.column(self.image_col)
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
@@ -62,8 +63,8 @@ class ImageFeatureStage:
         d, offs = buffer_view(col)
         for i in range(n):  # rows are megabytes; numpy inside each row
             raw = d[offs[i]:offs[i + 1]].tobytes()
-            if raw[:2] in (b"P5", b"P6"):
-                img = decode_pnm(raw)
+            if sniff_image_format(raw) is not None:
+                img = decode_image(raw)
                 heights[i], widths[i] = img.shape[0], img.shape[1]
                 feats[i] = image_thumb_features(img)
                 phash[i] = image_phash(img)
@@ -72,9 +73,10 @@ class ImageFeatureStage:
                     d[offs[i]:offs[i + 1]])
             else:
                 raise NotImplementedError(
-                    f"image format {raw[:4]!r} needs a native decoder "
-                    "(PIL not in this environment); P5/P6 decode for "
-                    "real, or pass fake=True for the stub")
+                    f"image format {raw[:4]!r} is not one of the "
+                    "really-decoded formats (PNM P5/P6, PNG, baseline "
+                    "JPEG — all pure-numpy; PIL is not in this "
+                    "environment); pass fake=True for the stub")
         return pa.table({
             **{c: batch.column(c) for c in batch.column_names
                if c != self.image_col},
@@ -87,9 +89,11 @@ class ImageFeatureStage:
 
 
 class ImageResizeStage:
-    """binary P5/P6 column → resized P5/P6 column (nearest-neighbor,
-    pure numpy) — the decode→transform→re-encode pattern for image
-    normalization pipelines."""
+    """binary image column → resized column (nearest-neighbor, pure
+    numpy) — the decode→transform→re-encode pattern for image
+    normalization pipelines.  Output format follows the input format
+    (PNM→PNM, PNG→PNG, JPEG→JPEG) so downstream consumers see the
+    same container they fed in."""
 
     def __init__(self, out_h: int, out_w: int, image_col: str = "image"):
         self.out_h, self.out_w = out_h, out_w
@@ -97,15 +101,27 @@ class ImageResizeStage:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         from ..codecs.fsst import buffer_view
-        from ..functions.media import (decode_pnm, encode_pnm,
-                                       resize_nearest)
+        from ..functions.media import (decode_image, encode_pnm,
+                                       resize_nearest,
+                                       sniff_image_format)
         col = batch.column(self.image_col)
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
         d, offs = buffer_view(col)
-        out = [encode_pnm(resize_nearest(
-            decode_pnm(d[offs[i]:offs[i + 1]].tobytes()),
-            self.out_h, self.out_w)) for i in range(len(col))]
+        out = []
+        for i in range(len(col)):
+            raw = d[offs[i]:offs[i + 1]].tobytes()
+            fmt = sniff_image_format(raw)
+            small = resize_nearest(decode_image(raw),
+                                   self.out_h, self.out_w)
+            if fmt == "png":
+                from ..functions.png import encode_png
+                out.append(encode_png(small))
+            elif fmt == "jpeg":
+                from ..functions.jpeg import encode_jpeg
+                out.append(encode_jpeg(small))
+            else:
+                out.append(encode_pnm(small))
         return batch.set_column(
             batch.column_names.index(self.image_col), self.image_col,
             pa.array(out, type=pa.large_binary()))
