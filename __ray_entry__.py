@@ -631,6 +631,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _read(sf, "documents", ["text"]), seq_col="text", k=3)
     q["kmer_counts"] = kmer_counts
 
+    def kmer_counts_minimizer(sf):
+        """Same k=3 canonical count through the super-k-mer MINIMIZER
+        strategy (the 100 TB shuffle-reduction path: substrings keyed
+        by strand-canonical minimizer shuffle instead of per-window
+        rows) — strategy equivalence driver-checked against the same
+        SQL oracle as the tree path."""
+        from packcol.pipelines.kmers import count_canonical_kmers
+        return count_canonical_kmers(
+            _read(sf, "documents", ["text"]), seq_col="text", k=3,
+            strategy="minimizer")
+    q["kmer_counts_minimizer"] = kmer_counts_minimizer
+
     def kmer_counts_k45(sf):
         """k>32 multi-word path (generic Kmer<P,K,B>,
         /root/reference/src/kmer.rs:12-14): DNA derived deterministically
@@ -780,6 +792,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
                   "vmax": ("max", "value")},
             filter=("user_id", "between", 3, 9))
     q["agg_encoded_events"] = agg_encoded_events
+
+    def join_encoded_store(sf):
+        """Store-native fact ⋈ dim (pipelines/join.py::join_encoded):
+        BOTH sides read via the encoded-store source with projection +
+        predicate pushdown, the filtered dim broadcasts, and its key
+        set is pushed INTO the fact read as an IN-list (bloom/zone
+        part pruning + packed-code masking before any decode)."""
+        from packcol.pipelines.join import join_encoded
+        fs = _encoded_store(sf, "orders")
+        ds_ = _encoded_store(sf, "customer")
+        return join_encoded(
+            fs, ds_, on="o_custkey", right_on="c_custkey",
+            fact_columns=["o_orderkey", "o_totalprice"],
+            dim_columns=["c_name", "c_mktsegment"],
+            dim_filter=("c_mktsegment", "==", "BUILDING"))
+    q["join_encoded_store"] = join_encoded_store
 
     def store_sink_roundtrip(sf):
         # write_encoded: ANY Dataset (here: a filtered projection — a
@@ -1449,6 +1477,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return exact_quantiles(ds, "n_chars", [0.25, 0.5, 0.75, 0.9])
     q["quantiles_nchars"] = quantiles_nchars
 
+    # --- mergeable KLL quantile sketch (stages/sketch.py) -----------------
+    def kll_quantiles_nchars(sf):
+        """KLL sketch pipeline in its exactness-forcing configuration
+        (k >= n: no compaction ever fires, so the sketch IS the sorted
+        stream and the discrete quantiles are exact) — the same
+        oracle-the-machinery trick as ann_ivf_exact.  The sketched
+        (k << n) regime is covered by the error-bound tests in
+        tests/test_sketch.py."""
+        from packcol.stages.sketch import kll_quantiles
+        ds = _read(sf, "documents", ["n_chars"])
+        return kll_quantiles(ds, "n_chars", [0.25, 0.5, 0.75, 0.9],
+                             k=1 << 17)
+    q["kll_quantiles_nchars"] = kll_quantiles_nchars
+
     # --- multimodal (image/audio) driver checks ---------------------------
     # The synthetic P5/P6 + WAV fixtures (sources/media_fixture.py) derive
     # every checked property from a closed-form formula of the row id, so
@@ -1533,6 +1575,39 @@ def queries() -> dict[str, Callable[[str], Any]]:
             batch_size=8, concurrency=2, num_cpus=1).map_batches(
             final, batch_format="pyarrow")
     q["audio_frames_meta"] = audio_frames_meta
+
+    def image_codec_dims(sf):
+        """REAL PNG + baseline-JPEG + PNM decode (pure-numpy codecs,
+        functions/png.py / jpeg.py): the mixed-format fixture cycles
+        formats with the content id and keeps the closed-form dims
+        formula, so format sniff AND decoded (height, width) have a
+        pure-SQL oracle over range()."""
+        import ray.data as rd
+        from packcol.sources.media_fixture import images_table_formats
+        from packcol.stages.multimodal import ImageFeatureStage
+
+        def add_fmt(b: pa.Table) -> pa.Table:
+            from packcol.functions.media import sniff_image_format
+            col = b.column("image")
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            fmts = [sniff_image_format(col[i].as_py())
+                    for i in range(len(col))]
+            return b.append_column("fmt", pa.array(fmts, pa.string()))
+
+        def final(b: pa.Table) -> pa.Table:
+            return pa.table({
+                "img_id": b.column("img_id"),
+                "fmt": b.column("fmt"),
+                "height": b.column("height").cast(pa.int64()),
+                "width": b.column("width").cast(pa.int64())})
+        return rd.from_arrow(
+            images_table_formats(n_rows=36, n_distinct=12)) \
+            .map_batches(add_fmt, batch_format="pyarrow") \
+            .map_batches(ImageFeatureStage(), batch_format="pyarrow",
+                         batch_size=12, concurrency=2, num_cpus=1) \
+            .map_batches(final, batch_format="pyarrow")
+    q["image_codec_dims"] = image_codec_dims
 
     # --- codec auto-selection decisions (deterministic) ------------------
     # The decision is a pure function of the column stats, so the sf0.01
@@ -1619,6 +1694,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         #   eq/range pushdown stays covered in the head by
         #   filter_encoded_conj/in/prefix/or + clustered_filter_range)
         "filter_encoded_eq", "filter_encoded_range",
+        #   quantiles_nchars / label_centroids / events_by_type_salted /
+        #   user_running_total: green r3+r4 (exiled r5 for the new
+        #   kll_quantiles_nchars + join_encoded_store +
+        #   kmer_counts_minimizer + image_codec_dims — exact quantiles
+        #   stay covered by quantiles_nchars_by_lang in the head, the
+        #   sketch path by kll_quantiles_nchars, k-means by
+        #   ann_ivf_exact, groupby shapes by revenue_by_brand /
+        #   orders_by_nation, window shapes by asof_prev_purchase /
+        #   sessionize / user_event_pivot)
+        "quantiles_nchars", "label_centroids", "events_by_type_salted",
+        "user_running_total",
         #   blocklist_filter: green r2+r3 (exiled r4 for
         #   annotate_tokens — the anti-join shape stays covered in the
         #   head by customers_without_orders)
@@ -1942,6 +2028,31 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT CAST({qq} AS DOUBLE) AS q, "
             f"quantile_disc(n_chars, {qq}) AS value FROM documents"
             for qq in (0.25, 0.5, 0.75, 0.9))),
+        # KLL returns float64 values (sketch domain); cast the oracle
+        "kll_quantiles_nchars": (" UNION ALL ".join(
+            f"SELECT CAST({qq} AS DOUBLE) AS q, "
+            f"CAST(quantile_disc(n_chars, {qq}) AS DOUBLE) AS value "
+            "FROM documents"
+            for qq in (0.25, 0.5, 0.75, 0.9))),
+        "kmer_counts_minimizer": (
+            "SELECT canon AS kmer, COUNT(*) AS n FROM ("
+            "SELECT least(kmer, translate(reverse(kmer), 'ACGT', 'TGCA')) "
+            "AS canon FROM (SELECT upper(substr(d.text, g.i::INT, 3)) AS "
+            "kmer FROM documents d CROSS JOIN generate_series(1, 4000) "
+            "AS g(i) WHERE g.i <= length(d.text) - 2) "
+            "WHERE regexp_matches(kmer, '^[ACGT]{3}$')) GROUP BY canon"),
+        "join_encoded_store": (
+            "SELECT o.o_orderkey, o.o_totalprice, o.o_custkey, "
+            "c.c_name, c.c_mktsegment FROM orders o JOIN customer c "
+            "ON o.o_custkey = c.c_custkey "
+            "WHERE c.c_mktsegment = 'BUILDING'"),
+        "image_codec_dims": (
+            "SELECT CAST(img_id AS BIGINT) AS img_id, "
+            "CASE ((img_id % 12) % 3) WHEN 0 THEN 'png' "
+            "WHEN 1 THEN 'jpeg' ELSE 'pnm' END AS fmt, "
+            "CAST(16 + ((img_id % 12) * 5) % 32 AS BIGINT) AS height, "
+            "CAST(16 + ((img_id % 12) * 7) % 40 AS BIGINT) AS width "
+            "FROM range(36) t(img_id)"),
         "purchases_nearby_clicks": (
             "SELECT p.event_id, COUNT(c.event_id) AS n_nearby "
             "FROM events p LEFT JOIN events c "

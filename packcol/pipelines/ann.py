@@ -42,6 +42,45 @@ def embedding_matrix(batch: pa.Table, vec_col: str = "embedding"
     return flat.reshape(n, dim).astype(np.float64)
 
 
+def uniform_sample_vectors(ds, n: int, vec_col: str = "embedding",
+                           seed: int = 13) -> np.ndarray:
+    """Deterministic UNIFORM n-row vector sample via bottom-k hashing
+    (the approx_quantiles/KMV principle): each row gets a pseudo-random
+    64-bit key from splitmix64 of its vector-content fold ⊕ its
+    in-batch position; each batch forwards only its n smallest keys, so
+    the driver sees O(n × batches) candidate rows and keeps the n
+    globally smallest — a uniform sample regardless of input ordering
+    or clustering (``ds.limit(n)`` would take the FIRST rows: biased on
+    sorted/clustered inputs).  Deterministic for a fixed partitioning."""
+    from ..functions.text import _splitmix64
+
+    def partial(batch: pa.Table) -> pa.Table:
+        X = embedding_matrix(batch, vec_col)
+        if X.shape[0] == 0:
+            return pa.table({"key": pa.array([], pa.int64()),
+                             "vec": pa.array([], pa.large_list(
+                                 pa.float64()))})
+        bits = np.ascontiguousarray(X).view(np.uint64)
+        fold = np.bitwise_xor.reduce(_splitmix64(bits), axis=1)
+        pos = np.arange(X.shape[0], dtype=np.uint64)
+        key = _splitmix64(fold ^ _splitmix64(pos + np.uint64(seed)))
+        if len(key) > n:
+            idx = np.argpartition(key, n)[:n]
+            key, X = key[idx], X[idx]
+        return pa.table({
+            "key": pa.array(key.view(np.int64)),
+            "vec": pa.array(list(X), type=pa.large_list(pa.float64()))})
+
+    cand = ds.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True).to_pandas()
+    if len(cand) == 0:
+        raise ValueError("no vectors to sample")
+    keys = cand["key"].to_numpy().view(np.uint64)
+    order = np.argsort(keys)[:n]
+    return np.stack([np.asarray(v, dtype=np.float64)
+                     for v in cand["vec"].to_numpy()[order]])
+
+
 def ann_brute_topk(ds, query: np.ndarray, k: int = 10,
                    vec_col: str = "embedding", id_col: str = "vec_id"):
     """Exact cosine top-k of each query row against the dataset.
@@ -289,9 +328,8 @@ def ann_ivf_topk(ds, query: np.ndarray, k: int = 10, n_lists: int = 16,
         C = kmeans_fit(ds, n_lists, vec_col=vec_col,
                        sample_rows=sample_rows, seed=seed)
     else:
-        sample = ds.limit(sample_rows).to_pandas()
-        Xs = np.stack([np.asarray(v, dtype=np.float64)
-                       for v in sample[vec_col]])
+        Xs = uniform_sample_vectors(ds, sample_rows, vec_col=vec_col,
+                                    seed=seed)
         C = _kmeans(Xs, n_lists, seed=seed)
     qd = _sq_dists(q, C)
     probe = np.argsort(qd, axis=1)[:, :n_probe]           # (n_q, n_probe)

@@ -19,8 +19,8 @@ import pyarrow as pa
 
 from ..functions.dna import (K_MAX, canonical_kmer_scan_batch,
                              canonical_kmer_scan_batch_multi,
-                             decode_kmer_batch, decode_kmer_batch_multi,
-                             n_words_for_k)
+                             canonical_space, decode_kmer_batch,
+                             decode_kmer_batch_multi, n_words_for_k)
 
 
 def _wcols(B: int) -> list[str]:
@@ -53,15 +53,51 @@ def _merge_counts(a: "pa.Table", b: "pa.Table") -> "pa.Table":
     return pa.table(out)
 
 
+def choose_kmer_strategy(ds, k: int, *, encoding=None,
+                         tree_key_cap: int = 4_000_000) -> str:
+    """Cardinality-estimated strategy selection (removes the "caller
+    must know to switch at scale" trap): the distinct-key count is
+    bounded above by BOTH canonical_space(k) (the C1/C2 key-space math,
+    reference src/utils.rs semantics) and the input byte size (every
+    k-mer window starts at a distinct byte, so #windows < #bytes).
+
+    * bound <= tree_key_cap (merged result provably fits one node:
+      ~16 B/key for k<=32) -> "tree" (no shuffle at all);
+    * else "minimizer" (substrings shuffle, one bucket per canonical
+      k-mer) unless an alternate symbol encoding is in play (the
+      minimizer path is 2-bit-canonical only) -> "groupby".
+
+    ``ds.size_bytes()`` is metadata-free for plain file reads; for
+    derived datasets it may be unknown (None) — then only the key-space
+    bound applies (conservative: unknown-size inputs with open key
+    spaces go to the shuffle paths, whose failure mode is slowness,
+    not a driver OOM)."""
+    space = canonical_space(k)
+    bound = space
+    try:
+        est = ds.size_bytes()
+    except Exception:  # noqa: BLE001 — unknown size: key-space bound only
+        est = None
+    if est:
+        bound = min(bound, est)
+    if bound <= tree_key_cap:
+        return "tree"
+    return "groupby" if encoding is not None else "minimizer"
+
+
 def count_canonical_kmers(ds, seq_col: str = "text", k: int = 31,
-                          strategy: str = "tree",
+                          strategy: str = "auto",
                           partial_batch_size: int = 49152,
                           encoding=None):
     """Dataset of (kmer:string, n:int64): counts of canonical k-mers over
     all ACGT-alphabet windows of `seq_col` (invalid symbols skipped,
     case-insensitive — reference iterator semantics).
 
-    strategy="tree" (default): partial tables are mergeable, so a
+    strategy="auto" (default): pick via choose_kmer_strategy —
+    cardinality-bounded inputs go "tree", open key spaces go
+    "minimizer"/"groupby".
+
+    strategy="tree": partial tables are mergeable, so a
     log2(P) tree of pairwise vectorized merges through the object store
     replaces the groupby shuffle; appropriate while the merged result
     fits one node (bounded key sets — small k or genome-bounded).
@@ -86,6 +122,8 @@ def count_canonical_kmers(ds, seq_col: str = "text", k: int = 31,
     from ..functions.dna import _resolve_encoding
 
     enc = _resolve_encoding(encoding)
+    if strategy == "auto":
+        strategy = choose_kmer_strategy(ds, k, encoding=enc)
     if enc is not None and (k > K_MAX or strategy == "minimizer"):
         raise ValueError(
             "alternate encodings are supported for k <= 32 on the "

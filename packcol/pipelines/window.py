@@ -1000,23 +1000,24 @@ def global_top_k(ds, sort_cols, ascending, k: int):
 
     Top-k is decomposable: the global answer is contained in the union
     of block-local answers, so each batch keeps only its local top-k
-    (vectorized pandas sort inside ``map_batches``) and the driver
-    merges O(k x batches) partial rows — never the full dataset.
-    Replaces the full-aggregate ``.to_pandas()`` pattern that is
-    unbounded in #distinct keys at web scale (VERDICT r3 items 1-2).
+    (zero-copy Arrow ``sort_by`` + slice inside ``map_batches``) and
+    the driver merges O(k x batches) partial rows — never the full
+    dataset.  Replaces the full-aggregate ``.to_pandas()`` pattern that
+    is unbounded in #distinct keys at web scale (VERDICT r3 items 1-2).
 
     Returns a pandas DataFrame of exactly ``min(k, total_rows)`` rows,
     sorted by ``sort_cols`` / ``ascending``.
     """
-    import pandas as pd
     sort_cols = list(sort_cols)
     ascending = list(ascending)
+    order = [(c, "ascending" if a else "descending")
+             for c, a in zip(sort_cols, ascending)]
 
-    def partial(df: "pd.DataFrame") -> "pd.DataFrame":
-        return df.sort_values(sort_cols, ascending=ascending,
-                              kind="mergesort").head(k)
+    def partial(batch: pa.Table) -> pa.Table:
+        return batch.sort_by(order).slice(0, k)
 
-    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True).to_pandas()
     return parts.sort_values(sort_cols, ascending=ascending,
                              kind="mergesort").head(k) \
         .reset_index(drop=True)

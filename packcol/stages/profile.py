@@ -186,12 +186,9 @@ def exact_quantiles_by(ds, by: str, col: str, qs: list[float]):
     from ray.data.aggregate import Sum
 
     def partial(batch: pa.Table) -> pa.Table:
-        import pandas as _pd
-        df = _pd.DataFrame({by: batch.column(by).to_pandas(),
-                            col: batch.column(col).to_pandas()})
-        vc = df.dropna().groupby([by, col], sort=False).size() \
-            .reset_index(name="c")
-        return pa.Table.from_pandas(vc, preserve_index=False)
+        t = batch.select([by, col]).drop_null()
+        vc = t.group_by([by, col]).aggregate([([], "count_all")])
+        return vc.rename_columns([by, col, "c"])
 
     vc = ds.map_batches(partial, batch_format="pyarrow",
                         zero_copy_batch=True) \

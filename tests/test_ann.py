@@ -137,3 +137,45 @@ def test_embedding_matrix_rejects_nulls(ray_session):
     import pytest as _pt
     with _pt.raises(ValueError, match="null vectors"):
         embedding_matrix(t)
+
+
+class TestUniformSampleVectors:
+    def test_unbiased_on_sorted_input(self, ray_session):
+        # input sorted so cluster A occupies the head: limit(n) would
+        # sample only A; the bottom-k sample must hit both clusters
+        import ray.data as rd
+        from packcol.pipelines.ann import uniform_sample_vectors
+        rng = np.random.default_rng(3)
+        a = rng.normal(0, 0.1, (2000, 4))
+        b = rng.normal(5, 0.1, (2000, 4))
+        X = np.concatenate([a, b])
+        ds = rd.from_arrow(pa.table({
+            "embedding": pa.array(list(X),
+                                  type=pa.large_list(pa.float64()))})) \
+            .repartition(8)
+        s = uniform_sample_vectors(ds, 200, seed=7)
+        assert s.shape == (200, 4)
+        frac_b = (s.mean(axis=1) > 2.5).mean()
+        assert 0.3 < frac_b < 0.7
+
+    def test_deterministic(self, ray_session):
+        import ray.data as rd
+        from packcol.pipelines.ann import uniform_sample_vectors
+        rng = np.random.default_rng(5)
+        X = rng.normal(size=(500, 3))
+        ds = rd.from_arrow(pa.table({
+            "embedding": pa.array(list(X),
+                                  type=pa.large_list(pa.float64()))}))
+        s1 = uniform_sample_vectors(ds, 50, seed=1)
+        s2 = uniform_sample_vectors(ds, 50, seed=1)
+        np.testing.assert_array_equal(s1, s2)
+
+    def test_n_larger_than_input(self, ray_session):
+        import ray.data as rd
+        from packcol.pipelines.ann import uniform_sample_vectors
+        X = np.arange(12, dtype=np.float64).reshape(4, 3)
+        ds = rd.from_arrow(pa.table({
+            "embedding": pa.array(list(X),
+                                  type=pa.large_list(pa.float64()))}))
+        s = uniform_sample_vectors(ds, 100)
+        assert s.shape == (4, 3)

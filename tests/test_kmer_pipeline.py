@@ -92,3 +92,45 @@ def test_tree_single_block_collapses_duplicates(ray_session):
     gb = count_canonical_kmers(ds, "seq", 5, strategy="groupby") \
         .to_pandas().set_index("kmer")["n"]
     assert out.set_index("kmer")["n"].sort_index().equals(gb.sort_index())
+
+
+class TestAutoStrategy:
+    def test_small_keyspace_picks_tree(self, ray_session):
+        import ray.data as rd
+        from packcol.pipelines.kmers import choose_kmer_strategy
+        ds = rd.from_items([{"text": "ACGT" * 100}] * 10)
+        assert choose_kmer_strategy(ds, 5) == "tree"
+
+    def test_large_input_open_keyspace_picks_minimizer(self, ray_session):
+        import ray.data as rd
+        from packcol.pipelines.kmers import choose_kmer_strategy
+
+        class FakeBig:
+            def size_bytes(self):
+                return 50 << 30
+        assert choose_kmer_strategy(FakeBig(), 31) == "minimizer"
+        # alternate encoding forbids the minimizer path -> groupby
+        from packcol.functions.dna import _resolve_encoding
+        enc = _resolve_encoding("xor10")
+        assert choose_kmer_strategy(FakeBig(), 31,
+                                    encoding=enc) == "groupby"
+
+    def test_unknown_size_uses_keyspace_bound(self):
+        from packcol.pipelines.kmers import choose_kmer_strategy
+
+        class NoSize:
+            def size_bytes(self):
+                raise RuntimeError("not executed")
+        assert choose_kmer_strategy(NoSize(), 5) == "tree"
+        assert choose_kmer_strategy(NoSize(), 31) == "minimizer"
+
+    def test_auto_matches_tree_result(self, ray_session):
+        import ray.data as rd
+        from packcol.pipelines.kmers import count_canonical_kmers
+        seqs = [{"text": "ACGTACGTGGTACC"}, {"text": "TTGACNACGT"}]
+        ds = rd.from_items(seqs)
+        a = count_canonical_kmers(ds, k=5, strategy="auto").to_pandas() \
+            .sort_values("kmer").reset_index(drop=True)
+        t = count_canonical_kmers(ds, k=5, strategy="tree").to_pandas() \
+            .sort_values("kmer").reset_index(drop=True)
+        assert a.equals(t)
