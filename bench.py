@@ -295,6 +295,17 @@ def main() -> None:
         # events_hourly is the groupby-aggregate reference class the
         # stream-shaped ops (sessionize / top-per-group) are graded
         # against (VERDICT r2: within 2x at sf0.1)
+        # round-5 operators: sketch quantiles (sketched k=256 mode —
+        # the 100 TB regime) and the store-native pushdown join
+        from packcol.stages.sketch import kll_quantiles
+        t_q, _ = timed2(lambda: kll_quantiles(
+            read_parquet_clean(os.path.join(SF_DIR, "documents.parquet"),
+                               columns=["n_chars"]),
+            "n_chars", [0.25, 0.5, 0.75, 0.9], k=256))
+        queries["kll_quantiles_sketched"] = round(t_q, 3)
+        t_q, _ = timed2(
+            lambda: _materialize(_qs["join_encoded_store"](SF_DIR)))
+        queries["join_encoded_store"] = round(t_q, 3)
         for name in ("pricing_summary", "revenue_by_brand",
                      "asof_prev_purchase", "events_hourly",
                      "sessionize", "top_event_per_user"):

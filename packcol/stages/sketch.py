@@ -219,3 +219,64 @@ def kll_quantiles(ds, col: str, qs: list[float], k: int = 200,
                                 rows["value"].to_numpy(),
                                 k=k, seed=seed + 2)
     return pd.DataFrame({"q": qs, "value": final.quantiles(qs)})
+
+
+def kll_quantiles_by(ds, by: str, col: str, qs: list[float],
+                     k: int = 200, seed: int = 0):
+    """Per-group KLL quantiles: one partial sketch per (batch, group)
+    emitted as (by, level, value) rows — O(k) per group per batch —
+    then ONE groupby shuffle merges each group's rows into its final
+    sketch.  Driver receives only the (group, q, value) answers, so
+    the memory bound is O(groups × k) spread across reducers, never
+    O(rows): the sketch companion to profile.exact_quantiles_by for
+    continuous/open value domains.  Returns pandas (by, q, value)."""
+    import pandas as pd
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch.select([by, col]).drop_null()
+        if t.num_rows == 0:
+            return pa.table({by: pa.array([], batch.column(by).type),
+                             "level": pa.array([], pa.int32()),
+                             "value": pa.array([], pa.float64())})
+        g = t.column(by).to_numpy(zero_copy_only=False)
+        v = t.column(col).to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        order = np.argsort(g, kind="stable")
+        g, v = g[order], v[order]
+        starts = np.flatnonzero(
+            np.r_[True, g[1:] != g[:-1]]).tolist() + [len(g)]
+        keys, lvls, vals = [], [], []
+        for s, e_ in zip(starts[:-1], starts[1:]):
+            sk = KLLSketch(k=k, seed=seed)
+            sk.add(v[s:e_])
+            rows = sk.to_rows()
+            m = rows.num_rows
+            keys.extend([g[s]] * m)
+            lvls.append(rows.column("level").to_numpy())
+            vals.append(rows.column("value").to_numpy())
+        return pa.table({
+            by: pa.array(keys, type=batch.column(by).type),
+            "level": np.concatenate(lvls) if lvls else
+            np.array([], np.int32),
+            "value": np.concatenate(vals) if vals else
+            np.array([], np.float64)})
+
+    def finish(group: pa.Table) -> pa.Table:
+        sk = KLLSketch.from_rows(
+            group.column("level").to_numpy(zero_copy_only=False),
+            group.column("value").to_numpy(zero_copy_only=False),
+            k=k, seed=seed + 1)
+        gval = group.column(by)[0]
+        return pa.table({
+            by: pa.array([gval.as_py()] * len(qs),
+                         type=group.column(by).type),
+            "q": pa.array(qs, pa.float64()),
+            "value": pa.array(sk.quantiles(qs), pa.float64())})
+
+    out = (ds.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True)
+             .groupby(by).map_groups(finish, batch_format="pyarrow")
+             .to_pandas())
+    if len(out) == 0 or "value" not in out.columns:
+        return pd.DataFrame({by: [], "q": [], "value": []})
+    return out.sort_values([by, "q"]).reset_index(drop=True)

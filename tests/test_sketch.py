@@ -134,3 +134,39 @@ class TestKLLPipeline:
         t = pa.table({"x": pa.array([], pa.float64())})
         out = kll_quantiles(rd.from_arrow(t), "x", [0.5], k=64)
         assert len(out) == 1 and pd.isna(out["value"].iloc[0])
+
+
+class TestKLLGrouped:
+    def test_exactcap_matches_exact_per_group(self, ray_session):
+        import ray.data as rd
+        from packcol.stages.sketch import kll_quantiles_by
+        rng = np.random.default_rng(31)
+        g = rng.choice(["a", "b", "c"], size=6000)
+        v = rng.integers(0, 300, size=6000).astype(np.float64)
+        ds = rd.from_arrow(pa.table({"g": g, "x": v})).repartition(6)
+        out = kll_quantiles_by(ds, "g", "x", [0.5, 0.9], k=65536)
+        for grp in ["a", "b", "c"]:
+            sub = out[out["g"] == grp].sort_values("q")
+            exp = exact_disc(v[g == grp], [0.5, 0.9])
+            np.testing.assert_array_equal(sub["value"].to_numpy(), exp)
+
+    def test_sketched_within_bound_per_group(self, ray_session):
+        import ray.data as rd
+        from packcol.stages.sketch import kll_quantiles_by
+        rng = np.random.default_rng(37)
+        g = rng.choice(["x", "y"], size=40_000)
+        v = rng.normal(size=40_000)
+        ds = rd.from_arrow(pa.table({"g": g, "x": v})).repartition(10)
+        out = kll_quantiles_by(ds, "g", "x", QS, k=256)
+        for grp in ["x", "y"]:
+            sub = out[out["g"] == grp].sort_values("q")
+            for q, e in zip(QS, sub["value"].to_numpy()):
+                assert abs(rank_of(v[g == grp], e) - q) < 8.0 / 256
+
+    def test_empty(self, ray_session):
+        import ray.data as rd
+        from packcol.stages.sketch import kll_quantiles_by
+        t = pa.table({"g": pa.array([], pa.string()),
+                      "x": pa.array([], pa.float64())})
+        out = kll_quantiles_by(rd.from_arrow(t), "g", "x", [0.5])
+        assert len(out) == 0
