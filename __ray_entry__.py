@@ -1609,6 +1609,29 @@ def queries() -> dict[str, Callable[[str], Any]]:
             .map_batches(final, batch_format="pyarrow")
     q["image_codec_dims"] = image_codec_dims
 
+    def video_frames_meta(sf):
+        """Video frame-sampling plumbing (rows-only by design: the
+        per-frame features aren't SQL-expressible): concatenated-PNM
+        "videos" demuxed for real, every-2nd-frame features as a list
+        column.  Frame counts follow the fixture's closed form
+        (2 + vid_id % 5), pinned by tests/test_media.py."""
+        import ray.data as rd
+        import pyarrow.compute as pc
+        from packcol.sources.media_fixture import videos_table
+        from packcol.stages.multimodal import VideoFrameSampleStage
+
+        def final(b: pa.Table) -> pa.Table:
+            return pa.table({
+                "vid_id": b.column("vid_id"),
+                "n_frames": b.column("n_frames").cast(pa.int64()),
+                "n_sampled": pc.list_value_length(
+                    b.column("frame_features")).cast(pa.int64())})
+        return rd.from_arrow(videos_table(n_rows=16)).map_batches(
+            VideoFrameSampleStage(every=2, max_frames=8),
+            batch_format="pyarrow", batch_size=8, concurrency=2,
+            num_cpus=1).map_batches(final, batch_format="pyarrow")
+    q["video_frames_meta"] = video_frames_meta
+
     # --- codec auto-selection decisions (deterministic) ------------------
     # The decision is a pure function of the column stats, so the sf0.01
     # expectations can be PINNED as a VALUES oracle — a driver-checkable
@@ -1710,6 +1733,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         #   head by customers_without_orders)
         "blocklist_filter",
         # (a) rows-only by design
+        "video_frames_meta",
         "minhash_pairs_est", "simhash_pairs_hamming", "langid",
         "fingerprint", "embedding_dedup_lsh", "ann_ivf", "ann_lsh",
         "ngram_dedup_scores", "curate_documents_near",

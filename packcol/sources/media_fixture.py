@@ -117,3 +117,22 @@ def images_table_formats(n_rows: int = 36, n_distinct: int = 12,
                            for i in range(n_rows)],
                           type=pa.large_binary()),
     })
+
+
+def make_video(i: int, seed: int = 0) -> bytes:
+    """Deterministic "video": ``2 + i % 5`` concatenated P5/P6 frames
+    (dims of content id ``i % 8``), the library-free stand-in container
+    the frame-sample stage demuxes (decode_pnm_stream)."""
+    n_frames = 2 + i % 5
+    return b"".join(make_image(i % 8, seed=seed * 31 + f)
+                    for f in range(n_frames))
+
+
+def videos_table(n_rows: int = 16) -> pa.Table:
+    """(vid_id:int64, video:large_binary); frame count per row is the
+    closed form ``2 + vid_id % 5``."""
+    return pa.table({
+        "vid_id": pa.array(range(n_rows), type=pa.int64()),
+        "video": pa.array([make_video(i) for i in range(n_rows)],
+                          type=pa.large_binary()),
+    })

@@ -227,3 +227,18 @@ def test_media_fixture_formulas_and_determinism(ray_session):
     assert make_audio(3)[:4] == b"RIFF"
     assert make_image(1) == make_image(1, seed=0)
     assert make_image(1) != make_image(1, seed=9)
+
+
+def test_video_fixture_frame_counts(ray_session):
+    import ray.data as rd
+    import pyarrow.compute as pc
+    from packcol.sources.media_fixture import videos_table
+    from packcol.stages.multimodal import VideoFrameSampleStage
+    out = rd.from_arrow(videos_table(n_rows=16)).map_batches(
+        VideoFrameSampleStage(every=2, max_frames=8),
+        batch_format="pyarrow", batch_size=8).to_pandas()
+    assert len(out) == 16
+    for _, row in out.iterrows():
+        n = 2 + row["vid_id"] % 5
+        assert row["n_frames"] == n
+        assert len(row["frame_features"]) == min(-(-n // 2), 8)
