@@ -1491,6 +1491,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
                              k=1 << 17)
     q["kll_quantiles_nchars"] = kll_quantiles_nchars
 
+    # --- Misra-Gries heavy hitters (stages/sketch.py) ---------------------
+    def heavy_hitters_langs(sf):
+        """Mergeable Misra-Gries summary in its exactness-forcing
+        configuration (k >= #distinct: no counter is ever pruned, so
+        err_ub == 0 and count_lo == count_ub == the exact count) —
+        oracle-able as a plain GROUP BY.  The pruned (k << distinct)
+        regime's deterministic bounds are pinned in
+        tests/test_sketch.py::TestHeavyHitters."""
+        from packcol.stages.sketch import heavy_hitters
+        ds = _read(sf, "documents", ["lang"])
+        out = heavy_hitters(ds, "lang", k=64)
+        assert out.attrs["err_ub"] == 0
+        return out
+    q["heavy_hitters_langs"] = heavy_hitters_langs
+
     # --- multimodal (image/audio) driver checks ---------------------------
     # The synthetic P5/P6 + WAV fixtures (sources/media_fixture.py) derive
     # every checked property from a closed-form formula of the row id, so
@@ -1728,6 +1743,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         #   sessionize / user_event_pivot)
         "quantiles_nchars", "label_centroids", "events_by_type_salted",
         "user_running_total",
+        #   column_profile: green r3+r4 (exiled r5 for
+        #   heavy_hitters_langs — the profile family stays anchored by
+        #   quantiles_nchars_by_lang + kll_quantiles_nchars in the head)
+        "column_profile",
         #   blocklist_filter: green r2+r3 (exiled r4 for
         #   annotate_tokens — the anti-join shape stays covered in the
         #   head by customers_without_orders)
@@ -2052,6 +2071,9 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT CAST({qq} AS DOUBLE) AS q, "
             f"quantile_disc(n_chars, {qq}) AS value FROM documents"
             for qq in (0.25, 0.5, 0.75, 0.9))),
+        "heavy_hitters_langs": (
+            "SELECT lang, COUNT(*) AS count_lo, COUNT(*) AS count_ub "
+            "FROM documents GROUP BY lang"),
         # KLL returns float64 values (sketch domain); cast the oracle
         "kll_quantiles_nchars": (" UNION ALL ".join(
             f"SELECT CAST({qq} AS DOUBLE) AS q, "

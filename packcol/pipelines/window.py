@@ -1018,6 +1018,10 @@ def global_top_k(ds, sort_cols, ascending, k: int):
 
     parts = ds.map_batches(partial, batch_format="pyarrow",
                            zero_copy_batch=True).to_pandas()
+    if len(parts) == 0 and not set(sort_cols) <= set(parts.columns):
+        # Ray's to_pandas drops columns on all-empty datasets
+        import pandas as pd
+        return pd.DataFrame({c: [] for c in sort_cols})
     return parts.sort_values(sort_cols, ascending=ascending,
                              kind="mergesort").head(k) \
         .reset_index(drop=True)

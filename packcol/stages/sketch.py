@@ -280,3 +280,83 @@ def kll_quantiles_by(ds, by: str, col: str, qs: list[float],
     if len(out) == 0 or "value" not in out.columns:
         return pd.DataFrame({by: [], "q": [], "value": []})
     return out.sort_values([by, "q"]).reset_index(drop=True)
+
+
+def heavy_hitters(ds, col: str, k: int = 100):
+    """Misra–Gries heavy hitters with DETERMINISTIC error bounds — the
+    rigorous companion to the bounded top-k combiner
+    (pipelines/window.py::global_top_k / token_histogram, which keep
+    exact counts only for values that stay in every batch's local
+    top-k).  Mergeable-summaries form (Agarwal et al., PODS'12 —
+    public algorithm): each batch reduces to exact value counts
+    (np.unique), pruned to k counters by subtracting the (k+1)-th
+    largest count; the subtracted amount is the batch's error bound,
+    carried as an is_err-flagged row (placeholder key: Ray's
+    sort-based groupby rejects null string keys).  One groupby merges
+    counters (<= k x batches distinct keys, distributed) and one tiny
+    aggregate sums the error rows; the driver sees only the pruned
+    top-k plus one number.
+
+    Guarantees (from summing per-batch MG bounds):
+      * count_lo <= true count <= count_lo + err_ub for every value
+      * err_ub <= n / (k+1)
+      * every value with true count > err_ub appears in the summary
+        (so any value with frequency > 1/(k+1) is guaranteed caught)
+
+    Returns pandas (value, count_lo, count_ub) sorted by count_lo
+    desc, with .attrs["err_ub"] the global error bound."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        arr = batch.column(col)
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        if arr.null_count:
+            arr = arr.drop_null()
+        v = arr.to_numpy(zero_copy_only=False)
+        vals, cnt = np.unique(v, return_counts=True)
+        cnt = cnt.astype(np.int64)
+        err = 0
+        if len(vals) > k:
+            thresh = np.partition(cnt, len(cnt) - (k + 1))[
+                len(cnt) - (k + 1)]
+            keep = cnt > thresh
+            vals, cnt = vals[keep], cnt[keep] - thresh
+            err = int(thresh)
+        flags = np.zeros(len(vals), dtype=bool)
+        if err:
+            # placeholder key (first survivor), filtered out pre-groupby
+            vals = np.concatenate([vals, vals[:1]])
+            cnt = np.concatenate([cnt, [err]])
+            flags = np.concatenate([flags, [True]])
+        return pa.table({col: pa.array(vals, type=arr.type),
+                         "c": cnt, "is_err": flags})
+
+    import pyarrow.compute as pc
+    # bounded: <= (k+1) rows per batch; materialize once, consume twice
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True).materialize()
+    err_ub = 0
+    for b in partials.map_batches(
+            lambda t: t.filter(pc.field("is_err")).select(["c"]),
+            batch_format="pyarrow").iter_batches(batch_format="pyarrow"):
+        err_ub += int(pc.sum(b.column("c")).as_py() or 0)
+    merged = (partials.map_batches(
+        lambda t: t.filter(pc.invert(pc.field("is_err")))
+        .select([col, "c"]), batch_format="pyarrow")
+        .groupby(col).aggregate(Sum("c", alias_name="c")))
+    # bounded: <= k rows survive global_top_k's per-batch partials
+    from ..pipelines.window import global_top_k
+    top = global_top_k(merged, ["c", col], [False, True], k)
+    if len(top) == 0 or col not in top.columns:
+        out = pd.DataFrame({col: [], "count_lo": [], "count_ub": []})
+        out.attrs["err_ub"] = err_ub
+        return out
+    top = top.head(k)
+    out = pd.DataFrame({
+        col: top[col].to_numpy(),
+        "count_lo": top["c"].to_numpy().astype(np.int64),
+        "count_ub": top["c"].to_numpy().astype(np.int64) + err_ub})
+    out.attrs["err_ub"] = err_ub
+    return out.reset_index(drop=True)

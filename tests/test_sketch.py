@@ -170,3 +170,52 @@ class TestKLLGrouped:
                       "x": pa.array([], pa.float64())})
         out = kll_quantiles_by(rd.from_arrow(t), "g", "x", [0.5])
         assert len(out) == 0
+
+
+class TestHeavyHitters:
+    def test_exact_when_distinct_fits(self, ray_session):
+        import ray.data as rd
+        from packcol.stages.sketch import heavy_hitters
+        rng = np.random.default_rng(41)
+        v = rng.choice([f"t{i}" for i in range(20)], size=5000,
+                       p=np.r_[0.5, np.full(19, 0.5 / 19)])
+        ds = rd.from_arrow(pa.table({"tok": v})).repartition(8)
+        out = heavy_hitters(ds, "tok", k=64)
+        assert out.attrs["err_ub"] == 0
+        exact = {t: int((v == t).sum()) for t in set(v)}
+        got = dict(zip(out["tok"], out["count_lo"]))
+        assert got == {t: c for t, c in exact.items()
+                       if t in got}
+        assert out["count_lo"].iloc[0] == exact["t0"]
+
+    def test_bounds_contain_truth_when_pruned(self, ray_session):
+        import ray.data as rd
+        from packcol.stages.sketch import heavy_hitters
+        rng = np.random.default_rng(43)
+        # zipf-ish: few heavy tokens over a wide tail
+        heavy = np.repeat([f"h{i}" for i in range(5)], 3000)
+        tail = np.array([f"x{i}" for i in
+                         rng.integers(0, 50_000, 60_000)])
+        v = rng.permutation(np.concatenate([heavy, tail]))
+        n = len(v)
+        ds = rd.from_arrow(pa.table({"tok": v})).repartition(12)
+        k = 50
+        out = heavy_hitters(ds, "tok", k=k)
+        assert 0 < out.attrs["err_ub"] <= n // (k + 1) + 1
+        got = dict(zip(out["tok"], zip(out["count_lo"],
+                                       out["count_ub"])))
+        for i in range(5):  # every heavy token caught, bounds valid
+            lo, ub = got[f"h{i}"]
+            assert lo <= 3000 <= ub
+
+    def test_empty_and_nulls(self, ray_session):
+        import ray.data as rd
+        from packcol.stages.sketch import heavy_hitters
+        t = pa.table({"tok": pa.array([None, "a", None, "a", "b"],
+                                      pa.string())})
+        out = heavy_hitters(rd.from_arrow(t), "tok", k=8)
+        assert dict(zip(out["tok"], out["count_lo"])) == \
+            {"a": 2, "b": 1}
+        e = pa.table({"tok": pa.array([], pa.string())})
+        out = heavy_hitters(rd.from_arrow(e), "tok", k=8)
+        assert len(out) == 0
