@@ -809,6 +809,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
             dim_filter=("c_mktsegment", "==", "BUILDING"))
     q["join_encoded_store"] = join_encoded_store
 
+    def merge_join_stores(sf):
+        """Zone-aligned merge join (pipelines/join.py::
+        merge_join_clustered): large ⋈ large over two stores clustered
+        on the join key with NO shuffle — part pairs planned purely
+        from manifest zone overlap, each task decodes one left part
+        plus only the right rows inside its runtime key span
+        (packed-code range pushdown).  The third physical join
+        strategy next to broadcast (join_encoded / orders_by_nation)
+        and hash-shuffle (revenue_by_brand)."""
+        from packcol.pipelines.cluster import cluster_store
+        from packcol.pipelines.join import merge_join_clustered
+        osrc = _encoded_store(sf, "orders")
+        csrc = _encoded_store(sf, "customer")
+        oclu, cclu = osrc + "_by_cust", csrc + "_by_cust"
+        cluster_store(osrc, oclu, "o_custkey")  # marker-resumable
+        cluster_store(csrc, cclu, "c_custkey")
+        return merge_join_clustered(
+            oclu, cclu, on="o_custkey", right_on="c_custkey",
+            left_columns=["o_orderkey", "o_orderstatus"],
+            right_columns=["c_nationkey", "c_mktsegment"])
+    q["merge_join_stores"] = merge_join_stores
+
     def store_sink_roundtrip(sf):
         # write_encoded: ANY Dataset (here: a filtered projection — a
         # pipeline result, not a file) streams into a store readable by
@@ -1747,6 +1769,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         #   heavy_hitters_langs — the profile family stays anchored by
         #   quantiles_nchars_by_lang + kll_quantiles_nchars in the head)
         "column_profile",
+        #   orders_by_nation: green r3+r4 (exiled r5 for
+        #   merge_join_stores — the broadcast-join shape stays covered
+        #   in the head by join_encoded_store +
+        #   local_supplier_volume_q5; the head now carries all three
+        #   physical join strategies: broadcast, hash-shuffle, and the
+        #   new zone-aligned merge)
+        "orders_by_nation",
         #   blocklist_filter: green r2+r3 (exiled r4 for
         #   annotate_tokens — the anti-join shape stays covered in the
         #   head by customers_without_orders)
@@ -2092,6 +2121,10 @@ def oracle_sql() -> dict[str, str]:
             "c.c_name, c.c_mktsegment FROM orders o JOIN customer c "
             "ON o.o_custkey = c.c_custkey "
             "WHERE c.c_mktsegment = 'BUILDING'"),
+        "merge_join_stores": (
+            "SELECT o.o_orderkey, o.o_orderstatus, o.o_custkey, "
+            "c.c_nationkey, c.c_mktsegment FROM orders o "
+            "JOIN customer c ON o.o_custkey = c.c_custkey"),
         "image_codec_dims": (
             "SELECT CAST(img_id AS BIGINT) AS img_id, "
             "CASE ((img_id % 12) % 3) WHEN 0 THEN 'png' "

@@ -20,6 +20,8 @@ the join output — the dedup/curation workhorses.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pyarrow as pa
 
@@ -291,3 +293,227 @@ def join_encoded(fact_store: str, dim_store: str, on, *, right_on=None,
     return broadcast_join(fact, dim_t, on, right_on,
                           join_type=join_type, right_suffix=right_suffix,
                           max_broadcast_bytes=max_broadcast_bytes)
+
+
+# ---------------------------------------------------------------------------
+# zone-aligned merge join (clustered store ⋈ clustered store, no shuffle)
+# ---------------------------------------------------------------------------
+
+def merge_join_plan(left_store: str, right_store: str, on: str,
+                    right_on: str | None = None) -> dict:
+    """Plan a large ⋈ large join of two encoded stores from their
+    lineage manifests ALONE — zero payload reads.
+
+    Both stores should be clustered on the join key
+    (``pipelines/cluster.py::cluster_store``): each part then carries a
+    (near-)disjoint key zone, and a left part can only match right
+    parts whose zone interval overlaps its own.  The plan is the
+    overlap pairing: one work item per left part, listing the right
+    parts it may join.  Any row-level match is provably inside the
+    pairing — a right part containing key k has zone.min <= k <=
+    zone.max, so it overlaps every left part whose zone contains k.
+
+    Parts without a key zone (all-null key, >256-char strings, older
+    stores) are handled conservatively, never lossily: an unzoned
+    right part joins EVERY left item; an unzoned left part lists every
+    right part.  Zone-kind mismatches (e.g. int vs str key) degrade
+    the same way.
+
+    Returns {"items": [{"lpath", "rpaths"}], "pairs", "max_fanout",
+    "left_parts", "right_parts", "unzoned_left", "unzoned_right"}.
+    On two well-clustered stores max_fanout is O(1) regardless of
+    store size — the all-to-all shuffle a hash join would need never
+    happens; at 10^6 parts per side the plan is one manifest sweep."""
+    from ..state.manifest import Manifest
+
+    def _zoned(store, key):
+        zones = {m["part_id"]: m.get("zones", {}).get(key)
+                 for m in Manifest(store).load_all()}
+        zoned, unzoned = [], []
+        for f in sorted(os.listdir(store)):
+            if not f.endswith(".parquet"):
+                continue
+            pid = f[len("part-"):-len(".parquet")] \
+                if f.startswith("part-") else None
+            z = zones.get(pid)
+            path = os.path.join(store, f)
+            if z is None:
+                unzoned.append(path)
+            else:
+                zoned.append((z["min"], z["max"], z.get("kind"), path))
+        return zoned, unzoned
+
+    right_on = right_on or on
+    lz, lu = _zoned(left_store, on)
+    rz, ru = _zoned(right_store, right_on)
+    kinds = {k for _, _, k, _ in lz} | {k for _, _, k, _ in rz}
+    if len(kinds) > 1:
+        # physically incomparable zones: conservative all-pairs
+        lu += [p for *_, p in lz]
+        ru += [p for *_, p in rz]
+        lz, rz = [], []
+    lz.sort(key=lambda t: t[0])
+    rz.sort(key=lambda t: t[0])
+    items, pairs, max_fanout = [], 0, 0
+    lo = 0
+    rmins = [t[0] for t in rz]
+    import bisect
+    for lmin, lmax, _, lpath in lz:
+        # rights with rmin <= lmax, front-pruned while provably dead
+        # (lmin is non-decreasing, so a front right with rmax < lmin
+        # can never match any later left either)
+        while lo < len(rz) and rz[lo][1] < lmin:
+            lo += 1
+        hi = bisect.bisect_right(rmins, lmax)
+        rpaths = [rz[i][3] for i in range(lo, hi) if rz[i][1] >= lmin]
+        rpaths += ru
+        items.append({"lpath": lpath, "rpaths": rpaths})
+        pairs += len(rpaths)
+        max_fanout = max(max_fanout, len(rpaths))
+    all_right = [t[3] for t in rz] + ru
+    for lpath in lu:
+        items.append({"lpath": lpath, "rpaths": list(all_right)})
+        pairs += len(all_right)
+        max_fanout = max(max_fanout, len(all_right))
+    return {"items": items, "pairs": pairs, "max_fanout": max_fanout,
+            "left_parts": len(lz) + len(lu), "right_parts": len(all_right),
+            "unzoned_left": len(lu), "unzoned_right": len(ru)}
+
+
+class _MergeJoinPart:
+    """Task: one work item = (left part, overlapping right parts).
+    Decodes the left part (projection only), takes the RUNTIME min/max
+    of its key column, and reads the right parts through the encoded
+    predicate pushdown with that range — right rows outside the left
+    part's actual key span are masked on packed codes and never
+    decode.  One in-memory pyarrow join per item; left-row-preserving
+    join types only, so per-part processing is exact (every left row
+    lives in exactly one part, and the plan guarantees all its
+    matching right rows are in the item)."""
+
+    def __init__(self, on: str, right_on: str, left_columns, right_columns,
+                 join_type: str, right_suffix: str,
+                 left_schema: "pa.Schema", right_schema: "pa.Schema"):
+        self.on, self.right_on = on, right_on
+        self.left_columns = left_columns
+        self.right_columns = right_columns
+        self.join_type = join_type
+        self.right_suffix = right_suffix
+        self.left_schema = left_schema
+        self.right_schema = right_schema
+
+    def _empty(self, schema: "pa.Schema", columns) -> pa.Table:
+        names = columns if columns is not None else schema.names
+        return pa.table({n: pa.array([], schema.field(n).type)
+                         for n in names})
+
+    def _joined_empty(self) -> pa.Table:
+        return self._empty(self.left_schema, self.left_columns).join(
+            self._empty(self.right_schema, self.right_columns),
+            keys=[self.on], right_keys=[self.right_on],
+            join_type=self.join_type, right_suffix=self.right_suffix)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        from .encode_pipeline import DecodePartFile, EncodedFilterPart
+        left_dec = DecodePartFile(self.left_columns)
+        outs = []
+        for row in batch.to_pylist():
+            left = left_dec(pa.table({"path": [row["lpath"]]}))
+            if self.left_columns is not None:
+                have = set(left.column_names)
+                if any(c not in have for c in self.left_columns):
+                    continue  # heterogeneous store: other table's part
+                left = left.select(self.left_columns)
+            if left.num_rows == 0:
+                continue
+            key = left.column(self.on)
+            nonnull = len(key) - key.null_count
+            right = None
+            if nonnull > 0 and row["rpaths"]:
+                mm = pc.min_max(key)
+                rdec = EncodedFilterPart(
+                    None, None, list(self.right_columns
+                                     if self.right_columns is not None
+                                     else self.right_schema.names),
+                    preds=[(self.right_on, "range",
+                            mm["min"].as_py(), mm["max"].as_py())])
+                right = rdec(pa.table({"path": list(row["rpaths"])}))
+            if right is None or right.num_rows == 0:
+                if self.join_type in ("inner", "left semi"):
+                    continue
+                right = self._empty(self.right_schema, self.right_columns)
+            outs.append(left.join(
+                right, keys=[self.on], right_keys=[self.right_on],
+                join_type=self.join_type, right_suffix=self.right_suffix))
+        if not outs:
+            return self._joined_empty()
+        return pa.concat_tables(outs, promote_options="permissive")
+
+
+_LEFT_PRESERVING = ("inner", "left outer", "left semi", "left anti")
+
+
+def merge_join_clustered(left_store: str, right_store: str, on: str, *,
+                         right_on: str | None = None,
+                         join_type: str = "inner",
+                         left_columns: list[str] | None = None,
+                         right_columns: list[str] | None = None,
+                         right_suffix: str = "_r",
+                         max_fanout: int = 64,
+                         cpus_per_task: float = 1):
+    """Zone-aligned merge join: large ⋈ large over two encoded stores
+    clustered on the join key, with NO shuffle — the third physical
+    join strategy next to ``broadcast_join`` (small dim) and
+    ``shuffle_join`` (unclustered large ⋈ large).
+
+    The plan (``merge_join_plan``) pairs parts by manifest zone
+    overlap; each task decodes one left part plus only the right rows
+    inside its runtime key span (packed-code range pushdown), then
+    joins in memory.  On two clustered stores each task touches O(1)
+    right parts, so joining two 100 TB stores streams both sides
+    exactly once with no all-to-all exchange — the map-side merge the
+    classic sort-merge join does after ITS shuffle, with the sort
+    amortized into the stores' physical layout (cluster_store).
+
+    Only left-row-preserving join types are supported (inner /
+    left outer / left semi / left anti): per-part processing emits
+    each left row exactly once.  Right/full outer need right-row
+    accounting across items — use shuffle_join.
+
+    ``max_fanout`` guards against unclustered inputs: if any left part
+    overlaps more right parts, the plan is degenerating toward
+    all-pairs and the call refuses with guidance (re-cluster or use
+    shuffle_join) instead of silently running an O(L x R) join."""
+    import ray.data as rd
+    from ..sources.encoded import encoded_schema
+    from .encode_pipeline import _cluster_cpus
+    if join_type not in _LEFT_PRESERVING:
+        raise ValueError(
+            f"merge_join_clustered supports {_LEFT_PRESERVING}; "
+            f"got {join_type!r} — use shuffle_join for right/full outer")
+    right_on = right_on or on
+    lschema, rschema = encoded_schema(left_store), encoded_schema(right_store)
+    if left_columns is not None:
+        left_columns = list(dict.fromkeys(list(left_columns) + [on]))
+    if right_columns is not None:
+        right_columns = list(dict.fromkeys(
+            list(right_columns) + [right_on]))
+    plan = merge_join_plan(left_store, right_store, on, right_on)
+    if plan["max_fanout"] > max_fanout:
+        raise ValueError(
+            f"merge join fanout {plan['max_fanout']} exceeds "
+            f"max_fanout={max_fanout}: the stores are not clustered "
+            f"enough on {on!r}/{right_on!r} "
+            f"(unzoned_left={plan['unzoned_left']}, "
+            f"unzoned_right={plan['unzoned_right']}). Re-cluster with "
+            "cluster_store or use shuffle_join.")
+    items = plan["items"]
+    join_task = _MergeJoinPart(on, right_on, left_columns, right_columns,
+                               join_type, right_suffix, lschema, rschema)
+    if not items:
+        return rd.from_arrow(join_task._joined_empty())
+    nb = min(len(items), max(4 * _cluster_cpus(), 16))
+    return rd.from_items(items, override_num_blocks=nb).map_batches(
+        join_task, batch_size=None, batch_format="pyarrow",
+        num_cpus=cpus_per_task)
