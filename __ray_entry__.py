@@ -793,6 +793,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
             filter=("user_id", "between", 3, 9))
     q["agg_encoded_events"] = agg_encoded_events
 
+    def count_distinct_users(sf):
+        """COUNT(DISTINCT user_id) GROUP BY event_type over the
+        encoded store (sources/encoded.py::count_distinct_encoded):
+        per-part distinct pairs dedupe on dict INT CODES in the
+        encoded domain (only surviving distinct values decode), one
+        distributed groupby removes cross-part duplicates, a
+        combiner-merged count finishes — the driver never holds a
+        distinct set, and no stage's state exceeds one group's
+        distinct pairs."""
+        from packcol.sources.encoded import count_distinct_encoded
+        out = _encoded_store(sf, "events")
+        return count_distinct_encoded(
+            out, "user_id", group_by="event_type",
+            filter=("value", "between", 0.0, 500.0), out="n_users")
+    q["count_distinct_users"] = count_distinct_users
+
     def join_encoded_store(sf):
         """Store-native fact ⋈ dim (pipelines/join.py::join_encoded):
         BOTH sides read via the encoded-store source with projection +
@@ -1776,6 +1792,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         #   physical join strategies: broadcast, hash-shuffle, and the
         #   new zone-aligned merge)
         "orders_by_nation",
+        #   redact_digits: green r3+r4 (exiled r5 for
+        #   count_distinct_users — regex/text functions stay covered
+        #   in the head by langid_counts + fingerprint_checksum +
+        #   annotate_tokens)
+        "redact_digits",
         #   blocklist_filter: green r2+r3 (exiled r4 for
         #   annotate_tokens — the anti-join shape stays covered in the
         #   head by customers_without_orders)
@@ -2001,6 +2022,10 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_type, COUNT(*) AS n, MIN(value) AS vmin, "
             "MAX(value) AS vmax FROM events "
             "WHERE user_id BETWEEN 3 AND 9 GROUP BY event_type"),
+        "count_distinct_users": (
+            "SELECT event_type, COUNT(DISTINCT user_id) AS n_users "
+            "FROM events WHERE value BETWEEN 0.0 AND 500.0 "
+            "GROUP BY event_type"),
         "store_sink_roundtrip": (
             "SELECT doc_id, lang, n_chars FROM documents "
             "WHERE lang = 'en'"),

@@ -306,6 +306,12 @@ def main() -> None:
         t_q, _ = timed2(
             lambda: _materialize(_qs["join_encoded_store"](SF_DIR)))
         queries["join_encoded_store"] = round(t_q, 3)
+        # zone-aligned merge join: large x large over two clustered
+        # stores, no shuffle (first call pays the one-time clustering;
+        # timed2's min-of-2 reports the steady re-query cost)
+        t_q, _ = timed2(
+            lambda: _materialize(_qs["merge_join_stores"](SF_DIR)))
+        queries["merge_join_stores"] = round(t_q, 3)
         for name in ("pricing_summary", "revenue_by_brand",
                      "asof_prev_purchase", "events_hourly",
                      "sessionize", "top_event_per_user"):

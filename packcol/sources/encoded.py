@@ -547,6 +547,32 @@ class _AggPart:
                          for n, t in fields.items()})
 
 
+def _pruned_part_files(store_dir: str, preds: list[tuple],
+                       mode: str) -> list[dict]:
+    """Part files surviving zone + bloom pruning for a normalized
+    predicate list — AND intersects per-predicate survivors, OR unions
+    per-disjunct (zone ∩ bloom) survivors.  The shared planning step of
+    every encoded-domain scan (agg / count-distinct)."""
+    from ..pipelines.encode_pipeline import _bloom_prune, _pred_survivors
+    if mode == "or" and preds:
+        keep: set[str] = set()
+        for pred in preds:  # union of per-disjunct zone∩bloom survivors
+            surv = _bloom_prune(store_dir,
+                                _pred_survivors(store_dir, pred), [pred])
+            keep |= {f["path"] for f in surv}
+        return [{"path": p} for p in sorted(keep)]
+    paths = None
+    for pred in preds:
+        surv = {f["path"] for f in _pred_survivors(store_dir, pred)}
+        paths = surv if paths is None else (paths & surv)
+    if paths is None:
+        paths = set(_part_files(store_dir))
+    files = [{"path": p} for p in sorted(paths)]
+    if preds:
+        files = _bloom_prune(store_dir, files, preds)
+    return files
+
+
 def agg_encoded(store_dir: str, *, group_by: str | None = None,
                 aggs: dict, filter: tuple | None = None,
                 filter_any: list | None = None):
@@ -572,8 +598,6 @@ def agg_encoded(store_dir: str, *, group_by: str | None = None,
     Returns a ``ray.data.Dataset`` with columns ``[group_by, *aggs]``
     (or a one-row Dataset without ``group_by``)."""
     from ray.data.aggregate import Max, Min, Sum
-
-    from ..pipelines.encode_pipeline import _bloom_prune, _pred_survivors
 
     for out, spec in aggs.items():
         if spec[0] not in ("count", "sum", "min", "max", "avg"):
@@ -609,23 +633,7 @@ def agg_encoded(store_dir: str, *, group_by: str | None = None,
         fast = _agg_from_manifests(store_dir, aggs)
         if fast is not None:
             return rd.from_arrow(fast)
-    if mode == "or" and preds:
-        keep: set[str] = set()
-        for pred in preds:  # union of per-disjunct zone∩bloom survivors
-            surv = _bloom_prune(store_dir,
-                                _pred_survivors(store_dir, pred), [pred])
-            keep |= {f["path"] for f in surv}
-        files = [{"path": p} for p in sorted(keep)]
-    else:
-        paths = None
-        for pred in preds:
-            surv = {f["path"] for f in _pred_survivors(store_dir, pred)}
-            paths = surv if paths is None else (paths & surv)
-        if paths is None:
-            paths = set(_part_files(store_dir))
-        files = [{"path": p} for p in sorted(paths)]
-        if preds:
-            files = _bloom_prune(store_dir, files, preds)
+    files = _pruned_part_files(store_dir, preds, mode)
     task = _AggPart(group_by, aggs, preds, mode)
     if not files:
         empty = task._typed_empty(task._partial_specs()[1], {})
@@ -663,6 +671,227 @@ def agg_encoded(store_dir: str, *, group_by: str | None = None,
         return pa.table(cols)
 
     return res.map_batches(_finish_avg, batch_format="pyarrow")
+
+
+class _DistinctPairsPart:
+    """Task: per-part DISTINCT (group, value) pairs from the encoded
+    domain — the map-side pre-reduce of COUNT(DISTINCT col).
+
+    Encoded-domain wins mirror ``_AggPart``: predicate masks evaluate
+    on packed codes; null-free dict-codec columns dedupe on their INT
+    CODES and only the SURVIVING distinct codes' values decode (a part
+    with 10^6 rows but 40 distinct (lang, user) pairs decodes 40
+    values).  Null values drop before the shuffle (SQL
+    COUNT(DISTINCT) ignores them); null GROUP keys are kept (SQL
+    GROUP BY groups them).  Emits O(per-part distinct pairs) rows —
+    the only data that ever shuffles."""
+
+    def __init__(self, group_by: str | None, column: str,
+                 preds: list[tuple], mode: str = "and"):
+        self.group_by = group_by
+        self.column = column
+        self.preds = preds
+        self.mode = mode
+
+    def _typed_empty(self, out_types: dict) -> pa.Table:
+        cols = {}
+        if self.group_by is not None:
+            cols["__gf"] = pa.array(
+                [], out_types.get(self.group_by, pa.string()))
+            cols["__gv"] = pa.array([], pa.bool_())
+        cols[self.column] = pa.array(
+            [], out_types.get(self.column, pa.string()))
+        return pa.table(cols)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import numpy as np
+        from ..codecs import EncodedColumn, decode_any
+        from ..codecs.access import _dict_codes, eval_pred
+        from ..codecs.base import str_to_type
+        from ..codecs.dictionary import ipc_deserialize_array
+        from ..pipelines.encode_pipeline import _bloom_disproves
+
+        pred_cols = {c for c, *_ in self.preds}
+        hard = {self.column} | \
+            ({self.group_by} if self.group_by else set())
+        needed = sorted(pred_cols | hard)
+        outs, out_types = [], {}
+        for p in batch.column("path").to_pylist():
+            if self.preds and self.mode == "and":
+                skip = _bloom_disproves(p, self.preds)
+            elif self.preds:
+                skip = all(op in ("eq", "in")
+                           for _, op, *_ in self.preds) and \
+                    all(_bloom_disproves(p, [pr]) for pr in self.preds)
+            else:
+                skip = False
+            if skip:
+                continue
+            enc_rows = pq.read_table(p, filters=[("column", "in", needed)])
+            names = enc_rows.column("column").to_pylist()
+            if any(c not in names for c in hard):
+                continue  # heterogeneous store: part holds another table
+            missing_pred = [c for c in pred_cols if c not in names]
+            if missing_pred and (self.mode == "and" or
+                                 len(missing_pred) == len(pred_cols)):
+                continue
+            enc_of = {}
+            for i, name in enumerate(names):
+                enc_of[name] = EncodedColumn.from_row(
+                    {k: enc_rows.column(k)[i].as_py() for k in
+                     ("codec", "n_values", "params", "payload")})
+                enc_of[name].base_dir = os.path.dirname(p)
+            mask = None
+            for pred in self.preds:
+                if pred[0] not in enc_of:
+                    continue  # OR: absent-column disjunct is all-false
+                m = eval_pred(enc_of[pred[0]], pred)
+                if mask is None:
+                    mask = m
+                elif self.mode == "and":
+                    mask = mask & m
+                else:
+                    mask = mask | m
+                if self.mode == "and" and not mask.any():
+                    break
+                if self.mode == "or" and mask.all():
+                    break
+            if mask is not None and not mask.any():
+                continue
+            sel = pa.array(np.flatnonzero(mask)) if mask is not None \
+                else None
+
+            def _col(name):
+                """(array-or-codes, mapping): dict codecs without a
+                validity bitmap stay as int codes + their vocab."""
+                enc = enc_of[name]
+                dt = enc.params.get("dtype")
+                if dt is not None:
+                    out_types[name] = str_to_type(dt)
+                if enc.codec == "dict" and \
+                        not enc.buffers.get("validity", b""):
+                    codes = _dict_codes(enc).astype(np.int64, copy=False)
+                    arr = pa.array(codes)
+                    mapping = ipc_deserialize_array(enc.buffers["aux"])
+                else:
+                    arr, mapping = decode_any(enc), None
+                return (arr.take(sel) if sel is not None else arr,
+                        mapping)
+
+            varr, vmap = _col(self.column)
+            cols, keys = {}, []
+            if self.group_by is not None:
+                garr, gmap = _col(self.group_by)
+                cols["__g"], keys = garr, ["__g"]
+            cols["__v"] = varr
+            keys.append("__v")
+            tbl = pa.table(cols)
+            if varr.null_count:
+                # SQL: COUNT(DISTINCT) ignores null values
+                import pyarrow.compute as pc
+                tbl = tbl.filter(pc.is_valid(tbl.column("__v")))
+            if tbl.num_rows == 0:
+                continue
+            ded = tbl.group_by(keys).aggregate([])
+            out_cols = {}
+            if self.group_by is not None:
+                import pyarrow.compute as pc
+                g = ded.column("__g")
+                if gmap is not None:
+                    g = gmap.take(g)
+                # Ray's sort-based shuffle can't order null keys: ship
+                # the group as (filled value, validity bit) and let the
+                # caller restore nulls after the merge — SQL GROUP BY
+                # keeps the null group
+                valid = pc.is_valid(g)
+                out_cols["__gf"] = pc.fill_null(
+                    g, _null_fill_scalar(g.type))
+                out_cols["__gv"] = valid
+            v = ded.column("__v")
+            out_cols[self.column] = vmap.take(v) if vmap is not None \
+                else v
+            outs.append(pa.table(out_cols))
+        if not outs:
+            return self._typed_empty(out_types)
+        return pa.concat_tables(outs, promote_options="permissive")
+
+
+def _null_fill_scalar(typ: pa.DataType):
+    """A type-correct placeholder for null group keys while they
+    transit Ray's sort-based shuffle (the validity bit travels beside
+    it; the value itself never surfaces)."""
+    if pa.types.is_string(typ) or pa.types.is_large_string(typ):
+        return pa.scalar("", typ)
+    if pa.types.is_binary(typ) or pa.types.is_large_binary(typ):
+        return pa.scalar(b"", typ)
+    if pa.types.is_boolean(typ):
+        return pa.scalar(False, typ)
+    return pa.scalar(0).cast(typ)
+
+
+def count_distinct_encoded(store_dir: str, column: str, *,
+                           group_by: str | None = None,
+                           filter: tuple | None = None,
+                           filter_any: list | None = None,
+                           out: str = "n_distinct"):
+    """COUNT(DISTINCT column) [GROUP BY group_by] over the encoded
+    store without a decoded table scan.
+
+    Three stages, each with bounded state:
+
+    1. per part, distinct (group, value) pairs in the encoded domain
+       (``_DistinctPairsPart`` — dict codecs dedupe on int codes and
+       decode only the surviving distinct values; predicates mask on
+       packed codes after zone/bloom part pruning);
+    2. ONE distributed groupby over the pair rows removes cross-part
+       duplicates (the only shuffle of data, O(global distinct pairs));
+    3. a count-per-group aggregate over the now-unique pairs (Ray
+       combiner-merged, O(groups) output).
+
+    The driver never holds a distinct set; no stage's state exceeds
+    its own group's distinct pairs.  SQL semantics: null values don't
+    count, null group keys form a group.  Returns a Dataset with
+    columns [group_by, out] (or one row [out] without group_by)."""
+    from ray.data.aggregate import Count
+    if filter is not None and filter_any is not None:
+        raise ValueError("pass filter= (AND) or filter_any= (OR), "
+                         "not both")
+    if filter_any is not None and not isinstance(filter_any, list):
+        filter_any = [filter_any]
+    mode = "or" if filter_any is not None else "and"
+    raw = filter_any if filter_any is not None else filter
+    preds = ([] if raw is None else
+             [_norm_pred(f) for f in raw] if isinstance(raw, list)
+             else [_norm_pred(raw)])
+    files = _pruned_part_files(store_dir, preds, mode)
+    task = _DistinctPairsPart(group_by, column, preds, mode)
+    if not files:
+        pairs = rd.from_arrow(task._typed_empty({}))
+    else:
+        from ..pipelines.encode_pipeline import _part_scan_seed
+        pairs = _part_scan_seed(files).map_batches(
+            task, batch_size=None, batch_format="pyarrow")
+    # group keys travel null-safe as (__gf filled value, __gv validity)
+    # — Ray's sort shuffle can't order null keys; restored below
+    keys = ["__gf", "__gv", column] if group_by is not None else [column]
+    uniq = pairs.groupby(keys).aggregate(Count(on=column,
+                                               alias_name="__c"))
+    # count the now-unique pairs per group; on=column (values are
+    # non-null by stage 1) — Ray's row-count Count(on=None) returns 0
+    # on globally-aggregated datasets
+    if group_by is None:
+        return uniq.groupby(None).aggregate(
+            Count(on=column, alias_name=out))
+    res = uniq.groupby(["__gf", "__gv"]).aggregate(
+        Count(on=column, alias_name=out))
+
+    def _restore(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        g = pc.if_else(b.column("__gv"), b.column("__gf"),
+                       pa.nulls(b.num_rows, b.column("__gf").type))
+        return pa.table({group_by: g, out: b.column(out)})
+
+    return res.map_batches(_restore, batch_format="pyarrow")
 
 
 def _int64_zone_value(v: int, target: pa.DataType) -> pa.Array:

@@ -287,6 +287,13 @@ def main() -> None:
     di.add_argument("--limit", type=int, default=20,
                     help="values printed (count is always exact)")
 
+    cd = sub.add_parser("count-distinct", help="COUNT(DISTINCT col) "
+                        "[GROUP BY g]: per-part code-domain dedup, "
+                        "one shuffle of distinct pairs, merged count")
+    cd.add_argument("--encoded", required=True)
+    cd.add_argument("--column", required=True)
+    cd.add_argument("--group-by", dest="group_by")
+
     ag = sub.add_parser("agg", help="aggregate pushdown: grouped "
                         "COUNT/SUM/MIN/MAX/AVG without a decoded "
                         "table scan (sources/encoded.py agg_encoded)")
@@ -515,6 +522,15 @@ def main() -> None:
         print(json.dumps({"column": args.column,
                           "n_distinct": ds.count(),
                           "values": [str(v) for v in vals]}))
+    elif args.cmd == "count-distinct":
+        from packcol.sources.encoded import count_distinct_encoded
+        res = count_distinct_encoded(
+            args.encoded, args.column,
+            group_by=args.group_by).to_pandas()
+        print(json.dumps({"column": args.column,
+                          "group_by": args.group_by,
+                          "result": res.to_dict("records")},
+                         default=str))
     elif args.cmd == "agg":
         from packcol.sources.encoded import agg_encoded
         aggs = {}

@@ -4,7 +4,10 @@ composition with shared-vocab stores."""
 
 import os
 
+import numpy as np
+import pandas as pd
 import pyarrow as pa
+import pyarrow.parquet as pq
 import pytest
 
 from packcol.sources.webtext import write_webtext
@@ -871,3 +874,70 @@ def test_sample_encoded_empty_blocks_keep_store_types(tmp_path,
     got = {n: t for n, t in zip(sch.names, sch.types)}
     for name in want.names:
         assert str(got[name]) == str(want.field(name).type), name
+
+
+def test_count_distinct_encoded(tmp_path, ray_session):
+    """COUNT(DISTINCT col) over the store vs DuckDB: grouped, global,
+    filtered, null values ignored, null group keys kept, dict-codec
+    code-domain dedup and plain-codec decode paths both exercised."""
+    import duckdb
+    from packcol.pipelines.encode_pipeline import encode_files
+    from packcol.sources.encoded import count_distinct_encoded
+    rng = np.random.default_rng(11)
+    n = 6000
+    df = pd.DataFrame({
+        "cat": rng.choice(["a", "b", "c", None], n, p=[.4, .3, .2, .1]),
+        "user": rng.integers(0, 150, n).astype("int64"),
+        "val": rng.integers(0, 40, n).astype("float64"),
+    })
+    df.loc[df.index[::7], "user"] = pd.NA  # null values must not count
+    df["user"] = df["user"].astype("Int64")
+    src = tmp_path / "cd.parquet"
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   str(src), row_group_size=500)
+    out = str(tmp_path / "cd_store")
+    encode_files([str(src)], out, target_bytes=1 << 13)
+    con = duckdb.connect()
+    con.register("t", df)
+
+    got = count_distinct_encoded(out, "user", group_by="cat") \
+        .to_pandas().sort_values("cat", na_position="last") \
+        .reset_index(drop=True)
+    want = con.execute(
+        "SELECT cat, COUNT(DISTINCT user) AS n_distinct FROM t "
+        "GROUP BY cat ORDER BY cat NULLS LAST").df()
+    assert list(got["n_distinct"].astype(int)) == \
+        list(want["n_distinct"].astype(int))
+    assert list(got["cat"].fillna("∅")) == list(want["cat"].fillna("∅"))
+
+    glob = count_distinct_encoded(out, "user").to_pandas()
+    wg = con.execute("SELECT COUNT(DISTINCT user) AS n FROM t").df()
+    assert int(glob["n_distinct"][0]) == int(wg["n"][0])
+
+    filt = count_distinct_encoded(
+        out, "val", group_by="cat",
+        filter=("user", "between", 0, 70)).to_pandas() \
+        .sort_values("cat", na_position="last").reset_index(drop=True)
+    wf = con.execute(
+        "SELECT cat, COUNT(DISTINCT val) AS n FROM t "
+        "WHERE user BETWEEN 0 AND 70 "
+        "GROUP BY cat ORDER BY cat NULLS LAST").df()
+    assert list(filt["n_distinct"].astype(int)) == \
+        list(wf["n"].astype(int))
+
+
+def test_count_distinct_encoded_pruned_empty(tmp_path, ray_session):
+    """A predicate outside every zone prunes all parts; the result is
+    an exact empty (grouped) / zero (global) answer, not an error."""
+    from packcol.pipelines.encode_pipeline import encode_files
+    from packcol.sources.encoded import count_distinct_encoded
+    df = pd.DataFrame({"g": list("xyzw") * 250,
+                       "v": np.arange(1000, dtype=np.int64)})
+    src = tmp_path / "z.parquet"
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   str(src))
+    out = str(tmp_path / "z_store")
+    encode_files([str(src)], out, target_bytes=1 << 13)
+    got = count_distinct_encoded(out, "v", group_by="g",
+                                 filter=("v", "between", 10**6, 10**7))
+    assert len(got.to_pandas()) == 0
