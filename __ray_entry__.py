@@ -535,6 +535,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return pdf
     q["events_hourly"] = events_hourly
 
+    def hopping_window_counts(sf):
+        """Hopping (sliding) window aggregate (pipelines/window.py::
+        hopping_window_aggregate): 2-hour windows every hour — each
+        event joins BOTH windows containing it, derived vectorized and
+        pre-aggregated inside the batch so the shuffle carries
+        O(windows x groups x batches) partial rows, never the
+        replicated events."""
+        from packcol.pipelines.window import hopping_window_aggregate
+        ds = _read(sf, "events", ["ts", "event_type", "value"])
+        return hopping_window_aggregate(
+            ds, "ts", size_s=7200, hop_s=3600,
+            aggs={"n": ("count",), "vmax": ("max", "value")},
+            by="event_type")
+    q["hopping_window_counts"] = hopping_window_counts
+
     # --- n-gram Jaccard near-dup pairs -----------------------------------
     def _ngram_scored(sf, ds):
         import pandas as pd
@@ -1797,6 +1812,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         #   in the head by langid_counts + fingerprint_checksum +
         #   annotate_tokens)
         "redact_digits",
+        #   sample_docs_per_lang: green r3+r4 (exiled r5 for
+        #   hopping_window_counts — the top-n-per-group operator stays
+        #   covered in the head by top_event_per_user)
+        "sample_docs_per_lang",
         #   blocklist_filter: green r2+r3 (exiled r4 for
         #   annotate_tokens — the anti-join shape stays covered in the
         #   head by customers_without_orders)
@@ -2270,6 +2289,12 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_type, CAST(floor(epoch(ts) / 3600) AS BIGINT) "
             "AS hr, COUNT(*) AS n, round(SUM(value), 2) AS sum_value "
             "FROM events GROUP BY event_type, hr"),
+        "hopping_window_counts": (
+            "SELECT (CAST(floor(epoch(ts) / 3600) AS BIGINT) - off.i) "
+            "* 3600 AS win_start_s, event_type, COUNT(*) AS n, "
+            "MAX(value) AS vmax FROM events "
+            "CROSS JOIN (SELECT unnest(range(2)) AS i) AS off "
+            "GROUP BY win_start_s, event_type"),
         # langid / fingerprint / minhash_pairs / simhash_pairs / ann_lsh /
         # codec_selection: not SQL-expressible → rows-only checks
     }

@@ -538,3 +538,70 @@ def test_interval_count_join_sparse_partitions(ray_session):
     m = m[(m["t_x"] - m["t_y"]).abs() <= 50]
     want = m.groupby("id").size().reindex(left["id"], fill_value=0)
     assert got["n"].tolist() == want.tolist()
+
+
+class TestHoppingWindow:
+    def _events(self, n=4000, seed=5):
+        rng = np.random.default_rng(seed)
+        ts = pd.to_datetime("2024-03-01") + pd.to_timedelta(
+            rng.integers(0, 48 * 3600, n), unit="s")
+        return pd.DataFrame({
+            "ts": ts,
+            "kind": rng.choice(["a", "b"], n),
+            "v": rng.integers(0, 100, n).astype("float64")})
+
+    def _oracle(self, df, size_s, hop_s, by=None):
+        m = size_s // hop_s
+        sec = df["ts"].astype("int64") // 10**9
+        base = sec // hop_s * hop_s
+        rows = []
+        for i in range(m):
+            d = df.copy()
+            d["win_start_s"] = base - i * hop_s
+            rows.append(d)
+        full = pd.concat(rows)
+        keys = ["win_start_s"] + ([by] if by else [])
+        g = full.groupby(keys, as_index=False).agg(
+            n=("v", "size"), sv=("v", "sum"), mx=("v", "max"))
+        return g.sort_values(keys).reset_index(drop=True)
+
+    def test_matches_pandas_oracle(self, ray_session):
+        import ray.data as rd
+        from packcol.pipelines.window import hopping_window_aggregate
+        df = self._events()
+        got = hopping_window_aggregate(
+            rd.from_pandas(df).repartition(8), "ts",
+            size_s=7200, hop_s=3600,
+            aggs={"n": ("count",), "sv": ("sum", "v"),
+                  "mx": ("max", "v")},
+            by="kind").to_pandas() \
+            .sort_values(["win_start_s", "kind"]).reset_index(drop=True)
+        want = self._oracle(df, 7200, 3600, by="kind")
+        assert list(got["n"].astype(int)) == list(want["n"].astype(int))
+        np.testing.assert_allclose(got["sv"], want["sv"])
+        np.testing.assert_allclose(got["mx"], want["mx"])
+
+    def test_tumbling_degenerate_and_null_ts(self, ray_session):
+        import ray.data as rd
+        from packcol.pipelines.window import hopping_window_aggregate
+        df = self._events(n=1000, seed=9)
+        df.loc[df.index[:30], "ts"] = pd.NaT  # dropped, not crashed
+        got = hopping_window_aggregate(
+            rd.from_pandas(df).repartition(4), "ts",
+            size_s=3600, hop_s=3600, aggs={"n": ("count",)}) \
+            .to_pandas()
+        valid = df.dropna(subset=["ts"])
+        want = self._oracle(valid, 3600, 3600)
+        assert int(got["n"].sum()) == len(valid)
+        assert len(got) == len(want)
+
+    def test_bad_params_raise(self, ray_session):
+        import ray.data as rd
+        from packcol.pipelines.window import hopping_window_aggregate
+        ds = rd.from_pandas(self._events(n=10))
+        with pytest.raises(ValueError, match="multiple"):
+            hopping_window_aggregate(ds, "ts", size_s=5000, hop_s=3600,
+                                     aggs={"n": ("count",)})
+        with pytest.raises(ValueError, match="unsupported"):
+            hopping_window_aggregate(ds, "ts", size_s=3600, hop_s=3600,
+                                     aggs={"n": ("median", "v")})
