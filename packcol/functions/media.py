@@ -91,19 +91,21 @@ def decode_pnm_stream(buf: bytes) -> list[np.ndarray]:
 
 
 def sniff_image_format(buf: bytes) -> str | None:
-    """Magic-byte dispatch: 'pnm' | 'png' | 'jpeg' | None."""
+    """Magic-byte dispatch: 'pnm' | 'png' | 'jpeg' | 'gif' | None."""
     if buf[:2] in (b"P5", b"P6"):
         return "pnm"
     if buf[:8] == b"\x89PNG\r\n\x1a\n":
         return "png"
     if buf[:3] == b"\xff\xd8\xff":
         return "jpeg"
+    if buf[:6] in (b"GIF87a", b"GIF89a"):
+        return "gif"
     return None
 
 
 def decode_image(buf: bytes) -> np.ndarray:
     """Decode any really-supported format (PNM P5/P6, PNG, baseline
-    JPEG) to an (h, w[, ch]) uint8 array; raises ValueError on
+    JPEG, GIF — first frame) to an (h, w[, ch]) uint8 array; raises ValueError on
     unrecognized magic so stages can apply their fake/raise policy.
     16-bit PNG is down-shifted to uint8 here (the feature pipeline is
     8-bit); use decode_png directly to keep full precision."""
@@ -119,6 +121,9 @@ def decode_image(buf: bytes) -> np.ndarray:
     if fmt == "jpeg":
         from .jpeg import decode_jpeg
         return decode_jpeg(buf)
+    if fmt == "gif":
+        from .gif import decode_gif
+        return decode_gif(buf)
     raise ValueError(f"unrecognized image magic {buf[:4]!r}")
 
 

@@ -75,7 +75,7 @@ class ImageFeatureStage:
                 raise NotImplementedError(
                     f"image format {raw[:4]!r} is not one of the "
                     "really-decoded formats (PNM P5/P6, PNG, baseline "
-                    "JPEG — all pure-numpy; PIL is not in this "
+                    "JPEG, GIF — all pure-numpy; PIL is not in this "
                     "environment); pass fake=True for the stub")
         return pa.table({
             **{c: batch.column(c) for c in batch.column_names
@@ -120,6 +120,11 @@ class ImageResizeStage:
             elif fmt == "jpeg":
                 from ..functions.jpeg import encode_jpeg
                 out.append(encode_jpeg(small))
+            elif fmt == "gif":
+                # nearest-neighbor subsets pixels, so the resized color
+                # set ⊆ the source palette — always re-encodable
+                from ..functions.gif import encode_gif
+                out.append(encode_gif(small))
             else:
                 out.append(encode_pnm(small))
         return batch.set_column(

@@ -159,7 +159,8 @@ class TestDispatch:
         assert sniff_image_format(encode_pnm(img)) == "pnm"
         assert sniff_image_format(encode_png(img)) == "png"
         assert sniff_image_format(encode_jpeg(img)) == "jpeg"
-        assert sniff_image_format(b"GIF89a...") is None
+        assert sniff_image_format(b"GIF89a...") == "gif"  # real since functions/gif.py
+        assert sniff_image_format(b"BM......") is None
 
     def test_decode_image_all_formats(self):
         img = _img(12, 16, seed=9)
