@@ -1645,11 +1645,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["audio_frames_meta"] = audio_frames_meta
 
     def image_codec_dims(sf):
-        """REAL PNG + baseline-JPEG + PNM decode (pure-numpy codecs,
-        functions/png.py / jpeg.py): the mixed-format fixture cycles
-        formats with the content id and keeps the closed-form dims
-        formula, so format sniff AND decoded (height, width) have a
-        pure-SQL oracle over range()."""
+        """REAL PNG + baseline-JPEG + PNM + GIF decode (pure-numpy
+        codecs, functions/png.py / jpeg.py / gif.py): the mixed-format
+        fixture cycles formats with the content id and keeps the
+        closed-form dims formula, so format sniff AND decoded
+        (height, width) have a pure-SQL oracle over range()."""
         import ray.data as rd
         from packcol.sources.media_fixture import images_table_formats
         from packcol.stages.multimodal import ImageFeatureStage
@@ -2171,8 +2171,9 @@ def oracle_sql() -> dict[str, str]:
             "JOIN customer c ON o.o_custkey = c.c_custkey"),
         "image_codec_dims": (
             "SELECT CAST(img_id AS BIGINT) AS img_id, "
-            "CASE ((img_id % 12) % 3) WHEN 0 THEN 'png' "
-            "WHEN 1 THEN 'jpeg' ELSE 'pnm' END AS fmt, "
+            "CASE ((img_id % 12) % 4) WHEN 0 THEN 'png' "
+            "WHEN 1 THEN 'jpeg' WHEN 2 THEN 'pnm' "
+            "ELSE 'gif' END AS fmt, "
             "CAST(16 + ((img_id % 12) * 5) % 32 AS BIGINT) AS height, "
             "CAST(16 + ((img_id % 12) * 7) % 40 AS BIGINT) AS width "
             "FROM range(36) t(img_id)"),

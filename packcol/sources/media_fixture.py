@@ -90,19 +90,23 @@ def audio_table(n_rows: int = 24) -> pa.Table:
 
 def make_image_fmt(g: int, seed: int = 0) -> bytes:
     """Deterministic payload for content id ``g`` in a format cycling
-    with ``g % 3``: PNG RGB8 (0), baseline JPEG grayscale (1), P5 (2).
+    with ``g % 4``: PNG RGB8 (0), baseline JPEG grayscale (1), P5 (2),
+    GIF grayscale (3) — all four really-decoded web-crawl formats.
     Dims follow the same closed-form as make_image, so the SQL oracle
     for (height, width, fmt) is pure arithmetic over range()."""
     h, w = image_dims(g)
     rng = np.random.default_rng(seed * 100003 + g)
-    if g % 3 == 0:
+    if g % 4 == 0:
         from ..functions.png import encode_png
         return encode_png(rng.integers(0, 256, (h, w, 3), dtype=np.uint8))
-    if g % 3 == 1:
+    if g % 4 == 1:
         from ..functions.jpeg import encode_jpeg
         return encode_jpeg(rng.integers(0, 256, (h, w), dtype=np.uint8))
-    from ..functions.media import encode_pnm
-    return encode_pnm(rng.integers(0, 256, (h, w), dtype=np.uint8))
+    if g % 4 == 2:
+        from ..functions.media import encode_pnm
+        return encode_pnm(rng.integers(0, 256, (h, w), dtype=np.uint8))
+    from ..functions.gif import encode_gif
+    return encode_gif(rng.integers(0, 256, (h, w), dtype=np.uint8))
 
 
 def images_table_formats(n_rows: int = 36, n_distinct: int = 12,
