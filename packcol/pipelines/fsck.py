@@ -78,6 +78,14 @@ class _CheckPart:
             m = self.manifests.get(pid)
             if m is not None and m.get("rows") not in (None, rows):
                 add(pid, f"manifest rows {m['rows']} != block rows {rows}")
+            if self.deep and m is not None and \
+                    m.get("payload_digest") is not None:
+                from ..state.manifest import file_digest64
+                got = file_digest64(p)
+                if got != m["payload_digest"]:
+                    add(pid, f"payload digest {got} != manifest "
+                             f"{m['payload_digest']} — file changed "
+                             "after record (bit rot / foreign write)")
             for i, name in enumerate(names):
                 try:
                     json.loads(enc.column("params")[i].as_py())

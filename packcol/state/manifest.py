@@ -22,6 +22,30 @@ import json
 import os
 
 
+def file_digest64(path: str) -> str:
+    """Fast 64-bit content digest of one part file: position-salted
+    splitmix over the bytes as uint64 words, vectorized numpy (multi-
+    GB/s — the read-back is page-cache-hot right after the write).
+    Not cryptographic; 64 bits is the standard fingerprint trade for
+    change DETECTION (collision P ≈ n²/2⁶⁵ across compared parts)."""
+    import numpy as np
+    from ..functions.text import _splitmix64
+    with open(path, "rb") as f:
+        data = f.read()
+    n = len(data)
+    pad = (-n) % 8
+    if pad:
+        data = data + b"\0" * pad
+    words = np.frombuffer(data, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        idx = np.arange(len(words), dtype=np.uint64) + \
+            np.uint64(0x9E3779B97F4A7C15)
+        h = _splitmix64(words ^ _splitmix64(idx))
+        s = np.uint64(h.sum(dtype=np.uint64)) ^ np.uint64(n)
+        return "%016x" % int(_splitmix64(
+            np.array([s], dtype=np.uint64))[0])
+
+
 class Manifest:
     def __init__(self, out_dir: str):
         self.dir = os.path.join(out_dir, "_manifest")
@@ -34,6 +58,17 @@ class Manifest:
         return {f[:-5] for f in os.listdir(self.dir) if f.endswith(".json")}
 
     def record(self, part_id: str, meta: dict) -> None:
+        # every writer records AFTER its part file lands, so this is
+        # the one chokepoint where a payload content digest is always
+        # fresh; any stale digest in a re-recorded manifest dict is
+        # overwritten.  The digest makes part identity CONTENT-based
+        # (rows/enc_bytes/params_hash alone can't see a value shift
+        # that keeps the same bit width) — the basis of snapshot diffs
+        # (pipelines/diff.py) and deep fsck.
+        part = os.path.join(os.path.dirname(self.dir),
+                            f"part-{part_id}.parquet")
+        if os.path.exists(part):
+            meta = {**meta, "payload_digest": file_digest64(part)}
         p = self._path(part_id)
         tmp = p + ".tmp"
         with open(tmp, "w") as f:

@@ -287,6 +287,14 @@ def main() -> None:
     di.add_argument("--limit", type=int, default=20,
                     help="values printed (count is always exact)")
 
+    df_ = sub.add_parser("diff", help="snapshot diff of two stores: "
+                         "part-level from manifests alone; --rows adds "
+                         "added/removed row counts over the asymmetric "
+                         "parts (fingerprint anti-filter)")
+    df_.add_argument("--a", required=True, dest="store_a")
+    df_.add_argument("--b", required=True, dest="store_b")
+    df_.add_argument("--rows", action="store_true")
+
     cd = sub.add_parser("count-distinct", help="COUNT(DISTINCT col) "
                         "[GROUP BY g]: per-part code-domain dedup, "
                         "one shuffle of distinct pairs, merged count")
@@ -522,6 +530,17 @@ def main() -> None:
         print(json.dumps({"column": args.column,
                           "n_distinct": ds.count(),
                           "values": [str(v) for v in vals]}))
+    elif args.cmd == "diff":
+        from packcol.pipelines.diff import diff_store_parts, diff_stores
+        if args.rows:
+            res = diff_stores(args.store_a, args.store_b)
+            res["rows_added"] = res.pop("added_rows").count()
+            res["rows_removed"] = res.pop("removed_rows").count()
+        else:
+            res = diff_store_parts(args.store_a, args.store_b)
+        res.pop("only_a_parts", None)
+        res.pop("only_b_parts", None)
+        print(json.dumps(res))
     elif args.cmd == "count-distinct":
         from packcol.sources.encoded import count_distinct_encoded
         res = count_distinct_encoded(

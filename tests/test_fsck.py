@@ -99,3 +99,29 @@ def test_detects_bad_n_cols(store):
     pq.write_table(t, p)
     r = check_store(store)
     assert any("n_cols" in msg for _, msg in r["issues"])
+
+
+def test_deep_fsck_catches_payload_tamper(ray_session, tmp_path):
+    """A part file modified after its manifest was recorded (bit rot,
+    foreign writer) fails the deep digest check."""
+    import numpy as np
+    import pandas as pd
+    from packcol.pipelines.encode_pipeline import encode_files
+    from packcol.pipelines.fsck import check_store
+    df = pd.DataFrame({"id": np.arange(500, dtype=np.int64),
+                       "v": np.arange(500, dtype=np.int64) % 7})
+    raw = str(tmp_path / "t.parquet")
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False), raw,
+                   row_group_size=100)
+    out = str(tmp_path / "t_enc")
+    encode_files([raw], out, target_bytes=1 << 12)
+    assert check_store(out, deep=True)["ok"]
+    part = sorted(f for f in os.listdir(out) if f.endswith(".parquet"))[0]
+    p = os.path.join(out, part)
+    data = bytearray(open(p, "rb").read())
+    data[len(data) // 2] ^= 0xFF  # flip one byte mid-file
+    open(p, "wb").write(bytes(data))
+    res = check_store(out, deep=True)
+    assert not res["ok"]
+    assert any("digest" in msg or "unreadable" in msg
+               for _, msg in res["issues"])
