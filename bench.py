@@ -251,6 +251,13 @@ def main() -> None:
                                           rows_per_part=4096))
     queries["store_upsert_1pct"] = round(t_q, 3)
 
+    # snapshot diff of the (post-upsert) store against itself: the
+    # part level is manifests-only — O(parts) JSON, zero payload reads
+    from packcol.pipelines.diff import diff_store_parts
+    t_q, dmeta = timed2(lambda: diff_store_parts(ENC_DIR, ENC_DIR))
+    queries["store_diff_parts"] = round(t_q, 3)
+    assert dmeta["only_a"]["parts"] == 0, dmeta
+
     from packcol.pipelines.dedup import dedup_exact, minhash_lsh_pairs
 
     from packcol.sources.parquet import read_parquet_clean
@@ -312,6 +319,14 @@ def main() -> None:
         t_q, _ = timed2(
             lambda: _materialize(_qs["merge_join_stores"](SF_DIR)))
         queries["merge_join_stores"] = round(t_q, 3)
+        # round-5 session-2 operators: COUNT(DISTINCT) pushdown over
+        # the encoded store and the hopping-window aggregate
+        t_q, _ = timed2(
+            lambda: _materialize(_qs["count_distinct_users"](SF_DIR)))
+        queries["count_distinct_users"] = round(t_q, 3)
+        t_q, _ = timed2(
+            lambda: _materialize(_qs["hopping_window_counts"](SF_DIR)))
+        queries["hopping_window_counts"] = round(t_q, 3)
         for name in ("pricing_summary", "revenue_by_brand",
                      "asof_prev_purchase", "events_hourly",
                      "sessionize", "top_event_per_user"):

@@ -156,3 +156,119 @@ def cluster_store(store_dir: str, dest_dir: str, key,
             "orig_bytes": orig, "enc_bytes": enc,
             "ratio": round(orig / enc, 4) if enc else None,
             "skipped": False, **key_zone_overlap(dest_dir, keys[0])}
+
+
+# ---------------------------------------------------------------------------
+# Z-order (multi-dimensional) clustering
+# ---------------------------------------------------------------------------
+
+def _zorder_codes(arrs: list, spans: list[tuple], bits: int):
+    """Interleave 2–4 numeric columns into one uint64 Z-value per row.
+
+    Each column is affine-mapped from its GLOBAL store span (manifest
+    zones — no data pass needed) onto ``bits``-bit grid cells, then the
+    cells' bits interleave LSB-first.  Fully vectorized: bits × keys
+    shift-or ops over whole arrays.  Nulls land in cell 0 (they cluster
+    together at the origin; zones still reflect actual values, so
+    pruning stays correct)."""
+    import numpy as np
+    k = len(arrs)
+    out = np.zeros(len(arrs[0]), dtype=np.uint64)
+    top = (1 << bits) - 1
+    for j, (v, (lo, hi)) in enumerate(zip(arrs, spans)):
+        v = np.asarray(v, dtype=np.float64)
+        span = (hi - lo) or 1.0
+        q = np.clip((v - lo) / span, 0.0, 1.0)
+        q = np.nan_to_num(q, nan=0.0)
+        cell = (q * top).astype(np.uint64)
+        for i in range(bits):
+            out |= ((cell >> np.uint64(i)) & np.uint64(1)) \
+                << np.uint64(i * k + j)
+    return out
+
+
+def zorder_store(store_dir: str, dest_dir: str, keys: list[str],
+                 bits: int | None = None,
+                 target_bytes: int = 64 << 20,
+                 resume: bool = True) -> dict:
+    """Re-cluster an encoded store on the Z-ORDER (Morton) interleave
+    of 2–4 numeric/timestamp keys, so range predicates on ANY of the
+    keys prune parts — the multi-dimensional physical design a
+    lexicographic composite sort can't give (its secondary key only
+    refines within primary ties; a filter on the secondary alone scans
+    everything).
+
+    Same machinery as ``cluster_store``: one distributed sort (on a
+    derived ``__z`` column, dropped before writing) and streaming
+    re-encode through ``ClusterPartWriter``; per-part zones for every
+    key are computed from the actual batch values, so pushdown
+    correctness never depends on the grid mapping — a skewed column
+    only makes cells uneven, never wrong.  Key spans come from the
+    store's manifest zone catalog (zero data passes).
+
+    Returns the cluster metrics plus per-key ``key_zone_overlap``."""
+    import numpy as np
+
+    from ..sources.encoded import read_encoded, store_stats
+    if not 2 <= len(keys) <= 4:
+        raise ValueError("zorder_store needs 2-4 keys "
+                         f"(got {len(keys)}); use cluster_store for 1")
+    bits = bits if bits is not None else min(16, 63 // len(keys))
+    if bits * len(keys) > 63:
+        raise ValueError(f"bits={bits} x {len(keys)} keys exceeds 63")
+    marker = os.path.join(dest_dir, "_ZORDERED")
+    if resume and os.path.exists(marker):
+        st = store_stats(dest_dir)
+        return {**st, "skipped": True,
+                **{k: key_zone_overlap(dest_dir, k) for k in keys}}
+    os.makedirs(dest_dir, exist_ok=True)
+    src = store_stats(store_dir)
+    spans = []
+    for k in keys:
+        z = src["zones"].get(k)
+        if z is None or z.get("kind") not in ("i64", "f64"):
+            raise ValueError(
+                f"key {k!r} has no numeric zone span in the source "
+                "manifests (strings/all-null columns can't z-order)")
+        spans.append((float(z["min"]), float(z["max"])))
+    row_bytes = max(1, (src["orig_bytes"] or 1) // max(src["rows"], 1))
+    rows_per_part = max(256, int(target_bytes // row_bytes))
+
+    def add_z(batch: pa.Table) -> pa.Table:
+        from ..codecs.forpack import is_int_like, to_int64_numpy
+        arrs = []
+        for k in keys:
+            col = batch.column(k)
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            if is_int_like(col.type):
+                arrs.append(to_int64_numpy(col).astype(np.float64))
+            else:
+                arrs.append(col.to_numpy(zero_copy_only=False)
+                            .astype(np.float64))
+        z = _zorder_codes(arrs, spans, bits)
+        return batch.append_column("__z", pa.array(z.view(np.int64)))
+
+    def drop_z(batch: pa.Table) -> pa.Table:
+        return batch.drop_columns(["__z"])
+
+    ds = read_encoded(store_dir) \
+        .map_batches(add_z, batch_format="pyarrow",
+                     zero_copy_batch=True) \
+        .sort("__z") \
+        .map_batches(drop_z, batch_format="pyarrow",
+                     zero_copy_batch=True)
+    metrics = ds.map_batches(
+        ClusterPartWriter(dest_dir, list(keys)),
+        batch_size=rows_per_part,
+        batch_format="pyarrow").to_pandas()
+    with open(marker + ".tmp", "w") as f:
+        f.write(",".join(keys))
+    os.replace(marker + ".tmp", marker)
+    orig = int(metrics["orig_bytes"].sum())
+    enc = int(metrics["enc_bytes"].sum())
+    return {"parts": len(metrics), "rows": int(metrics["rows"].sum()),
+            "orig_bytes": orig, "enc_bytes": enc,
+            "ratio": round(orig / enc, 4) if enc else None,
+            "skipped": False,
+            **{k: key_zone_overlap(dest_dir, k) for k in keys}}

@@ -181,6 +181,7 @@ class EncodePartitionWriter:
             "input": d["path"], "rg_start": d["rg_start"],
             "rg_end": d["rg_end"], "rows": t.num_rows,
             "input_bytes": d.get("input_bytes"),
+            "part_input_bytes": d.get("bytes"),
             "orig_bytes": orig, "enc_bytes": encb,
             "blooms": blooms,
             "zones": zones, "nulls": null_counts_of(t),
@@ -312,11 +313,18 @@ def encode_files(paths: list[str], out_dir: str, resume: bool = True,
     def _unchanged(p: dict) -> bool:
         """Skip only when the recorded input still matches the file on
         disk — an in-place rewritten input (same path, same row-group
-        layout) must re-encode, not silently serve stale parts."""
+        layout) must re-encode, not silently serve stale parts.  Two
+        guards: whole-file size AND this partition's row-group byte
+        sum (a same-size rewrite still perturbs compressed row-group
+        sizes); both None-tolerant for pre-guard manifests."""
         if p["part_id"] not in done:
             return False
-        rec = man.load(p["part_id"]).get("input_bytes")
-        return rec is None or rec == p["input_bytes"]
+        m = man.load(p["part_id"])
+        rec = m.get("input_bytes")
+        if rec is not None and rec != p["input_bytes"]:
+            return False
+        rgb = m.get("part_input_bytes")
+        return rgb is None or rgb == p["bytes"]
 
     todo = [p for p in parts if not _unchanged(p)]
     skipped = len(parts) - len(todo)

@@ -474,3 +474,36 @@ def test_write_webtext_param_change_regenerates(tmp_path):
     n2 = sum(pq.ParquetFile(os.path.join(d, f)).metadata.num_rows
              for f in os.listdir(d) if f.endswith(".parquet"))
     assert n2 == 3000  # fully regenerated, no stale mix
+
+
+def test_resume_reencodes_inplace_rewritten_input(ray_session, tmp_path):
+    """An input rewritten in place (same path, same row count) must
+    re-encode on resume, not serve the stale parts — guarded by the
+    recorded whole-file size AND the per-partition row-group byte sum."""
+    import numpy as np
+    import pandas as pd
+    from packcol.pipelines.encode_pipeline import encode_files
+    from packcol.sources.encoded import read_encoded
+
+    def write(df):
+        pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                       raw, row_group_size=200)
+
+    raw = str(tmp_path / "src.parquet")
+    df = pd.DataFrame({"id": np.arange(1000, dtype=np.int64),
+                       "v": np.arange(1000, dtype=np.int64) % 13})
+    write(df)
+    out = str(tmp_path / "store")
+    m1 = encode_files([raw], out, target_bytes=1 << 12)
+    assert m1["skipped_parts"] == 0
+    # no change → full skip
+    m2 = encode_files([raw], out, target_bytes=1 << 12)
+    assert m2["encoded_rows_this_run"] == 0
+    # in-place rewrite with different values → must re-encode
+    df2 = df.copy()
+    df2["v"] = (df2["v"] + 7) % 13
+    write(df2)
+    m3 = encode_files([raw], out, target_bytes=1 << 12)
+    assert m3["encoded_rows_this_run"] > 0
+    got = read_encoded(out).to_pandas().sort_values("id")
+    assert list(got["v"]) == list(df2["v"])
