@@ -922,6 +922,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return distinct_encoded(out, "lang")
     q["distinct_encoded_lang"] = distinct_encoded_lang
 
+    def zorder_filter_2d(sf):
+        """Z-order (Morton) clustering (pipelines/cluster.py::
+        zorder_store): the events store re-clustered on the interleave
+        of (user_id, value), so a range predicate on EITHER key prunes
+        parts — the multi-dimensional physical design a lexicographic
+        composite sort can't give.  The 2-D conjunction reads through
+        the standard pushdown path over the z-ordered layout."""
+        from packcol.pipelines.cluster import zorder_store
+        from packcol.sources.encoded import read_encoded
+        src = _encoded_store(sf, "events")
+        dst = src + "_zorder_uv"
+        zorder_store(src, dst, ["user_id", "value"])  # marker-resumable
+        return read_encoded(
+            dst, columns=["event_id", "user_id", "value"],
+            filter=[("user_id", "between", 3, 9),
+                    ("value", "between", 10.0, 60.0)])
+    q["zorder_filter_2d"] = zorder_filter_2d
+
     def clustered_filter_range(sf):
         # sort-clustered physical layout: zone maps on the cluster key
         # become disjoint, so this range probe reads O(1) parts
@@ -1816,6 +1834,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         #   hopping_window_counts — the top-n-per-group operator stays
         #   covered in the head by top_event_per_user)
         "sample_docs_per_lang",
+        #   local_supplier_volume_q5: green r3+r4 (exiled r5 for
+        #   zorder_filter_2d — the join family keeps four head entries:
+        #   join_encoded_store (broadcast+pushdown), merge_join_stores
+        #   (zone-aligned merge), revenue_by_brand (hash-shuffle),
+        #   customers_without_orders (anti))
+        "local_supplier_volume_q5",
         #   blocklist_filter: green r2+r3 (exiled r4 for
         #   annotate_tokens — the anti-join shape stays covered in the
         #   head by customers_without_orders)
@@ -2059,6 +2083,10 @@ def oracle_sql() -> dict[str, str]:
         "clustered_filter_range": (
             "SELECT event_id, user_id FROM events "
             "WHERE user_id BETWEEN 3 AND 9"),
+        "zorder_filter_2d": (
+            "SELECT event_id, user_id, value FROM events "
+            "WHERE user_id BETWEEN 3 AND 9 "
+            "AND value BETWEEN 10.0 AND 60.0"),
         # ties on ts are broken by event_id (unique) — deterministic;
         # events has no NULL ts/event_id, the IS NOT NULL mirrors the
         # engine's null-excluding sort-key semantics exactly anyway

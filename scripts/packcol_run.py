@@ -287,6 +287,14 @@ def main() -> None:
     di.add_argument("--limit", type=int, default=20,
                     help="values printed (count is always exact)")
 
+    zo = sub.add_parser("zorder", help="re-cluster on the Z-order "
+                        "interleave of 2-4 numeric keys: range "
+                        "predicates on ANY key prune parts")
+    zo.add_argument("--encoded", required=True)
+    zo.add_argument("--output", required=True)
+    zo.add_argument("--keys", required=True,
+                    help="comma-separated, 2-4 numeric columns")
+
     df_ = sub.add_parser("diff", help="snapshot diff of two stores: "
                          "part-level from manifests alone; --rows adds "
                          "added/removed row counts over the asymmetric "
@@ -530,6 +538,10 @@ def main() -> None:
         print(json.dumps({"column": args.column,
                           "n_distinct": ds.count(),
                           "values": [str(v) for v in vals]}))
+    elif args.cmd == "zorder":
+        from packcol.pipelines.cluster import zorder_store
+        print(json.dumps(zorder_store(
+            args.encoded, args.output, args.keys.split(","))))
     elif args.cmd == "diff":
         from packcol.pipelines.diff import diff_store_parts, diff_stores
         if args.rows:
