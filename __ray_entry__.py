@@ -1057,6 +1057,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
                               columns=["doc_id", "lang"])
     q["sample_encoded_docs"] = sample_encoded_docs
 
+    def approx_distinct_users(sf):
+        """KMV bottom-k distinct sketch over the encoded store
+        (sources/encoded.py::approx_distinct_encoded): dict parts hash
+        their VOCAB (zero row decodes), per-part bottom-k hashes tree-
+        merge O(k x fanin) to the driver.  Exactness-forcing config
+        (k >> distinct user_ids) so the SQL COUNT DISTINCT oracle
+        checks the whole sketch machinery — same trick as
+        ann_ivf_exact."""
+        import pandas as pd
+        from packcol.sources.encoded import approx_distinct_encoded
+        out = _encoded_store(sf, "events")
+        r = approx_distinct_encoded(out, "user_id", k=1 << 17)
+        assert r["exact"] is True, r
+        return pd.DataFrame([{"n_distinct": r["n_distinct"]}])
+    q["approx_distinct_users"] = approx_distinct_users
+
     def store_fsck(sf):
         # deep store audit: decodes every column of the shared events
         # store and proves zone containment + null counts (rows-only:
@@ -1850,6 +1866,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprint", "embedding_dedup_lsh", "ann_ivf", "ann_lsh",
         "ngram_dedup_scores", "curate_documents_near",
         "sample_encoded_docs", "store_fsck",
+        # approx_distinct_users: NEW r5 — SQL-oracled (exactness-
+        # forcing k), placed in the tail because the head window is
+        # full; the count-distinct family is anchored in the head by
+        # count_distinct_users
+        "approx_distinct_users",
     ]
     assert set(_ORDER_TAIL) <= set(q), sorted(set(_ORDER_TAIL) - set(q))
     assert len(q) - len(_ORDER_TAIL) <= 50, (
@@ -2069,6 +2090,8 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_type, COUNT(DISTINCT user_id) AS n_users "
             "FROM events WHERE value BETWEEN 0.0 AND 500.0 "
             "GROUP BY event_type"),
+        "approx_distinct_users": (
+            "SELECT COUNT(DISTINCT user_id) AS n_distinct FROM events"),
         "store_sink_roundtrip": (
             "SELECT doc_id, lang, n_chars FROM documents "
             "WHERE lang = 'en'"),

@@ -1368,3 +1368,136 @@ def sample_encoded(store_dir: str, fraction: float, *,
     return _part_scan_seed(files).map_batches(
         _SamplePart(fraction, seed, out_columns, out_schema),
         batch_size=None, batch_format="pyarrow")
+
+
+class _KMVPart:
+    """Task: per-part bottom-k DISTINCT value hashes — the map side of
+    the KMV (k-minimum-values) distinct-count sketch.
+
+    Encoded-domain win: an UNFILTERED dict-codec part answers from its
+    VOCABULARY alone (the vocab IS the part's distinct set) — zero row
+    decodes; other codecs / filtered scans decode the masked rows and
+    hash-unique them.  Emits ≤ k uint64 rows per part."""
+
+    def __init__(self, column: str, k: int, preds: list[tuple],
+                 mode: str = "and"):
+        self.column = column
+        self.k = k
+        self.preds = preds
+        self.mode = mode
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import numpy as np
+        from ..codecs import EncodedColumn, decode_any
+        from ..codecs.access import eval_pred
+        from ..codecs.dictionary import ipc_deserialize_array
+        from ..pipelines.encode_pipeline import _bloom_disproves
+        from ..stages.profile import value_hashes
+
+        pred_cols = {c for c, *_ in self.preds}
+        needed = sorted(pred_cols | {self.column})
+        outs = []
+        for p in batch.column("path").to_pylist():
+            if self.preds and self.mode == "and" and \
+                    _bloom_disproves(p, self.preds):
+                continue
+            enc_rows = pq.read_table(p, filters=[("column", "in",
+                                                  needed)])
+            names = enc_rows.column("column").to_pylist()
+            if self.column not in names:
+                continue  # heterogeneous store
+            missing_pred = [c for c in pred_cols if c not in names]
+            if missing_pred and (self.mode == "and" or
+                                 len(missing_pred) == len(pred_cols)):
+                continue
+            enc_of = {}
+            for i, name in enumerate(names):
+                enc_of[name] = EncodedColumn.from_row(
+                    {kk: enc_rows.column(kk)[i].as_py() for kk in
+                     ("codec", "n_values", "params", "payload")})
+                enc_of[name].base_dir = os.path.dirname(p)
+            venc = enc_of[self.column]
+            if not self.preds and venc.codec == "dict":
+                vals = ipc_deserialize_array(venc.buffers["aux"])
+                hs = value_hashes(vals)  # vocab only — no row decode
+            else:
+                mask = None
+                for pred in self.preds:
+                    if pred[0] not in enc_of:
+                        continue
+                    m = eval_pred(enc_of[pred[0]], pred)
+                    mask = m if mask is None else (
+                        (mask & m) if self.mode == "and" else (mask | m))
+                if mask is not None and not mask.any():
+                    continue
+                arr = decode_any(venc)
+                if mask is not None:
+                    arr = arr.take(pa.array(np.flatnonzero(mask)))
+                hs = value_hashes(arr)
+            if len(hs) == 0:
+                continue
+            hs = np.unique(hs)[:self.k]
+            outs.append(pa.table({"h": pa.array(hs.view(np.int64))}))
+        if not outs:
+            return pa.table({"h": pa.array([], pa.int64())})
+        return pa.concat_tables(outs)
+
+
+def approx_distinct_encoded(store_dir: str, column: str, *,
+                            k: int = 1024,
+                            filter: tuple | None = None,
+                            filter_any: list | None = None,
+                            fanin: int = 32) -> dict:
+    """Approximate COUNT(DISTINCT column) over the encoded store with
+    a KMV (bottom-k hash) sketch — the sub-second path for
+    ultra-high-cardinality columns where the exact
+    ``count_distinct_encoded`` would shuffle the full distinct set.
+
+    Shape mirrors the KLL tree merge: per-part bottom-k distinct
+    hashes (dict parts hash their VOCAB — zero row decodes) →
+    ``repartition(fanin)`` block merges → driver union of ≤ fanin
+    bottom-k lists, O(k × fanin) driver rows regardless of store size.
+
+    EXACT when the true distinct count is < k (every distinct hash was
+    collected; ``exact=True`` in the result); beyond that the standard
+    KMV estimate (k-1)·2⁶⁴/h₍ₖ₎ with relative error ≈ 1/√(k-2)
+    (~3.2% at k=1024).  Returns {n_distinct, exact, k}."""
+    import numpy as np
+    preds, mode = [], "and"
+    if filter is not None and filter_any is not None:
+        raise ValueError("pass filter= (AND) or filter_any= (OR), "
+                         "not both")
+    if filter_any is not None:
+        raw = filter_any if isinstance(filter_any, list) else [filter_any]
+        preds, mode = [_norm_pred(f) for f in raw], "or"
+    elif filter is not None:
+        preds = [_norm_pred(f) for f in filter] \
+            if isinstance(filter, list) else [_norm_pred(filter)]
+    files = _pruned_part_files(store_dir, preds, mode)
+    if not files:
+        return {"n_distinct": 0, "exact": True, "k": k}
+    from ..pipelines.encode_pipeline import _part_scan_seed
+
+    def merge_block(batch: pa.Table) -> pa.Table:
+        h = batch.column("h")
+        if isinstance(h, pa.ChunkedArray):
+            h = h.combine_chunks()
+        v = np.unique(h.to_numpy(zero_copy_only=False)
+                      .view(np.uint64))[:k]
+        return pa.table({"h": pa.array(v.view(np.int64))})
+
+    rows = (_part_scan_seed(files)
+            .map_batches(_KMVPart(column, k, preds, mode),
+                         batch_size=None, batch_format="pyarrow")
+            .repartition(fanin)
+            .map_batches(merge_block, batch_size=None,
+                         batch_format="pyarrow")
+            .to_pandas())
+    if len(rows) == 0:
+        return {"n_distinct": 0, "exact": True, "k": k}
+    hs = np.unique(rows["h"].to_numpy().view(np.uint64))
+    if len(hs) < k:
+        return {"n_distinct": int(len(hs)), "exact": True, "k": k}
+    kth = float(hs[k - 1])
+    return {"n_distinct": int(round((k - 1) * (2.0 ** 64) / kth)),
+            "exact": False, "k": k}

@@ -941,3 +941,48 @@ def test_count_distinct_encoded_pruned_empty(tmp_path, ray_session):
     got = count_distinct_encoded(out, "v", group_by="g",
                                  filter=("v", "between", 10**6, 10**7))
     assert len(got.to_pandas()) == 0
+
+
+def test_approx_distinct_encoded(tmp_path, ray_session):
+    """KMV distinct sketch over the store: exact below k, ~1/sqrt(k)
+    relative error above, filtered path, dict vocab fast path."""
+    import duckdb
+    from packcol.pipelines.encode_pipeline import encode_files
+    from packcol.sources.encoded import approx_distinct_encoded
+    rng = np.random.default_rng(23)
+    n = 40_000
+    df = pd.DataFrame({
+        "lang": rng.choice(["en", "de", "fr", "es", "it"], n),
+        "uid": rng.integers(0, 9_000, n).astype(np.int64),
+    })
+    src = tmp_path / "ad.parquet"
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   str(src), row_group_size=2000)
+    out = str(tmp_path / "ad_store")
+    encode_files([str(src)], out, target_bytes=1 << 14)
+    con = duckdb.connect()
+    con.register("t", df)
+
+    # dict column, distinct << k: answered exactly from part vocabs
+    r = approx_distinct_encoded(out, "lang", k=256)
+    assert r["exact"] is True and r["n_distinct"] == 5
+
+    # high-cardinality int, distinct >> k: estimate within 4/sqrt(k)
+    true = int(con.execute(
+        "SELECT COUNT(DISTINCT uid) FROM t").fetchone()[0])
+    r2 = approx_distinct_encoded(out, "uid", k=1024)
+    assert r2["exact"] is False
+    rel = abs(r2["n_distinct"] - true) / true
+    assert rel < 4 / np.sqrt(1024 - 2), (r2, true, rel)
+
+    # k above the true cardinality forces exactness
+    r3 = approx_distinct_encoded(out, "uid", k=65536)
+    assert r3["exact"] is True and r3["n_distinct"] == true
+
+    # filtered
+    true_f = int(con.execute(
+        "SELECT COUNT(DISTINCT uid) FROM t WHERE lang = 'en'")
+        .fetchone()[0])
+    r4 = approx_distinct_encoded(out, "uid", k=65536,
+                                 filter=("lang", "==", "en"))
+    assert r4["exact"] is True and r4["n_distinct"] == true_f
