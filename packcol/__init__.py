@@ -42,6 +42,16 @@ def __getattr__(name):
         "count_canonical_kmers": "packcol.pipelines.kmers",
         "column_profile": "packcol.stages.profile",
         "write_webtext": "packcol.sources.webtext",
+        "read_encoded": "packcol.sources.encoded",
+        "query": "packcol.sources.encoded",
+        "agg_encoded": "packcol.sources.encoded",
+        "count_distinct_encoded": "packcol.sources.encoded",
+        "approx_distinct_encoded": "packcol.sources.encoded",
+        "topk_encoded": "packcol.sources.encoded",
+        "merge_join_clustered": "packcol.pipelines.join",
+        "cluster_store": "packcol.pipelines.cluster",
+        "zorder_store": "packcol.pipelines.cluster",
+        "diff_stores": "packcol.pipelines.diff",
     }
     if name in _map:
         import importlib

@@ -1501,3 +1501,50 @@ def approx_distinct_encoded(store_dir: str, column: str, *,
     kth = float(hs[k - 1])
     return {"n_distinct": int(round((k - 1) * (2.0 ** 64) / kth)),
             "exact": False, "k": k}
+
+
+def query(store_dir: str, *, columns: list[str] | None = None,
+          where=None, where_any=None, group_by: str | None = None,
+          aggs: dict | None = None, order_by=None,
+          descending: bool = False, limit: int | None = None):
+    """One SELECT-shaped entry point over the encoded store that plans
+    into the narrowest pushdown primitive:
+
+    * ``aggs`` → ``agg_encoded`` (zone/bloom part pruning, packed-code
+      predicates, dict-code grouping, metadata-only MIN/MAX/COUNT when
+      unfiltered); ``order_by``/``limit`` then apply to the small
+      aggregated result.
+    * ``order_by + limit`` without a filter → ``topk_encoded`` (the
+      two-wave zone-pruned top-k; each task emits ≤ limit rows).
+    * anything else → ``read_encoded`` (projection + predicate
+      pushdown, LIMIT plan pruning), with an optional post-filter
+      ``Dataset.sort`` when ``order_by`` is combined with a filter
+      (documented: the sort runs on the filtered subset — pushdown
+      first, then the one inherent all-to-all).
+
+    The translation is exactly what a user would hand-write; this
+    wrapper exists so callers porting SQL-ish pipelines hit the right
+    physical plan by default.  Returns a Dataset (aggregates included).
+    """
+    order_keys = [order_by] if isinstance(order_by, str) \
+        else list(order_by or [])
+    if aggs:
+        res = agg_encoded(store_dir, group_by=group_by, aggs=aggs,
+                          filter=where, filter_any=where_any)
+        if order_keys:
+            res = res.sort(order_keys, descending=descending)
+        return res.limit(limit) if limit is not None else res
+    if group_by is not None:
+        raise ValueError("group_by requires aggs")
+    if order_keys and limit is not None and where is None \
+            and where_any is None:
+        return topk_encoded(store_dir, order_keys, limit,
+                            descending=descending, columns=columns)
+    ds = read_encoded(store_dir, columns=columns, filter=where,
+                      filter_any=where_any,
+                      limit=None if order_keys else limit)
+    if order_keys:
+        ds = ds.sort(order_keys, descending=descending)
+        if limit is not None:
+            ds = ds.limit(limit)
+    return ds

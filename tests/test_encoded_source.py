@@ -986,3 +986,54 @@ def test_approx_distinct_encoded(tmp_path, ray_session):
     r4 = approx_distinct_encoded(out, "uid", k=65536,
                                  filter=("lang", "==", "en"))
     assert r4["exact"] is True and r4["n_distinct"] == true_f
+
+
+def test_query_planner_routes_and_matches(tmp_path, ray_session):
+    """query() must route each SELECT shape to the right pushdown
+    primitive and return the same rows DuckDB does."""
+    import duckdb
+    from packcol.pipelines.encode_pipeline import encode_files
+    from packcol.sources.encoded import query
+    rng = np.random.default_rng(31)
+    n = 8000
+    df = pd.DataFrame({
+        "id": np.arange(n, dtype=np.int64),
+        "g": rng.choice(list("abcd"), n),
+        "v": rng.integers(0, 1000, n).astype(np.int64)})
+    src = tmp_path / "q.parquet"
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   str(src), row_group_size=500)
+    out = str(tmp_path / "q_store")
+    encode_files([str(src)], out, target_bytes=1 << 13)
+    con = duckdb.connect()
+    con.register("t", df)
+
+    got = query(out, columns=["id", "v"],
+                where=("v", "between", 100, 200)).to_pandas() \
+        .sort_values("id").reset_index(drop=True)
+    want = con.execute("SELECT id, v FROM t WHERE v BETWEEN 100 AND "
+                       "200 ORDER BY id").df()
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    agg = query(out, group_by="g",
+                aggs={"n": ("count",), "sv": ("sum", "v")},
+                order_by="g").to_pandas().reset_index(drop=True)
+    wagg = con.execute("SELECT g, COUNT(*) AS n, SUM(v) AS sv FROM t "
+                       "GROUP BY g ORDER BY g").df()
+    assert list(agg["n"].astype(int)) == list(wagg["n"].astype(int))
+    assert list(agg["sv"].astype(int)) == list(wagg["sv"].astype(int))
+
+    top = query(out, order_by=["v", "id"], descending=True, limit=7,
+                columns=["id", "v"]).to_pandas()
+    wtop = con.execute("SELECT id, v FROM t ORDER BY v DESC, id DESC "
+                       "LIMIT 7").df()
+    assert list(top["id"].astype(int)) == list(wtop["id"].astype(int))
+
+    fo = query(out, where=("g", "==", "a"), order_by="id", limit=5,
+               columns=["id"]).to_pandas()
+    wfo = con.execute("SELECT id FROM t WHERE g = 'a' ORDER BY id "
+                      "LIMIT 5").df()
+    assert list(fo["id"].astype(int)) == list(wfo["id"].astype(int))
+
+    with pytest.raises(ValueError, match="group_by requires aggs"):
+        query(out, group_by="g")
