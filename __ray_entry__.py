@@ -1073,6 +1073,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return pd.DataFrame([{"n_distinct": r["n_distinct"]}])
     q["approx_distinct_users"] = approx_distinct_users
 
+    def bm25_search(sf):
+        """BM25 top-k retrieval (pipelines/search.py::bm25_topk): two
+        streaming passes — query-scoped corpus stats (one tiny row per
+        batch), then vectorized hashed-token scoring with per-batch
+        top-k into the global_top_k combiner.  Rows-only (float
+        scores + engine tokenizer semantics aren't stable SQL);
+        correctness is pinned by the numpy oracle in
+        tests/test_search.py."""
+        from packcol.pipelines.search import bm25_topk
+        ds_ = _read(sf, "documents", ["doc_id", "text"])
+        return bm25_topk(ds_, "text", ["the", "data"], k=20,
+                         keep_cols=["doc_id"]).drop(columns=["score"])
+    q["bm25_search"] = bm25_search
+
     def store_fsck(sf):
         # deep store audit: decodes every column of the shared events
         # store and proves zone containment + null counts (rows-only:
@@ -1871,6 +1885,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # full; the count-distinct family is anchored in the head by
         # count_distinct_users
         "approx_distinct_users",
+        # bm25_search: NEW r5 — rows-only (float scores; numpy-oracled
+        # in tests/test_search.py)
+        "bm25_search",
     ]
     assert set(_ORDER_TAIL) <= set(q), sorted(set(_ORDER_TAIL) - set(q))
     assert len(q) - len(_ORDER_TAIL) <= 50, (
