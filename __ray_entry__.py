@@ -389,6 +389,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return pdf[["vec_id"]]
     q["ann_topk"] = ann_topk
 
+    def ann_pq_exact(sf):
+        """Product quantization (pipelines/ann.py::ann_pq_topk):
+        m-byte ADC codes shortlist candidates, exact in-batch re-rank
+        returns true cosines.  Exactness-forcing config (rerank_k >=
+        every batch) makes the full train/encode/ADC/re-rank pipeline
+        equal brute force — the same oracle trick as ann_ivf_exact."""
+        from packcol.pipelines.ann import ann_pq_topk
+        pdf = ann_pq_topk(_read(sf, "embeddings"), _query_vec(sf),
+                          k=10, m=4, nbits=6, rerank_k=10**9,
+                          sample_rows=1024)
+        return pdf[["vec_id"]]
+    q["ann_pq_exact"] = ann_pq_exact
+
     def embedding_dedup(sf):
         from packcol.pipelines.ann import embedding_near_dup_pairs
         return embedding_near_dup_pairs(
@@ -1888,6 +1901,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # bm25_search: NEW r5 — rows-only (float scores; numpy-oracled
         # in tests/test_search.py)
         "bm25_search",
+        # ann_pq_exact: NEW r5 — SQL-oracled (exactness-forcing
+        # rerank), tail because the head window is full; the ANN
+        # family is anchored in the head by ann_ivf_exact /
+        # ann_lsh_exact / ann_index_exact
+        "ann_pq_exact",
     ]
     assert set(_ORDER_TAIL) <= set(q), sorted(set(_ORDER_TAIL) - set(q))
     assert len(q) - len(_ORDER_TAIL) <= 50, (
@@ -2031,6 +2049,13 @@ def oracle_sql() -> dict[str, str]:
             "len(list_distinct(string_split(text,' '))) AS n_unique_tokens "
             "FROM documents"),
         "ann_topk": (
+            "SELECT e.vec_id FROM embeddings e, "
+            "(SELECT embedding AS qv FROM embeddings WHERE vec_id=0) q "
+            "ORDER BY list_cosine_similarity(e.embedding, q.qv) DESC, "
+            "e.vec_id LIMIT 10"),
+        # PQ with rerank_k >= batch rows re-ranks every row exactly →
+        # equals brute force; same oracle
+        "ann_pq_exact": (
             "SELECT e.vec_id FROM embeddings e, "
             "(SELECT embedding AS qv FROM embeddings WHERE vec_id=0) q "
             "ORDER BY list_cosine_similarity(e.embedding, q.qv) DESC, "

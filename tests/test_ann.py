@@ -1,6 +1,7 @@
 """ANN pipelines: brute-force exact, LSH, IVF (recall vs exact)."""
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
 import pytest
@@ -179,3 +180,69 @@ class TestUniformSampleVectors:
                                   type=pa.large_list(pa.float64()))}))
         s = uniform_sample_vectors(ds, 100)
         assert s.shape == (4, 3)
+
+
+class TestPQ:
+    def _data(self, n=3000, dim=16, seed=7):
+        rng = np.random.default_rng(seed)
+        centers = rng.standard_normal((20, dim)) * 3
+        X = centers[rng.integers(0, 20, n)] + rng.standard_normal(
+            (n, dim)) * 0.4
+        return pd.DataFrame({"vec_id": np.arange(n, dtype=np.int64),
+                             "embedding": list(X)})
+
+    def test_pq_exact_config_matches_brute(self, ray_session):
+        """rerank_k >= batch rows forces per-batch exact scoring: the
+        result must equal brute-force cosine top-k bit-for-bit."""
+        import ray.data as rd
+        from packcol.pipelines.ann import ann_brute_topk, ann_pq_topk
+        df = self._data()
+        ds = rd.from_pandas(df).repartition(4)
+        q = np.asarray(df["embedding"][3], dtype=np.float64)
+        brute = ann_brute_topk(ds, q, k=10)
+        pqr = ann_pq_topk(ds, q, k=10, m=4, nbits=4,
+                          rerank_k=10**9, sample_rows=512)
+        assert list(pqr["vec_id"]) == list(brute["vec_id"])
+        np.testing.assert_allclose(pqr["cos"], brute["cos"])
+
+    def test_pq_recall_and_honest_scores(self, ray_session):
+        """Real PQ config: recall@10 vs brute is high on clustered
+        data, and every returned cos is the TRUE cosine."""
+        import ray.data as rd
+        from packcol.pipelines.ann import ann_brute_topk, ann_pq_topk
+        df = self._data(seed=9)
+        ds = rd.from_pandas(df).repartition(4)
+        q = np.asarray(df["embedding"][42], dtype=np.float64)
+        brute = ann_brute_topk(ds, q, k=10)
+        pqr = ann_pq_topk(ds, q, k=10, m=4, nbits=6, rerank_k=64,
+                          sample_rows=1024)
+        recall = len(set(pqr["vec_id"]) & set(brute["vec_id"])) / 10
+        assert recall >= 0.7, recall
+        # honest scores: recompute cosines directly
+        X = np.stack(df["embedding"].to_numpy())
+        Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+        qn = q / np.linalg.norm(q)
+        for vid, cos in zip(pqr["vec_id"], pqr["cos"]):
+            assert abs(Xn[int(vid)] @ qn - cos) < 1e-9
+
+    def test_pq_codes_compress(self, ray_session):
+        """The code layout is m small ints per vector — the 384x memory
+        claim for 768-d float32 at m=8; check the kernel shape here."""
+        from packcol.pipelines.ann import _pq_encode_block, pq_train
+        import ray.data as rd
+        df = self._data(n=800, dim=32)
+        books = pq_train(rd.from_pandas(df), m=8, nbits=8,
+                         sample_rows=512)
+        assert books.shape == (8, 256, 4)
+        X = np.stack(df["embedding"].to_numpy())
+        Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+        codes = _pq_encode_block(Xn, books)
+        assert codes.shape == (800, 8) and codes.dtype == np.uint8
+        assert codes.nbytes == 800 * 8  # vs 800 x 32 x 8 raw
+
+    def test_pq_dim_guard(self, ray_session):
+        import ray.data as rd
+        from packcol.pipelines.ann import pq_train
+        df = self._data(n=200, dim=10)
+        with pytest.raises(ValueError, match="not divisible"):
+            pq_train(rd.from_pandas(df), m=4, sample_rows=128)
