@@ -1548,3 +1548,74 @@ def query(store_dir: str, *, columns: list[str] | None = None,
         if limit is not None:
             ds = ds.limit(limit)
     return ds
+
+
+def explain_scan(store_dir: str, *, filter=None, filter_any=None,
+                 columns: list[str] | None = None) -> dict:
+    """Planner transparency: what a filtered scan WOULD read, from
+    manifests alone (zero payload bytes).  Per predicate: the zone-map
+    survivor count; then the bloom-sidecar prune on the combined
+    survivor set; then the estimated rows/bytes of the surviving parts
+    from their manifest row counts.  The numbers a user needs to see
+    whether their layout (cluster_store / zorder_store / blooms) is
+    actually pruning — and what `read_encoded`/`agg_encoded`/
+    `count_encoded` will schedule."""
+    from ..pipelines.encode_pipeline import (_bloom_prune,
+                                             _pred_survivors)
+    from ..state.manifest import Manifest
+    if filter is not None and filter_any is not None:
+        raise ValueError("pass filter= (AND) or filter_any= (OR), "
+                         "not both")
+    mode = "or" if filter_any is not None else "and"
+    raw = filter_any if filter_any is not None else filter
+    preds = ([] if raw is None else
+             [_norm_pred(f) for f in raw] if isinstance(raw, list)
+             else [_norm_pred(raw)])
+    total = len(_part_files(store_dir))
+    per_pred = []
+    for pred in preds:
+        surv = _pred_survivors(store_dir, pred)
+        per_pred.append({
+            "predicate": [pred[0], pred[1],
+                          *(str(v) for v in pred[2:] if v is not None)],
+            "zone_survivors": len(surv)})
+    files = _pruned_part_files(store_dir, preds, mode)
+    zone_only = (set.union(*[
+        {f["path"] for f in _pred_survivors(store_dir, p)}
+        for p in preds]) if mode == "or" and preds else None)
+    if mode == "and":
+        zpaths = None
+        for pred in preds:
+            s = {f["path"] for f in _pred_survivors(store_dir, pred)}
+            zpaths = s if zpaths is None else zpaths & s
+        zone_only = zpaths if zpaths is not None else \
+            {f["path"] for f in _pruned_part_files(store_dir, [], mode)}
+    rows_of, rows_total = {}, 0
+    for m in Manifest(store_dir).load_all():
+        rows_of[m["part_id"]] = m.get("rows", 0)
+        rows_total += m.get("rows", 0)
+
+    def _rows(paths):
+        n = 0
+        for p in paths:
+            base = os.path.basename(p if isinstance(p, str)
+                                    else p["path"])
+            pid = base[len("part-"):-len(".parquet")] \
+                if base.startswith("part-") else None
+            n += rows_of.get(pid, 0)
+        return n
+
+    survivors = [f["path"] for f in files]
+    return {
+        "parts_total": total,
+        "rows_total": rows_total,
+        "mode": mode,
+        "predicates": per_pred,
+        "zone_survivors": len(zone_only) if zone_only is not None
+        else total,
+        "bloom_pruned": (len(zone_only) - len(survivors))
+        if zone_only is not None else 0,
+        "parts_scanned": len(survivors),
+        "rows_upper_bound": _rows(survivors),
+        "columns": columns,
+    }

@@ -287,6 +287,17 @@ def main() -> None:
     di.add_argument("--limit", type=int, default=20,
                     help="values printed (count is always exact)")
 
+    ex = sub.add_parser("explain", help="what a filtered scan WOULD "
+                        "read, from manifests alone: per-predicate "
+                        "zone survivors, bloom prunes, row bound")
+    ex.add_argument("--encoded", required=True)
+    ex.add_argument("--where", nargs=2, metavar=("COL", "VAL"),
+                    action="append")
+    ex.add_argument("--between", nargs=3, metavar=("COL", "LO", "HI"),
+                    action="append")
+    ex.add_argument("--type", default="schema",
+                    choices=["schema", "str", "int", "float", "auto"])
+
     zo = sub.add_parser("zorder", help="re-cluster on the Z-order "
                         "interleave of 2-4 numeric keys: range "
                         "predicates on ANY key prune parts")
@@ -538,6 +549,10 @@ def main() -> None:
         print(json.dumps({"column": args.column,
                           "n_distinct": ds.count(),
                           "values": [str(v) for v in vals]}))
+    elif args.cmd == "explain":
+        from packcol.sources.encoded import explain_scan
+        print(json.dumps(explain_scan(args.encoded,
+                                      filter=_build_preds(args))))
     elif args.cmd == "zorder":
         from packcol.pipelines.cluster import zorder_store
         print(json.dumps(zorder_store(

@@ -1037,3 +1037,38 @@ def test_query_planner_routes_and_matches(tmp_path, ray_session):
 
     with pytest.raises(ValueError, match="group_by requires aggs"):
         query(out, group_by="g")
+
+
+def test_explain_scan_prune_accounting(tmp_path, ray_session):
+    """explain_scan's numbers must agree with what the scan actually
+    schedules: zone survivors, bloom prunes, row upper bound."""
+    from packcol.pipelines.encode_pipeline import encode_files
+    from packcol.sources.encoded import explain_scan, read_encoded
+    rng = np.random.default_rng(41)
+    df = pd.DataFrame({
+        "k": np.sort(rng.integers(0, 10_000, 6000)).astype(np.int64),
+        "s": rng.choice([f"u{i}" for i in range(50)], 6000)})
+    src = tmp_path / "e.parquet"
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   str(src), row_group_size=300)
+    out = str(tmp_path / "e_store")
+    encode_files([str(src)], out, target_bytes=1 << 13)
+
+    full = explain_scan(out)
+    assert full["parts_scanned"] == full["parts_total"] > 3
+    assert full["rows_total"] == 6000
+
+    # sorted key → a narrow range prunes most parts
+    rng_plan = explain_scan(out, filter=("k", "between", 0, 500))
+    assert rng_plan["parts_scanned"] < full["parts_total"] / 2
+    got = read_encoded(out, filter=("k", "between", 0, 500)).to_pandas()
+    assert len(got) <= rng_plan["rows_upper_bound"]
+    assert len(got) == int((df["k"] <= 500).sum())
+
+    # out-of-domain predicate → zero parts
+    none = explain_scan(out, filter=("k", "==", 10**7))
+    assert none["parts_scanned"] == 0 and none["rows_upper_bound"] == 0
+
+    # bloom prune shows up for a nonexistent dict value with in-zone
+    miss = explain_scan(out, filter=("s", "==", "u999zz"))
+    assert miss["parts_scanned"] <= miss["zone_survivors"]
