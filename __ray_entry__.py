@@ -480,6 +480,29 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return pdf[["vec_id"]]
     q["ann_index_exact"] = ann_index_exact
 
+    def ann_ivfpq_exact(sf):
+        """IVF-PQ as store composition (pipelines/ann_index.py::
+        build_ivfpq_store / ivfpq_query_store): the IVF store gains an
+        ANNOTATED m-byte __pq_code column + codebook sidecar; the
+        probe is two pushdown reads — ADC shortlist over the code
+        column, exact re-rank over only the shortlisted ids.
+        Exactness-forcing config (n_probe = n_lists, rerank
+        everything) == brute force, so the full
+        build/annotate/sidecar/ADC/re-rank path is SQL-checkable."""
+        import hashlib
+        from packcol.pipelines.ann_index import (build_ivfpq_store,
+                                                 ivfpq_query_store)
+        tag = hashlib.sha1(os.path.abspath(sf).encode()).hexdigest()[:10]
+        out = os.path.join("/tmp", f"packcol_ivfpq_v1_{tag}")
+        if not os.path.exists(os.path.join(out, "_ivf", "pq.npz")):
+            build_ivfpq_store(_read(sf, "embeddings"), out, n_lists=8,
+                              m=4, nbits=6, vec_col="embedding",
+                              id_col="vec_id")
+        pdf = ivfpq_query_store(out, _query_vec(sf), k=10, n_probe=8,
+                                rerank_k=10**9)
+        return pdf[["vec_id"]]
+    q["ann_ivfpq_exact"] = ann_ivfpq_exact
+
     # --- canonical-form normalization (N1-N4 generalized) ----------------
     def canonical_text(sf):
         from packcol.codecs.canonical import canonicalize
@@ -1901,11 +1924,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # bm25_search: NEW r5 — rows-only (float scores; numpy-oracled
         # in tests/test_search.py)
         "bm25_search",
-        # ann_pq_exact: NEW r5 — SQL-oracled (exactness-forcing
-        # rerank), tail because the head window is full; the ANN
-        # family is anchored in the head by ann_ivf_exact /
-        # ann_lsh_exact / ann_index_exact
-        "ann_pq_exact",
+        # ann_pq_exact / ann_ivfpq_exact: NEW r5 — SQL-oracled
+        # (exactness-forcing rerank), tail because the head window is
+        # full; the ANN family is anchored in the head by
+        # ann_ivf_exact / ann_lsh_exact / ann_index_exact
+        "ann_pq_exact", "ann_ivfpq_exact",
     ]
     assert set(_ORDER_TAIL) <= set(q), sorted(set(_ORDER_TAIL) - set(q))
     assert len(q) - len(_ORDER_TAIL) <= 50, (
@@ -2049,6 +2072,12 @@ def oracle_sql() -> dict[str, str]:
             "len(list_distinct(string_split(text,' '))) AS n_unique_tokens "
             "FROM documents"),
         "ann_topk": (
+            "SELECT e.vec_id FROM embeddings e, "
+            "(SELECT embedding AS qv FROM embeddings WHERE vec_id=0) q "
+            "ORDER BY list_cosine_similarity(e.embedding, q.qv) DESC, "
+            "e.vec_id LIMIT 10"),
+        # IVF-PQ probing every list and re-ranking everything → exact
+        "ann_ivfpq_exact": (
             "SELECT e.vec_id FROM embeddings e, "
             "(SELECT embedding AS qv FROM embeddings WHERE vec_id=0) q "
             "ORDER BY list_cosine_similarity(e.embedding, q.qv) DESC, "

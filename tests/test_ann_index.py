@@ -112,3 +112,62 @@ def test_missing_sidecar_raises(tmp_path):
     from packcol.pipelines.ann_index import load_ivf_sidecar
     with pytest.raises(FileNotFoundError, match="IVF sidecar"):
         load_ivf_sidecar(str(tmp_path))
+
+
+class TestIVFPQ:
+    @pytest.fixture(scope="class")
+    def store(self, ray_session, tmp_path_factory):
+        import ray.data as rd
+        from packcol.pipelines.ann_index import build_ivfpq_store
+        rng = np.random.default_rng(5)
+        n, dim = 4000, 16
+        centers = rng.standard_normal((12, dim)) * 3
+        X = centers[rng.integers(0, 12, n)] + \
+            rng.standard_normal((n, dim)) * 0.3
+        df = pd.DataFrame({"vec_id": np.arange(n, dtype=np.int64),
+                           "embedding": list(X)})
+        out = str(tmp_path_factory.mktemp("ivfpq"))
+        m = build_ivfpq_store(rd.from_pandas(df).repartition(4), out,
+                              n_lists=8, m=4, nbits=6, sample_rows=1024)
+        assert m["pq_parts_annotated"] > 0
+        return df, out
+
+    def test_exactness_anchor(self, store, ray_session):
+        """n_probe = n_lists + rerank everything == brute force."""
+        import ray.data as rd
+        from packcol.pipelines.ann import ann_brute_topk
+        from packcol.pipelines.ann_index import ivfpq_query_store
+        df, out = store
+        q = np.asarray(df["embedding"][7], dtype=np.float64)
+        brute = ann_brute_topk(rd.from_pandas(df), q, k=10)
+        got = ivfpq_query_store(out, q, k=10, n_probe=8,
+                                rerank_k=10**9)
+        assert list(got["vec_id"]) == list(brute["vec_id"])
+        np.testing.assert_allclose(got["cos"], brute["cos"])
+
+    def test_probe_recall_and_honest_scores(self, store, ray_session):
+        import ray.data as rd
+        from packcol.pipelines.ann import ann_brute_topk
+        from packcol.pipelines.ann_index import ivfpq_query_store
+        df, out = store
+        q = np.asarray(df["embedding"][99], dtype=np.float64)
+        brute = ann_brute_topk(rd.from_pandas(df), q, k=10)
+        got = ivfpq_query_store(out, q, k=10, n_probe=3, rerank_k=128)
+        recall = len(set(got["vec_id"]) & set(brute["vec_id"])) / 10
+        assert recall >= 0.7, recall
+        X = np.stack(df["embedding"].to_numpy())
+        Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+        qn = q / np.linalg.norm(q)
+        for vid, cos in zip(got["vec_id"], got["cos"]):
+            assert abs(Xn[int(vid)] @ qn - cos) < 1e-9
+
+    def test_store_stays_queryable(self, store, ray_session):
+        """The IVF-PQ index is still a plain store: projection reads
+        and aggregates work, and the code column is m bytes/row."""
+        from packcol.sources.encoded import agg_encoded, read_encoded
+        df, out = store
+        n = agg_encoded(out, aggs={"n": ("count",)}).to_pandas()
+        assert int(n["n"][0]) == len(df)
+        codes = read_encoded(out, columns=["vec_id", "__pq_code"],
+                             limit=50).to_pandas()
+        assert all(len(bytes(c)) == 4 for c in codes["__pq_code"])
