@@ -1123,6 +1123,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
                          keep_cols=["doc_id"]).drop(columns=["score"])
     q["bm25_search"] = bm25_search
 
+    def stratified_docs(sf):
+        """Deterministic uniform n-per-group sample
+        (pipelines/window.py::stratified_sample): bottom-n content
+        hashing through the top-n-per-group combiner — exact group
+        quotas, reproducible across partitionings, no per-group UDF.
+        Rows-only (the sample depends on the engine's hash)."""
+        from packcol.pipelines.window import stratified_sample
+        ds_ = _read(sf, "documents", ["doc_id", "lang"])
+        return stratified_sample(ds_, "lang", 5, key_cols=["doc_id"])
+    q["stratified_docs"] = stratified_docs
+
     def store_fsck(sf):
         # deep store audit: decodes every column of the shared events
         # store and proves zone containment + null counts (rows-only:
@@ -1929,6 +1940,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # full; the ANN family is anchored in the head by
         # ann_ivf_exact / ann_lsh_exact / ann_index_exact
         "ann_pq_exact", "ann_ivfpq_exact",
+        # stratified_docs: NEW r5 — rows-only (hash-dependent sample;
+        # quota + reproducibility pinned in tests/test_window.py)
+        "stratified_docs",
     ]
     assert set(_ORDER_TAIL) <= set(q), sorted(set(_ORDER_TAIL) - set(q))
     assert len(q) - len(_ORDER_TAIL) <= 50, (

@@ -379,6 +379,21 @@ def main() -> None:
         queries["ivf_query_probe2"] = round(t_q, 3)
         shutil.rmtree(IVF_DIR, ignore_errors=True)
 
+        # IVF-PQ: annotated m-byte code column + two-pushdown-read
+        # probe (ADC shortlist on codes, exact re-rank on shortlist)
+        from packcol.pipelines.ann_index import (build_ivfpq_store,
+                                                 ivfpq_query_store)
+        PQ_DIR = "/tmp/packcol_bench/ivfpq_store"
+        shutil.rmtree(PQ_DIR, ignore_errors=True)
+        t0q = time.perf_counter()
+        build_ivfpq_store(read_parquet_clean(emb_path), PQ_DIR,
+                          n_lists=16, m=4, nbits=8, iters=4)
+        queries["ivfpq_build"] = round(time.perf_counter() - t0q, 3)
+        t_q, _ = timed2(lambda: ivfpq_query_store(
+            PQ_DIR, q, k=10, n_probe=2, rerank_k=128))
+        queries["ivfpq_query_probe2"] = round(t_q, 3)
+        shutil.rmtree(PQ_DIR, ignore_errors=True)
+
     headline = queries["encode_webtext"] + queries["decode_verify_webtext"]
     result = {
         "metric": "webtext encode + decode-verify wall time "

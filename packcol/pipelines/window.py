@@ -1133,3 +1133,40 @@ def hopping_window_aggregate(ds: "rd.Dataset", ts_col: str, *,
                           zero_copy_batch=True) \
         .groupby(keys).aggregate(*ray_aggs) \
         .select_columns([*keys, *aggs.keys()])
+
+
+def stratified_sample(ds: "rd.Dataset", by, n: int, *,
+                      seed: int = 13, key_cols: list[str] | None = None,
+                      drop_key: bool = True):
+    """Deterministic UNIFORM sample of exactly min(n, group size) rows
+    PER GROUP — the class-balanced subset every training-data pipeline
+    needs (a global Bernoulli sample starves rare groups).
+
+    Bottom-n hashing: every row gets a pseudo-random 64-bit key
+    (splitmix64 over the row's content-hash ⊕ seed); the n smallest
+    keys per group are a uniform without-replacement sample, and
+    top-n-per-group's combiner plan computes them without any
+    per-group UDF — each batch forwards ≤ n rows per group, one sort
+    of partials, vectorized rank filter.  Reproducible across runs,
+    cluster sizes and input order (the key depends only on row CONTENT
+    and seed).  ``key_cols`` limits the content hash to a stable id
+    subset (rows differing elsewhere still sample consistently)."""
+    import numpy as np
+    from ..functions.text import _splitmix64
+    from .content_hash import batch_row_hashes
+
+    def add_key(batch: pa.Table) -> pa.Table:
+        sub = batch.select(key_cols) if key_cols else batch
+        h = batch_row_hashes(sub)
+        key = _splitmix64(h ^ np.uint64(seed * 0x9E3779B97F4A7C15
+                                        % (1 << 64)))
+        return batch.append_column("__sk", pa.array(key.view(np.int64)))
+
+    keyed = ds.map_batches(add_key, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    out = top_n_per_group(keyed, by, "__sk", n, descending=False)
+    if drop_key:
+        out = out.map_batches(
+            lambda b: b.drop_columns(["__sk"]),
+            batch_format="pyarrow", zero_copy_batch=True)
+    return out

@@ -605,3 +605,42 @@ class TestHoppingWindow:
         with pytest.raises(ValueError, match="unsupported"):
             hopping_window_aggregate(ds, "ts", size_s=3600, hop_s=3600,
                                      aggs={"n": ("median", "v")})
+
+
+class TestStratifiedSample:
+    def _df(self, seed=3):
+        rng = np.random.default_rng(seed)
+        return pd.DataFrame({
+            "g": rng.choice(["a", "b", "c"], 5000, p=[.80, .18, .02]),
+            "x": np.arange(5000, dtype=np.int64)})
+
+    def test_exact_n_per_group_and_reproducible(self, ray_session):
+        import ray.data as rd
+        from packcol.pipelines.window import stratified_sample
+        df = self._df()
+        s1 = stratified_sample(rd.from_pandas(df).repartition(8),
+                               "g", 40).to_pandas()
+        counts = s1.groupby("g").size()
+        for g in "abc":
+            assert counts[g] == min(40, (df.g == g).sum())
+        # reproducible under a different partitioning
+        s2 = stratified_sample(rd.from_pandas(df).repartition(3),
+                               "g", 40).to_pandas()
+        assert set(map(tuple, s1.values)) == set(map(tuple, s2.values))
+        # a different seed gives a different sample
+        s3 = stratified_sample(rd.from_pandas(df), "g", 40,
+                               seed=99).to_pandas()
+        assert set(map(tuple, s1.values)) != set(map(tuple, s3.values))
+
+    def test_uniformity(self, ray_session):
+        """Each row of a group is equally likely: sampling n=200 of
+        1000 sequential x values should cover the range evenly."""
+        import ray.data as rd
+        from packcol.pipelines.window import stratified_sample
+        df = pd.DataFrame({"g": ["z"] * 1000,
+                           "x": np.arange(1000, dtype=np.int64)})
+        s = stratified_sample(rd.from_pandas(df), "g", 200,
+                              seed=5).to_pandas()
+        assert len(s) == 200
+        # mean of a uniform 200-sample of 0..999 concentrates near 500
+        assert 400 < s["x"].mean() < 600
