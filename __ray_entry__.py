@@ -1134,6 +1134,33 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return stratified_sample(ds_, "lang", 5, key_cols=["doc_id"])
     q["stratified_docs"] = stratified_docs
 
+    def corr_cents_user(sf):
+        """Distributed Pearson correlation (stages/profile.py::
+        pearson_corr): per-batch (n, Σx, Σy, Σxx, Σyy, Σxy) moment
+        partials — six numbers per group per batch — merged by one
+        tiny groupby.  Values scale to integer cents first, so the
+        moments are EXACT int sums and the final double closed form
+        is reproducible against the SQL oracle computing the same
+        formula from the same integer moments."""
+        import numpy as np
+        from packcol.stages.profile import pearson_corr
+
+        def cents(b: pa.Table) -> pa.Table:
+            v = b.column("value")
+            if isinstance(v, pa.ChunkedArray):
+                v = v.combine_chunks()
+            c = np.round(v.to_numpy(zero_copy_only=False) * 100) \
+                .astype(np.int64)
+            return b.append_column("c", pa.array(c))
+
+        ds_ = _read(sf, "events", ["event_type", "value", "user_id"]) \
+            .map_batches(cents, batch_format="pyarrow",
+                         zero_copy_batch=True)
+        out = pearson_corr(ds_, "c", "user_id", by="event_type")
+        out["corr"] = np.round(out["corr"], 6)
+        return out
+    q["corr_cents_user"] = corr_cents_user
+
     def store_fsck(sf):
         # deep store audit: decodes every column of the shared events
         # store and proves zone containment + null counts (rows-only:
@@ -1943,6 +1970,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # stratified_docs: NEW r5 — rows-only (hash-dependent sample;
         # quota + reproducibility pinned in tests/test_window.py)
         "stratified_docs",
+        # corr_cents_user: NEW r5 — SQL-oracled (exact integer
+        # moments, identical closed form both sides), tail because the
+        # head window is full
+        "corr_cents_user",
     ]
     assert set(_ORDER_TAIL) <= set(q), sorted(set(_ORDER_TAIL) - set(q))
     assert len(q) - len(_ORDER_TAIL) <= 50, (
@@ -2177,6 +2208,22 @@ def oracle_sql() -> dict[str, str]:
             "GROUP BY event_type"),
         "approx_distinct_users": (
             "SELECT COUNT(DISTINCT user_id) AS n_distinct FROM events"),
+        # same closed form over the same EXACT integer moments as the
+        # Ray side (values scaled to cents) — double ops in the same
+        # order, so round(.,6) agrees
+        "corr_cents_user": (
+            "SELECT event_type, CAST(n AS BIGINT) AS n, "
+            "round((CAST(n AS DOUBLE)*sxy - sx*sy) / "
+            "(sqrt(CAST(n AS DOUBLE)*sxx - sx*sx) * "
+            "sqrt(CAST(n AS DOUBLE)*syy - sy*sy)), 6) AS corr FROM ("
+            "SELECT event_type, COUNT(*) AS n, "
+            "CAST(SUM(c) AS DOUBLE) AS sx, "
+            "CAST(SUM(user_id) AS DOUBLE) AS sy, "
+            "CAST(SUM(c*c) AS DOUBLE) AS sxx, "
+            "CAST(SUM(user_id*user_id) AS DOUBLE) AS syy, "
+            "CAST(SUM(c*user_id) AS DOUBLE) AS sxy FROM ("
+            "SELECT event_type, CAST(round(value*100) AS BIGINT) AS c, "
+            "user_id FROM events) GROUP BY event_type)"),
         "store_sink_roundtrip": (
             "SELECT doc_id, lang, n_chars FROM documents "
             "WHERE lang = 'en'"),

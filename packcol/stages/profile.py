@@ -253,3 +253,73 @@ def approx_quantiles(ds, col: str, qs: list[float], k: int = 16384):
     ranks = np.clip((np.ceil(np.asarray(qs) * len(vals)) - 1)
                     .astype(np.int64), 0, len(vals) - 1)
     return pd.DataFrame({"q": qs, "value": vals[ranks]})
+
+
+def pearson_corr(ds, x: str, y: str, by: str | None = None):
+    """Distributed Pearson correlation from mergeable moment partials:
+    each batch emits one row of (n, Σx, Σy, Σxx, Σyy, Σxy) per group —
+    six numbers, never data — and one (tiny) groupby merges them; the
+    final ratio computes on the driver from the merged moments.
+
+    With integer inputs the moments are EXACT int64 sums, so the final
+    double arithmetic is bit-reproducible against any system that
+    evaluates the same closed form on the same integer moments (the
+    driver-oracle trick: scale fixed-point floats to ints first).
+    Rows where either column is null are excluded (SQL corr
+    semantics).  Returns pandas ([by,] n, corr); corr is NaN for
+    degenerate (constant) columns, like SQL NULL."""
+    import pandas as pd
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        xs, ys = batch.column(x), batch.column(y)
+        if isinstance(xs, pa.ChunkedArray):
+            xs = xs.combine_chunks()
+        if isinstance(ys, pa.ChunkedArray):
+            ys = ys.combine_chunks()
+        ok = pc.and_(pc.is_valid(xs), pc.is_valid(ys))
+        if by is not None:
+            tbl = batch.filter(ok)
+            xs, ys = tbl.column(x), tbl.column(y)
+            g = tbl.column(by)
+        else:
+            xs, ys = xs.filter(ok), ys.filter(ok)
+            g = None
+        xv = xs.to_numpy(zero_copy_only=False)
+        yv = ys.to_numpy(zero_copy_only=False)
+        cols = {"__x": xv, "__y": yv, "__xx": xv * xv,
+                "__yy": yv * yv, "__xy": xv * yv,
+                "__n": np.ones(len(xv), dtype=np.int64)}
+        if g is None:
+            return pa.table({k: pa.array([v.sum()])
+                             for k, v in cols.items()})
+        t = pa.table({by: g, **{k: pa.array(v)
+                                for k, v in cols.items()}})
+        return t.group_by(by).aggregate(
+            [(c, "sum") for c in cols])
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    names = ["__x", "__y", "__xx", "__yy", "__xy", "__n"]
+    if by is None:
+        pdf = parts.to_pandas().sum()
+        rows = [{**({} if by is None else {}),
+                 **{k: pdf[k] for k in names}}]
+        out = pd.DataFrame(rows)
+    else:
+        aggs = [Sum(on=f"{c}_sum", alias_name=c) for c in names]
+        out = parts.groupby(by).aggregate(*aggs).to_pandas()
+
+    def _corr(r):
+        n = float(r["__n"])
+        sx, sy = float(r["__x"]), float(r["__y"])
+        sxx, syy, sxy = (float(r["__xx"]), float(r["__yy"]),
+                         float(r["__xy"]))
+        den = np.sqrt(n * sxx - sx * sx) * np.sqrt(n * syy - sy * sy)
+        return (n * sxy - sx * sy) / den if den > 0 else float("nan")
+
+    out["corr"] = out.apply(_corr, axis=1)
+    out["n"] = out["__n"].astype(np.int64)
+    keep = ([by] if by else []) + ["n", "corr"]
+    return out[keep].reset_index(drop=True)

@@ -1,6 +1,7 @@
 """KMV sketch + distributed column profile tests."""
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 
 from packcol.stages.profile import (column_profile, kmv_estimate, kmv_merge,
@@ -142,3 +143,45 @@ def test_column_profile_handles_nested_and_decimal(ray_session):
         .set_index("column")
     assert prof.loc["lst", "n_distinct"] == 3
     assert prof.loc["dec", "n_distinct"] == 2
+
+
+class TestPearsonCorr:
+    def test_matches_numpy_grouped_and_global(self, ray_session):
+        import ray.data as rd
+        from packcol.stages.profile import pearson_corr
+        rng = np.random.default_rng(7)
+        n = 6000
+        x = rng.standard_normal(n)
+        df = pd.DataFrame({
+            "g": rng.choice(["a", "b"], n),
+            "x": x,
+            "y": 0.6 * x + 0.4 * rng.standard_normal(n)})
+        ds = rd.from_pandas(df).repartition(6)
+        g = pearson_corr(ds, "x", "y").iloc[0]
+        assert g["n"] == n
+        np.testing.assert_allclose(
+            g["corr"], np.corrcoef(df.x, df.y)[0, 1], rtol=1e-9)
+        byg = pearson_corr(ds, "x", "y", by="g") \
+            .sort_values("g").reset_index(drop=True)
+        for i, gv in enumerate(["a", "b"]):
+            sub = df[df.g == gv]
+            np.testing.assert_allclose(
+                byg["corr"][i], np.corrcoef(sub.x, sub.y)[0, 1],
+                rtol=1e-9)
+            assert byg["n"][i] == len(sub)
+
+    def test_nulls_pairwise_excluded_and_degenerate(self, ray_session):
+        import ray.data as rd
+        from packcol.stages.profile import pearson_corr
+        df = pd.DataFrame({
+            "x": [1.0, 2.0, None, 4.0, 5.0, 6.0],
+            "y": [2.0, None, 3.0, 8.0, 10.0, 12.0]})
+        r = pearson_corr(rd.from_pandas(df), "x", "y").iloc[0]
+        ok = df.dropna()
+        assert r["n"] == len(ok)
+        np.testing.assert_allclose(
+            r["corr"], np.corrcoef(ok.x, ok.y)[0, 1], rtol=1e-9)
+        const = pd.DataFrame({"x": [3.0] * 10,
+                              "y": np.arange(10, dtype=float)})
+        rc = pearson_corr(rd.from_pandas(const), "x", "y").iloc[0]
+        assert np.isnan(rc["corr"])
