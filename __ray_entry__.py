@@ -1161,6 +1161,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return out
     q["corr_cents_user"] = corr_cents_user
 
+    def lag_prev_value(sf):
+        """SQL LAG by composition (pipelines/window.py::lag_column):
+        per-key rank from running_aggregate(count) (one sort), then an
+        equi-join of the ranked stream with its own rank-shifted
+        projection.  Values copy verbatim (no arithmetic), so the LAG
+        oracle hash-checks float payloads exactly."""
+        from packcol.pipelines.window import lag_column
+        ds_ = _read(sf, "events", ["event_id", "user_id", "ts",
+                                   "value"])
+        out = lag_column(ds_, "user_id", "ts", "value", n=1,
+                         tiebreak="event_id")
+        return out.select_columns(["event_id", "lag_value"])
+    q["lag_prev_value"] = lag_prev_value
+
     def store_fsck(sf):
         # deep store audit: decodes every column of the shared events
         # store and proves zone containment + null counts (rows-only:
@@ -1974,6 +1988,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # moments, identical closed form both sides), tail because the
         # head window is full
         "corr_cents_user",
+        # lag_prev_value: NEW r5 — SQL LAG parity, tail (head full);
+        # the window family is anchored in the head by
+        # asof_prev_purchase / sessionize / hopping_window_counts
+        "lag_prev_value",
     ]
     assert set(_ORDER_TAIL) <= set(q), sorted(set(_ORDER_TAIL) - set(q))
     assert len(q) - len(_ORDER_TAIL) <= 50, (
@@ -2211,6 +2229,10 @@ def oracle_sql() -> dict[str, str]:
         # same closed form over the same EXACT integer moments as the
         # Ray side (values scaled to cents) — double ops in the same
         # order, so round(.,6) agrees
+        "lag_prev_value": (
+            "SELECT event_id, LAG(value, 1) OVER ("
+            "PARTITION BY user_id ORDER BY ts, event_id) AS lag_value "
+            "FROM events"),
         "corr_cents_user": (
             "SELECT event_type, CAST(n AS BIGINT) AS n, "
             "round((CAST(n AS DOUBLE)*sxy - sx*sy) / "

@@ -1170,3 +1170,46 @@ def stratified_sample(ds: "rd.Dataset", by, n: int, *,
             lambda b: b.drop_columns(["__sk"]),
             batch_format="pyarrow", zero_copy_batch=True)
     return out
+
+
+def lag_column(ds: "rd.Dataset", by, on: str, col: str, n: int = 1, *,
+               out_col: str | None = None, tiebreak: str | None = None,
+               lead: bool = False):
+    """SQL LAG/LEAD(col, n) OVER (PARTITION BY by ORDER BY on
+    [, tiebreak]) — by composition of two exact primitives:
+
+    1. per-key rank = ``running_aggregate(count)`` (ONE global sort,
+       C-speed per-block prefix, broadcast carries);
+    2. an equi-join of the ranked stream with its own (key, rank ∓ n)
+       projection (Ray's native hash join) — row r picks up the value
+       of the row n positions before (after, for ``lead=True``) it in
+       its partition, NULL where none exists.
+
+    Two exchanges total (the sort and the join), no per-key UDF, and
+    every step is an already-tested operator.  (on[, tiebreak]) should
+    be unique per key — the same determinism caveat as
+    running_aggregate."""
+    from .join import shuffle_join
+    by = [by] if isinstance(by, str) else list(by)
+    out_col = out_col or (f"lead_{col}" if lead else f"lag_{col}")
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    ranked = running_aggregate(ds, by, on, col=on, agg="count",
+                               out_col="__rank", tiebreak=tiebreak)
+
+    def shifted(batch: pa.Table) -> pa.Table:
+        r = batch.column("__rank")
+        if isinstance(r, pa.ChunkedArray):
+            r = r.combine_chunks()
+        rv = r.to_numpy(zero_copy_only=False).astype(np.int64)
+        tgt = rv + n if not lead else rv - n
+        cols = {nm: batch.column(nm) for nm in by}
+        cols["__rank"] = pa.array(tgt)
+        cols[out_col] = batch.column(col)
+        return pa.table(cols)
+
+    proj = ranked.map_batches(shifted, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    joined = shuffle_join(ranked, proj, on=by + ["__rank"],
+                          join_type="left_outer")
+    return joined.drop_columns(["__rank"])

@@ -644,3 +644,33 @@ class TestStratifiedSample:
         assert len(s) == 200
         # mean of a uniform 200-sample of 0..999 concentrates near 500
         assert 400 < s["x"].mean() < 600
+
+
+class TestLagLead:
+    def test_matches_pandas_shift(self, ray_session):
+        import ray.data as rd
+        from packcol.pipelines.window import lag_column
+        rng = np.random.default_rng(2)
+        df = pd.DataFrame({
+            "k": rng.choice(["a", "b", "c"], 3000),
+            "t": rng.permutation(3000).astype(np.int64),
+            "v": rng.integers(0, 100, 3000).astype(np.int64)})
+        for n, lead in ((1, False), (3, False), (2, True)):
+            got = lag_column(rd.from_pandas(df).repartition(5),
+                             "k", "t", "v", n=n, lead=lead) \
+                .to_pandas().sort_values(["k", "t"]) \
+                .reset_index(drop=True)
+            want = df.sort_values(["k", "t"]).reset_index(drop=True)
+            exp = want.groupby("k")["v"].shift(n if not lead else -n)
+            colname = f"{'lead' if lead else 'lag'}_v"
+            g = got[colname].to_numpy(dtype=float)
+            e = exp.to_numpy(dtype=float)
+            assert ((g == e) | (np.isnan(g) & np.isnan(e))).all(), \
+                (n, lead)
+
+    def test_bad_n(self, ray_session):
+        import ray.data as rd
+        from packcol.pipelines.window import lag_column
+        with pytest.raises(ValueError, match="n must be"):
+            lag_column(rd.from_items([{"k": 1, "t": 1, "v": 1}]),
+                       "k", "t", "v", n=0)
