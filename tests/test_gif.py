@@ -193,3 +193,36 @@ class TestGifStages:
         for buf in res["image"]:
             assert sniff_image_format(bytes(buf)) == "gif"
             assert decode_gif(bytes(buf)).shape == (8, 8, 3)
+
+
+class TestLZWProperties:
+    """Hypothesis: LZW roundtrips for arbitrary index streams."""
+
+    def test_roundtrip_property(self):
+        from hypothesis import given, settings, strategies as st
+
+        @settings(max_examples=60, deadline=None)
+        @given(st.integers(2, 8), st.binary(min_size=0, max_size=3000))
+        def check(mcs, raw):
+            arr = (np.frombuffer(raw, np.uint8) % (1 << mcs)) \
+                .astype(np.uint8)
+            if len(arr) == 0:
+                return
+            dec = _lzw_decode(_lzw_encode(arr, mcs), mcs, len(arr))
+            assert (dec == arr).all()
+
+        check()
+
+    def test_gif_roundtrip_property(self):
+        from hypothesis import given, settings, strategies as st
+
+        @settings(max_examples=25, deadline=None)
+        @given(st.integers(1, 40), st.integers(1, 40), st.integers(0, 9))
+        def check(h, w, seed):
+            rng = np.random.default_rng(seed)
+            img = rng.integers(0, 256, (h, w)).astype(np.uint8)
+            out = decode_gif(encode_gif(img))
+            assert out.shape == (h, w, 3)
+            assert (out[..., 0] == img).all()
+
+        check()
