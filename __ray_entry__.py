@@ -1175,6 +1175,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return out.select_columns(["event_id", "lag_value"])
     q["lag_prev_value"] = lag_prev_value
 
+    def rollup_docs(sf):
+        """GROUP BY ROLLUP over the encoded store
+        (sources/encoded.py::agg_encoded_rollup): one data scan at the
+        finest level, every subtotal re-aggregated from the O(groups)
+        result rows (decomposable aggregates only); NULL markers for
+        rolled-up keys match SQL."""
+        from packcol.sources.encoded import agg_encoded_rollup
+        out = _encoded_store(sf, "documents")
+        return agg_encoded_rollup(
+            out, ["lang", "source"],
+            {"n": ("count",), "chars": ("sum", "n_chars")})
+    q["rollup_docs"] = rollup_docs
+
     def store_fsck(sf):
         # deep store audit: decodes every column of the shared events
         # store and proves zone containment + null counts (rows-only:
@@ -1992,6 +2005,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # the window family is anchored in the head by
         # asof_prev_purchase / sessionize / hopping_window_counts
         "lag_prev_value",
+        # rollup_docs: NEW r5 — SQL ROLLUP parity, tail (head full);
+        # the aggregate family is anchored in the head by
+        # agg_encoded_events / agg_encoded_minmax / pricing_summary
+        "rollup_docs",
     ]
     assert set(_ORDER_TAIL) <= set(q), sorted(set(_ORDER_TAIL) - set(q))
     assert len(q) - len(_ORDER_TAIL) <= 50, (
@@ -2229,6 +2246,10 @@ def oracle_sql() -> dict[str, str]:
         # same closed form over the same EXACT integer moments as the
         # Ray side (values scaled to cents) — double ops in the same
         # order, so round(.,6) agrees
+        "rollup_docs": (
+            "SELECT lang, source, COUNT(*) AS n, "
+            "CAST(SUM(n_chars) AS BIGINT) AS chars FROM documents "
+            "GROUP BY ROLLUP(lang, source)"),
         "lag_prev_value": (
             "SELECT event_id, LAG(value, 1) OVER ("
             "PARTITION BY user_id ORDER BY ts, event_id) AS lag_value "

@@ -1619,3 +1619,81 @@ def explain_scan(store_dir: str, *, filter=None, filter_any=None,
         "rows_upper_bound": _rows(survivors),
         "columns": columns,
     }
+
+
+def agg_encoded_rollup(store_dir: str, group_by: list[str], aggs: dict,
+                       filter: tuple | None = None,
+                       filter_any: list | None = None):
+    """SQL ``GROUP BY ROLLUP(a, b, ...)`` over the encoded store with
+    ONE scan: the finest level runs through ``agg_encoded`` (zone/
+    bloom pruning, packed-code predicates, dict-code grouping), and
+    every coarser subtotal level re-aggregates the finest RESULT —
+    O(groups) rows, never the data.  Rolled-up key slots are NULL,
+    matching SQL's marker convention.
+
+    Only decomposable aggregates (count / sum / min / max) are
+    accepted: AVG does not re-aggregate from ratios — decompose it
+    into sum + count and take the ratio downstream.  Returns pandas
+    with columns [group_by..., *aggs] (the grand total row has every
+    key NULL)."""
+    import pandas as pd
+    for out, spec in aggs.items():
+        if spec[0] not in ("count", "sum", "min", "max"):
+            raise ValueError(
+                f"{out}: rollup needs a decomposable aggregate "
+                f"(count/sum/min/max), got {spec[0]!r} — decompose avg "
+                "into sum + count")
+    group_by = list(group_by)
+    if not group_by:
+        raise ValueError("rollup needs at least one group column")
+    fine = agg_encoded(store_dir, group_by=group_by[0]
+                       if len(group_by) == 1 else None,
+                       aggs=aggs, filter=filter, filter_any=filter_any) \
+        if len(group_by) == 1 else None
+    if fine is None:
+        # multi-key finest level: agg_encoded groups by ONE column, so
+        # group on a composite via a second tiny groupby over its
+        # partial rows?  Simpler and still one data scan: group by the
+        # first key in the encoded domain and finish the remaining
+        # keys with a Ray groupby over the decoded group columns —
+        # but that would re-read.  Instead read the per-part partials
+        # at the finest granularity with a plain projection scan:
+        from ray.data.aggregate import Count, Max, Min, Sum
+        need = sorted({s[1] for s in aggs.values() if len(s) > 1})
+        ds = read_encoded(store_dir, columns=group_by + need,
+                          filter=filter, filter_any=filter_any)
+        merge = {"count": Count, "sum": Sum, "min": Min, "max": Max}
+        ray_aggs = []
+        for out, spec in aggs.items():
+            if spec[0] == "count":
+                ray_aggs.append(Count(on=group_by[0], ignore_nulls=False,
+                                      alias_name=out))
+            else:
+                ray_aggs.append(merge[spec[0]](on=spec[1],
+                                               alias_name=out))
+        fine = ds.groupby(group_by).aggregate(*ray_aggs) \
+            .select_columns([*group_by, *aggs.keys()])
+    pdf = fine.to_pandas()
+    levels = [pdf]
+    cur = pdf
+    for depth in range(len(group_by) - 1, -1, -1):
+        keys = group_by[:depth]
+        spec_map = {}
+        for out, spec in aggs.items():
+            spec_map[out] = {"count": "sum", "sum": "sum",
+                             "min": "min", "max": "max"}[spec[0]]
+        if keys:
+            sub = cur.groupby(keys, dropna=False, as_index=False) \
+                .agg(spec_map)
+        else:
+            sub = pd.DataFrame([{out: (cur[out].sum()
+                                       if fn == "sum" else
+                                       cur[out].min() if fn == "min"
+                                       else cur[out].max())
+                                 for out, fn in spec_map.items()}])
+        for c in group_by[depth:]:
+            sub[c] = None
+        levels.append(sub[[*group_by, *aggs.keys()]])
+        cur = sub
+    out = pd.concat(levels, ignore_index=True)
+    return out[[*group_by, *aggs.keys()]]

@@ -1072,3 +1072,49 @@ def test_explain_scan_prune_accounting(tmp_path, ray_session):
     # bloom prune shows up for a nonexistent dict value with in-zone
     miss = explain_scan(out, filter=("s", "==", "u999zz"))
     assert miss["parts_scanned"] <= miss["zone_survivors"]
+
+
+def test_agg_encoded_rollup_matches_duckdb(tmp_path, ray_session):
+    import duckdb
+    from packcol.pipelines.encode_pipeline import encode_files
+    from packcol.sources.encoded import agg_encoded_rollup
+    rng = np.random.default_rng(3)
+    df = pd.DataFrame({
+        "a": rng.choice(["x", "y", "z"], 4000),
+        "b": rng.choice(["p", "q"], 4000),
+        "v": rng.integers(0, 1000, 4000).astype(np.int64)})
+    src = tmp_path / "r.parquet"
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   str(src), row_group_size=500)
+    out = str(tmp_path / "r_store")
+    encode_files([str(src)], out, target_bytes=1 << 13)
+    con = duckdb.connect()
+    con.register("t", df)
+
+    got = agg_encoded_rollup(out, ["a", "b"],
+                             {"n": ("count",), "sv": ("sum", "v"),
+                              "mx": ("max", "v")})
+    want = con.execute(
+        "SELECT a, b, COUNT(*) AS n, SUM(v) AS sv, MAX(v) AS mx "
+        "FROM t GROUP BY ROLLUP(a, b)").df()
+
+    def canon(d):
+        d = d.copy()
+        for c in ("a", "b"):
+            d[c] = d[c].fillna("∅")
+        return d.sort_values(["a", "b"]).reset_index(drop=True) \
+            .astype({"n": int, "sv": int, "mx": int})
+
+    pd.testing.assert_frame_equal(canon(got), canon(want[got.columns]),
+                                  check_dtype=False)
+
+    # single-key rollup goes through the encoded-domain agg
+    got1 = agg_encoded_rollup(out, ["a"], {"n": ("count",)})
+    want1 = con.execute("SELECT a, COUNT(*) AS n FROM t "
+                        "GROUP BY ROLLUP(a)").df()
+    g = got1.fillna("∅").sort_values("a").reset_index(drop=True)
+    w = want1.fillna("∅").sort_values("a").reset_index(drop=True)
+    assert list(g["n"].astype(int)) == list(w["n"].astype(int))
+
+    with pytest.raises(ValueError, match="decomposable"):
+        agg_encoded_rollup(out, ["a"], {"m": ("avg", "v")})
