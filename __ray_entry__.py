@@ -1188,6 +1188,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
             {"n": ("count",), "chars": ("sum", "n_chars")})
     q["rollup_docs"] = rollup_docs
 
+    def lm_quality_scores(sf):
+        """CCNet-style n-gram LM quality scoring
+        (pipelines/quality.py): hashed bigram counts fit in one
+        tree-merged pass (bounded partial arrays, KLL-style fanin),
+        then a broadcast-model vectorized scoring pass.  Rows-only
+        (hashed-LM floats); scores and the composed perplexity filter
+        are pinned against a pure-python reference in
+        tests/test_quality.py."""
+        from packcol.pipelines.quality import (fit_bigram_lm,
+                                               score_bigram_logprob)
+        ds_ = _read(sf, "documents", ["doc_id", "text"])
+        model = fit_bigram_lm(ds_, "text", bits=18)
+        return score_bigram_logprob(ds_, model, "text") \
+            .select_columns(["doc_id", "lm_score"])
+    q["lm_quality_scores"] = lm_quality_scores
+
     def store_fsck(sf):
         # deep store audit: decodes every column of the shared events
         # store and proves zone containment + null counts (rows-only:
@@ -2009,6 +2025,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # the aggregate family is anchored in the head by
         # agg_encoded_events / agg_encoded_minmax / pricing_summary
         "rollup_docs",
+        # lm_quality_scores: NEW r5 — rows-only (hashed-LM floats;
+        # python-reference parity in tests/test_quality.py)
+        "lm_quality_scores",
     ]
     assert set(_ORDER_TAIL) <= set(q), sorted(set(_ORDER_TAIL) - set(q))
     assert len(q) - len(_ORDER_TAIL) <= 50, (
