@@ -52,6 +52,18 @@ def __getattr__(name):
         "cluster_store": "packcol.pipelines.cluster",
         "zorder_store": "packcol.pipelines.cluster",
         "diff_stores": "packcol.pipelines.diff",
+        "agg_encoded_rollup": "packcol.sources.encoded",
+        "explain_scan": "packcol.sources.encoded",
+        "bm25_topk": "packcol.pipelines.search",
+        "pearson_corr": "packcol.stages.profile",
+        "stratified_sample": "packcol.pipelines.window",
+        "lag_column": "packcol.pipelines.window",
+        "hopping_window_aggregate": "packcol.pipelines.window",
+        "ann_pq_topk": "packcol.pipelines.ann",
+        "build_ivfpq_store": "packcol.pipelines.ann_index",
+        "ivfpq_query_store": "packcol.pipelines.ann_index",
+        "fit_bigram_lm": "packcol.pipelines.quality",
+        "perplexity_filter": "packcol.pipelines.quality",
     }
     if name in _map:
         import importlib
