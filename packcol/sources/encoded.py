@@ -1697,3 +1697,62 @@ def agg_encoded_rollup(store_dir: str, group_by: list[str], aggs: dict,
         cur = sub
     out = pd.concat(levels, ignore_index=True)
     return out[[*group_by, *aggs.keys()]]
+
+
+def agg_encoded_grouping_sets(store_dir: str, group_by: list[str],
+                              sets: list[tuple], aggs: dict,
+                              filter: tuple | None = None,
+                              filter_any: list | None = None):
+    """SQL ``GROUP BY GROUPING SETS`` / ``CUBE`` over the encoded
+    store, still ONE data scan: every requested set is a subset of
+    ``group_by``, so it re-aggregates from the finest level's
+    O(groups) rows (decomposable aggregates only — the same contract
+    as ``agg_encoded_rollup``, which is the prefix-sets special
+    case)."""
+    import pandas as pd
+    group_by = list(group_by)
+    norm = []
+    for s_ in sets:
+        s_ = tuple(s_)
+        if not set(s_) <= set(group_by):
+            raise ValueError(f"grouping set {s_} is not a subset of "
+                             f"{group_by}")
+        norm.append(s_)
+    # reuse rollup's finest-level machinery by asking it for the
+    # full-key rollup and discarding its subtotal levels
+    full = agg_encoded_rollup(store_dir, group_by, aggs, filter=filter,
+                              filter_any=filter_any)
+    finest = full[full[group_by].notna().all(axis=1)] \
+        if len(group_by) else full
+    spec_map = {out: {"count": "sum", "sum": "sum", "min": "min",
+                      "max": "max"}[spec[0]]
+                for out, spec in aggs.items()}
+    frames = []
+    for s_ in norm:
+        keys = [c for c in group_by if c in s_]
+        if keys:
+            sub = finest.groupby(keys, dropna=False, as_index=False) \
+                .agg(spec_map)
+        else:
+            sub = pd.DataFrame([{out: (finest[out].sum()
+                                       if fn == "sum" else
+                                       finest[out].min() if fn == "min"
+                                       else finest[out].max())
+                                 for out, fn in spec_map.items()}])
+        for c in group_by:
+            if c not in keys:
+                sub[c] = None
+        frames.append(sub[[*group_by, *aggs.keys()]])
+    return pd.concat(frames, ignore_index=True)
+
+
+def agg_encoded_cube(store_dir: str, group_by: list[str], aggs: dict,
+                     filter: tuple | None = None,
+                     filter_any: list | None = None):
+    """SQL ``GROUP BY CUBE``: all 2^k subsets as grouping sets."""
+    from itertools import chain, combinations
+    sets = list(chain.from_iterable(
+        combinations(group_by, r) for r in range(len(group_by), -1, -1)))
+    return agg_encoded_grouping_sets(store_dir, group_by, sets, aggs,
+                                     filter=filter,
+                                     filter_any=filter_any)

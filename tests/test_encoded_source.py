@@ -1118,3 +1118,49 @@ def test_agg_encoded_rollup_matches_duckdb(tmp_path, ray_session):
 
     with pytest.raises(ValueError, match="decomposable"):
         agg_encoded_rollup(out, ["a"], {"m": ("avg", "v")})
+
+
+def test_agg_encoded_cube_matches_duckdb(tmp_path, ray_session):
+    import duckdb
+    from packcol.pipelines.encode_pipeline import encode_files
+    from packcol.sources.encoded import (agg_encoded_cube,
+                                         agg_encoded_grouping_sets)
+    rng = np.random.default_rng(6)
+    df = pd.DataFrame({
+        "a": rng.choice(["x", "y"], 2000),
+        "b": rng.choice(["p", "q", "r"], 2000),
+        "v": rng.integers(0, 100, 2000).astype(np.int64)})
+    src = tmp_path / "c.parquet"
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   str(src), row_group_size=250)
+    out = str(tmp_path / "c_store")
+    encode_files([str(src)], out, target_bytes=1 << 12)
+    con = duckdb.connect()
+    con.register("t", df)
+
+    def canon(d):
+        d = d.copy()
+        for c in ("a", "b"):
+            d[c] = d[c].fillna("∅")
+        return d.sort_values(["a", "b"]).reset_index(drop=True) \
+            .astype({"n": int, "sv": int})
+
+    got = agg_encoded_cube(out, ["a", "b"],
+                           {"n": ("count",), "sv": ("sum", "v")})
+    want = con.execute("SELECT a, b, COUNT(*) AS n, SUM(v) AS sv "
+                       "FROM t GROUP BY CUBE(a, b)").df()
+    pd.testing.assert_frame_equal(canon(got), canon(want[got.columns]),
+                                  check_dtype=False)
+
+    gs = agg_encoded_grouping_sets(out, ["a", "b"], [("a",), ("b",)],
+                                   {"n": ("count",)})
+    wgs = con.execute("SELECT a, b, COUNT(*) AS n FROM t GROUP BY "
+                      "GROUPING SETS ((a), (b))").df()
+    pd.testing.assert_frame_equal(
+        canon(gs.assign(sv=0)).drop(columns=["sv"]),
+        canon(wgs[gs.columns].assign(sv=0)).drop(columns=["sv"]),
+        check_dtype=False)
+
+    with pytest.raises(ValueError, match="not a subset"):
+        agg_encoded_grouping_sets(out, ["a"], [("zz",)],
+                                  {"n": ("count",)})
