@@ -329,6 +329,9 @@ def main() -> None:
     ag.add_argument("--agg", required=True, action="append",
                     metavar="OUT=FN[:COL]",
                     help="e.g. n=count, total=sum:value, m=avg:value")
+    ag.add_argument("--rollup", action="store_true",
+                    help="GROUP BY ROLLUP over comma-separated "
+                    "--group-by keys (decomposable aggregates only)")
     ag.add_argument("--where", nargs=2, metavar=("COL", "VAL"),
                     action="append")
     ag.add_argument("--between", nargs=3, metavar=("COL", "LO", "HI"),
@@ -588,10 +591,20 @@ def main() -> None:
                 sys.exit(f"bad --agg {spec!r}: expected OUT=FN[:COL]")
             aggs[out_name] = (fn,) if not col else (fn, col)
         flt = _build_preds(args)
-        res = agg_encoded(args.encoded, group_by=args.group_by,
-                          aggs=aggs, filter=flt).to_pandas()
-        if args.group_by:
-            res = res.sort_values(args.group_by)
+        if getattr(args, "rollup", False):
+            from packcol.sources.encoded import agg_encoded_rollup
+            if not args.group_by:
+                sys.exit("--rollup needs --group-by")
+            res = agg_encoded_rollup(args.encoded,
+                                     args.group_by.split(","),
+                                     aggs, filter=flt)
+            res = res.sort_values(args.group_by.split(","),
+                                  na_position="last")
+        else:
+            res = agg_encoded(args.encoded, group_by=args.group_by,
+                              aggs=aggs, filter=flt).to_pandas()
+            if args.group_by:
+                res = res.sort_values(args.group_by)
         print(json.dumps({"rows": len(res),
                           "head": res.head(args.limit)
                           .to_dict(orient="records")},
