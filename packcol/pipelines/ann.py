@@ -46,12 +46,18 @@ def uniform_sample_vectors(ds, n: int, vec_col: str = "embedding",
                            seed: int = 13) -> np.ndarray:
     """Deterministic UNIFORM n-row vector sample via bottom-k hashing
     (the approx_quantiles/KMV principle): each row gets a pseudo-random
-    64-bit key from splitmix64 of its vector-content fold ⊕ its
-    in-batch position; each batch forwards only its n smallest keys, so
-    the driver sees O(n × batches) candidate rows and keeps the n
-    globally smallest — a uniform sample regardless of input ordering
-    or clustering (``ds.limit(n)`` would take the FIRST rows: biased on
-    sorted/clustered inputs).  Deterministic for a fixed partitioning."""
+    64-bit key from splitmix64 of its vector-content fold ⊕ the seed;
+    each batch forwards only its n smallest keys, so the driver sees
+    O(n × batches) candidate rows and keeps the n globally smallest —
+    a uniform sample regardless of input ordering or clustering
+    (``ds.limit(n)`` would take the FIRST rows: biased on
+    sorted/clustered inputs).  The key depends on row CONTENT only, so
+    the SAMPLE CONTENT is identical across runs, partitionings and
+    batch splits (a positional salt would wobble with Ray's dynamic
+    batch boundaries — observed as run-to-run IVF recall variance);
+    byte-identical duplicate vectors share a key and collapse to one
+    representative, which changes nothing downstream (k-means/PQ
+    training sees the same point set)."""
     from ..functions.text import _splitmix64
 
     def partial(batch: pa.Table) -> pa.Table:
@@ -62,8 +68,10 @@ def uniform_sample_vectors(ds, n: int, vec_col: str = "embedding",
                                  pa.float64()))})
         bits = np.ascontiguousarray(X).view(np.uint64)
         fold = np.bitwise_xor.reduce(_splitmix64(bits), axis=1)
-        pos = np.arange(X.shape[0], dtype=np.uint64)
-        key = _splitmix64(fold ^ _splitmix64(pos + np.uint64(seed)))
+        with np.errstate(over="ignore"):
+            salt = _splitmix64(np.array(
+                [seed + 0x9E3779B97F4A7C15], dtype=np.uint64))[0]
+        key = _splitmix64(fold ^ salt)
         if len(key) > n:
             idx = np.argpartition(key, n)[:n]
             key, X = key[idx], X[idx]
@@ -444,12 +452,13 @@ def kmeans_fit(ds, n_clusters: int, iters: int = 8,
     """DISTRIBUTED Lloyd k-means over the full corpus: each iteration
     broadcasts the centroids, every batch emits per-cluster partial
     (sum, count) rows — k × n_batches tiny rows, never vectors — and
-    the driver merges k × dim floats.  Init from a bounded sample
-    (deterministic).  The honest full-data path behind IVF list
-    training (vs the sample-only _kmeans)."""
-    sample = ds.limit(sample_rows).to_pandas()
-    Xs = np.stack([np.asarray(v, dtype=np.float64)
-                   for v in sample[vec_col]])
+    the driver merges k × dim floats.  Init from the DETERMINISTIC
+    uniform sample (bottom-k content hashing — ``ds.limit`` would take
+    whichever blocks finish first, making centroids, IVF list
+    assignments, and therefore recall run-dependent).  The honest
+    full-data path behind IVF list training (vs the sample-only
+    _kmeans)."""
+    Xs = uniform_sample_vectors(ds, sample_rows, vec_col, seed=seed)
     C = _kmeans(Xs, n_clusters, iters=2, seed=seed)  # cheap warm start
     k, dim = C.shape
     for _ in range(iters):

@@ -152,7 +152,7 @@ class TestIVFPQ:
         df, out = store
         q = np.asarray(df["embedding"][99], dtype=np.float64)
         brute = ann_brute_topk(rd.from_pandas(df), q, k=10)
-        got = ivfpq_query_store(out, q, k=10, n_probe=3, rerank_k=128)
+        got = ivfpq_query_store(out, q, k=10, n_probe=3, rerank_k=256)
         recall = len(set(got["vec_id"]) & set(brute["vec_id"])) / 10
         assert recall >= 0.7, recall
         X = np.stack(df["embedding"].to_numpy())
