@@ -287,6 +287,26 @@ def main() -> None:
     di.add_argument("--limit", type=int, default=20,
                     help="values printed (count is always exact)")
 
+    se = sub.add_parser("search", help="BM25 top-k keyword retrieval "
+                        "over a store text column (two streaming "
+                        "passes, bounded top-k)")
+    se.add_argument("--encoded", required=True)
+    se.add_argument("--column", default="text")
+    se.add_argument("--terms", required=True,
+                    help="comma-separated query terms")
+    se.add_argument("--k", type=int, default=10)
+    se.add_argument("--keep", default=None,
+                    help="comma-separated id columns to return")
+
+    sg = sub.add_parser("sample-group", help="deterministic uniform "
+                        "n-per-group sample (bottom-n content "
+                        "hashing)")
+    sg.add_argument("--encoded", required=True)
+    sg.add_argument("--by", required=True)
+    sg.add_argument("--n", type=int, required=True)
+    sg.add_argument("--seed", type=int, default=13)
+    sg.add_argument("--limit", type=int, default=20)
+
     ex = sub.add_parser("explain", help="what a filtered scan WOULD "
                         "read, from manifests alone: per-predicate "
                         "zone survivors, bloom prunes, row bound")
@@ -552,6 +572,25 @@ def main() -> None:
         print(json.dumps({"column": args.column,
                           "n_distinct": ds.count(),
                           "values": [str(v) for v in vals]}))
+    elif args.cmd == "search":
+        from packcol.pipelines.search import bm25_topk
+        from packcol.sources.encoded import read_encoded
+        keep = args.keep.split(",") if args.keep else []
+        cols = sorted(set(keep + [args.column]))
+        res = bm25_topk(read_encoded(args.encoded, columns=cols),
+                        args.column, args.terms.split(","), k=args.k,
+                        keep_cols=keep)
+        print(json.dumps({"hits": res.to_dict("records")},
+                         default=str))
+    elif args.cmd == "sample-group":
+        from packcol.pipelines.window import stratified_sample
+        from packcol.sources.encoded import read_encoded
+        res = stratified_sample(read_encoded(args.encoded),
+                                args.by, args.n,
+                                seed=args.seed).to_pandas()
+        print(json.dumps({"rows": len(res),
+                          "head": res.head(args.limit)
+                          .to_dict("records")}, default=str))
     elif args.cmd == "explain":
         from packcol.sources.encoded import explain_scan
         print(json.dumps(explain_scan(args.encoded,
